@@ -1,0 +1,131 @@
+"""Text analysis: tokenize, n-grams, stopword/quality metrics, lang-ID,
+fingerprints.
+
+The reference's only text-adjacent operation is exploding a pre-split
+``hashtags: array<string>`` column (``App.java:97``); everything here is
+the [EXT] text surface (SURVEY.md §2.2) a training-data pipeline needs.
+
+All pure Catalyst expressions (split / transform / filter / aggregate on
+arrays) — they pipeline inside whole-stage codegen with no shuffle and
+no Python boundary, which is what makes them viable over 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = r"\s+"
+
+# Tiny per-language stopword sets for the heuristic language identifier.
+# Deliberately small and deterministic: lang-ID here is a cheap heuristic
+# gate (the real pipeline would plug a model UDF into the same slot).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "it"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "pour", "dans"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "para", "en"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "ist", "zu", "mit", "auf"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokenize(text: Column | str, pattern: str = TOKEN_PATTERN) -> Column:
+    """Split on a regex and drop empty tokens → ``array<string>``."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(col, pattern), lambda t: t != F.lit(""))
+
+
+def token_count(tokens: Column) -> Column:
+    """Number of tokens, as LongType (matches SQL BIGINT counts)."""
+    return F.size(tokens).cast("long")
+
+
+def ngrams(tokens: Column, n: int, sep: str = " ") -> Column:
+    """Word n-grams as an array of joined strings; [] when < n tokens.
+
+    Array-native (``transform`` over an index ``sequence``) — unlike the
+    posexplode+window formulation this needs no shuffle at all.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(sep, *[F.element_at(tokens, i + j + 1) for j in range(n)]),
+    )
+    # sequence(0, negative) would count downward; guard short docs.
+    return F.when(F.size(tokens) >= n, gram).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the near-dedup unit)."""
+    return F.array_distinct(ngrams(tokens, n))
+
+
+def stopword_ratio(tokens: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords; 0.0 for empty docs."""
+    stops = F.array(*[F.lit(s) for s in (stopwords or ENGLISH_STOPWORDS)])
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stops, t)))
+    return F.when(F.size(tokens) > 0, n_stop / F.size(tokens)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    col = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.when(
+        F.length(col) > 0, F.length(stripped) / F.length(col)
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str, tokens: Column) -> Column:
+    """Deterministic [0,1] doc-quality heuristic.
+
+    Blend of: token count in a healthy band, mean token length in a
+    healthy band, low punctuation ratio. The exact weights are arbitrary
+    but fixed — downstream filters depend on reproducibility, not on the
+    score being "true".
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    n_tok = F.size(tokens)
+    mean_len = F.when(n_tok > 0, F.length(F.concat_ws("", tokens)) / n_tok).otherwise(0.0)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 5000), 1.0).otherwise(
+        F.when(n_tok > 0, 0.5).otherwise(0.0)
+    )
+    tok_ok = F.when((mean_len >= 2.0) & (mean_len <= 12.0), 1.0).otherwise(0.5)
+    punct_ok = 1.0 - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    return F.round(0.4 * len_ok + 0.3 * tok_ok + 0.3 * punct_ok, 6)
+
+
+def language_id(tokens: Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits.
+
+    Ties resolve by language-code order (deterministic). Returns 'und'
+    when no stopword from any language matches.
+    """
+    scores: list[tuple[str, Column]] = []
+    for lang in sorted(LANG_STOPWORDS):
+        stops = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+        scores.append(
+            (lang, F.size(F.filter(tokens, lambda t: F.array_contains(stops, t))))
+        )
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    # Build right-to-left so earlier languages win ties.
+    for lang, score in reversed(scores):
+        expr = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column | str, length: int = 16) -> Column:
+    """Canonical content fingerprint: md5 of case/space-normalized text.
+
+    Normalization: lowercase, collapse whitespace runs, trim. A stable
+    16-hex-char prefix (64 bits) is plenty below ~4B docs (birthday
+    bound); use the full digest beyond that.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    normalized = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.substring(F.md5(normalized), 1, length)

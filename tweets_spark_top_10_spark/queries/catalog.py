@@ -1,0 +1,14 @@
+"""Aggregate the query registry: importing the modules populates it."""
+
+from __future__ import annotations
+
+# Import order is alphabetical-ish; each module registers on import.
+from tweets_spark_top_10_spark.queries import (  # noqa: F401
+    relational,
+    similarity_queries,
+    text_queries,
+    window_queries,
+)
+from tweets_spark_top_10_spark.queries.registry import ORACLE, QUERIES
+
+__all__ = ["ORACLE", "QUERIES"]

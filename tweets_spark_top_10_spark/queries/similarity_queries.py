@@ -1,0 +1,117 @@
+"""Embedding similarity queries over the ``embeddings`` table.
+
+[EXT] surface. All vector math is cast to double on BOTH engines before
+accumulating, and similarities are rounded to 6 digits before ranking,
+so ordering is deterministic and engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tweets_spark_top_10_spark.functions.similarity import (
+    brute_force_knn,
+    l2_norm,
+    lsh_knn,
+)
+from tweets_spark_top_10_spark.queries.registry import register
+from tweets_spark_top_10_spark.sources.registry import load_table
+
+_DOUBLE_VEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+@register(
+    "embedding_norms",
+    oracle=f"""
+    SELECT vec_id,
+           ROUND(sqrt(list_dot_product({_DOUBLE_VEC}, {_DOUBLE_VEC})), 6)
+             AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm")
+    )
+
+
+@register(
+    "knn_cosine_top5",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, {_DOUBLE_VEC} AS v FROM embeddings
+      WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, {_DOUBLE_VEC} AS v FROM embeddings
+      WHERE vec_id >= 10
+    ), scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             ROUND(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+      FROM q CROSS JOIN c
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+      ) AS BIGINT) AS rank
+      FROM scored
+    ) t WHERE rank <= 5
+    """,
+)
+def knn_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force kNN: broadcast 10 query vectors, stream the
+    candidate table, per-query top-5 via row_number on rounded cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    return brute_force_knn(queries, cands, k=5)
+
+
+@register(
+    "label_centroids",
+    oracle=f"""
+    WITH expanded AS (
+      SELECT label,
+             unnest({_DOUBLE_VEC}) AS val,
+             unnest(range(0, len(embedding))) AS pos
+      FROM embeddings
+    )
+    SELECT label, CAST(pos AS BIGINT) AS pos, ROUND(AVG(val), 6) AS avg_val
+    FROM expanded
+    GROUP BY label, pos
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid in long format (label, dim, mean). posexplode →
+    group by (label, pos): one shuffle, 64×|labels| output rows. This is
+    the vector-aggregate building block for IVF coarse quantizers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+                "pos", "val"
+            ),
+        )
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(F.round(F.avg("val"), 6).alias("avg_val"))
+    )
+
+
+@register("lsh_knn_top5", oracle=None)  # approximate-by-design — rows-only gate
+def lsh_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    return lsh_knn(queries, cands, k=5)

@@ -1,0 +1,219 @@
+"""Text-analysis and dedup queries over the ``documents`` table.
+
+[EXT] surface (SURVEY.md §2.2): exact dedup, n-gram Jaccard near-dup,
+token statistics, stopword/quality metrics, bigram mining, content
+fingerprints, heuristic language ID (rows-only check — not ANSI-SQL
+expressible in a sane way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tweets_spark_top_10_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from tweets_spark_top_10_spark.functions.text import (
+    ENGLISH_STOPWORDS,
+    fingerprint,
+    language_id,
+    ngrams,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    tokenize,
+)
+from tweets_spark_top_10_spark.operators.topk import top_k
+from tweets_spark_top_10_spark.queries.registry import register
+from tweets_spark_top_10_spark.sources.registry import load_table
+
+
+@register(
+    "dedup_exact_docs",
+    oracle=r"""
+    SELECT
+      md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+      MIN(doc_id) AS doc_id,
+      COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id", hash_col="content_hash")
+
+
+@register(
+    "doc_token_stats",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS arr,
+             length(text) AS text_len
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(arr) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct_tokens,
+           CAST(text_len AS BIGINT) AS text_len,
+           ROUND(CASE WHEN len(arr) > 0
+                 THEN CAST(len(list_distinct(arr)) AS DOUBLE) / len(arr)
+                 ELSE 0.0 END, 6) AS ttr
+    FROM toks
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts + type-token ratio, fully array-native (no shuffle
+    except none at all — this is a pure map)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        token_count(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+    ttr = F.when(
+        F.col("n_tokens") > 0,
+        F.col("n_distinct_tokens").cast("double") / F.col("n_tokens"),
+    ).otherwise(0.0)
+    return d.select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "text_len",
+        F.round(ttr, 6).alias("ttr"),
+    )
+
+
+@register(
+    "doc_stopword_ratio",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS arr
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(CASE WHEN len(arr) > 0
+             THEN CAST(len(list_filter(arr,
+                  t -> list_contains({ENGLISH_STOPWORDS!r}, t))) AS DOUBLE) / len(arr)
+             ELSE 0.0 END, 6) AS stop_ratio
+    FROM toks
+    """,
+)
+def doc_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    return docs.select(
+        "doc_id", F.round(stopword_ratio(toks), 6).alias("stop_ratio")
+    )
+
+
+@register(
+    "top_bigrams",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS arr
+      FROM documents
+    ), grams AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(arr), 1)),
+               i -> arr[i] || ' ' || arr[i + 1]
+             )) AS bigram
+      FROM toks
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM grams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram mining, array-native: no per-token shuffle, one group-count
+    shuffle on the bigram string (cf. the reference's hashtag count,
+    App.java:97-99 — same plan shape, synthesized array)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    grams = docs.select(F.explode(ngrams(toks, 2)).alias("bigram"))
+    counted = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    return top_k(counted, [F.desc("n"), F.asc("bigram")], k=20)
+
+
+@register(
+    "doc_fingerprints",
+    oracle=r"""
+    SELECT doc_id,
+           substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16)
+             AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "ngram_jaccard_dup_pairs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS arr
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(arr) - 1, 1)),
+                 i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]
+               )) AS shingle
+        FROM toks
+      ) raw
+    ), counts AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared), 6)
+             AS jaccard
+    FROM shared
+    JOIN counts ca ON ca.doc_id = id_a
+    JOIN counts cb ON cb.doc_id = id_b
+    WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.1
+    """,
+)
+def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+
+
+@register(
+    "doc_quality",
+    oracle=None,  # heuristic blend — checked by unit tests + rows-only gate
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    return docs.select(
+        "doc_id", quality_score(F.col("text"), toks).alias("quality")
+    )
+
+
+@register("langid_heuristic", oracle=None)  # heuristic argmax — rows-only gate
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    return docs.select("doc_id", "lang", language_id(toks).alias("lang_pred"))
+
+
+@register("minhash_lsh_candidates", oracle=None)  # LSH banding — rows-only gate
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.1)

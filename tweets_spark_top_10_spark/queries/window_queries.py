@@ -1,0 +1,118 @@
+"""Event-time window queries (batch twins of the streaming pipelines).
+
+The reference's hourly batch over hour-partition dirs IS a hand-rolled
+tumbling window (``App.java:43-63``, SURVEY.md §2.2); here the same
+semantics are expressed with ``F.window``/``F.session_window`` so the
+identical code runs over ``readStream`` (streaming/ wires that up).
+Oracles use DuckDB ``time_bucket`` / gaps-and-islands SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tweets_spark_top_10_spark.queries.registry import register
+from tweets_spark_top_10_spark.sources.registry import load_table
+
+
+@register(
+    "hourly_event_windows",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 6) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour count per event_type — the streaming top-hashtags
+    aggregation in batch form (same F.window call works on readStream)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "sliding_event_windows",
+    oracle="""
+    WITH grids AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes')
+        AS window_start FROM events
+    )
+    SELECT window_start, COUNT(*) AS n
+    FROM grids
+    GROUP BY 1
+    """,
+)
+def sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min: each event lands in 2
+    windows. Spark's F.window(slide) == union of the 2 offset tumbling
+    grids the oracle builds explicitly."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+
+
+@register(
+    "user_sessions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '10 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_no
+      FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 10-minute inactivity gap via
+    ``session_window`` — the oracle derives identical sessions with
+    gaps-and-islands SQL (session_start = first event of the island)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -1,0 +1,44 @@
+"""Sinks: top-K CSV (the reference's output) and idempotent partitioned writes.
+
+Reference output: a 10-row CSV with header, one path per hour, overwrite
+(``App.java:133-134``). At scale the per-hour CSV stays a single file
+(coalesce(1) is fine for K<=10 rows); bulk results go to partitioned
+parquet with dynamic partition overwrite — the idempotent replacement
+for the reference's ES delete-then-insert (``App.java:146-157``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_csv_top_k(df: DataFrame, path: str, k: int = 10) -> None:
+    """Write the top-K rows as a single headered CSV, overwriting.
+
+    Mirrors ``App.java:133-134`` (`limit(10).write().mode(Overwrite)
+    .format("csv").option("header","true")`). ``coalesce(1)`` is safe
+    here because the input is already limited to K rows.
+    """
+    df.limit(k).coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    fmt: str = "parquet",
+    dynamic: bool = True,
+) -> None:
+    """Partitioned write with dynamic partition overwrite.
+
+    With ``dynamic=True`` only the partitions present in ``df`` are
+    replaced — re-running an hour replaces exactly that hour, which is
+    the race-free version of the reference's "delete ES rows for the
+    window, then insert" maintenance (``App.java:102-157`` — including
+    its month off-by-one bug, SURVEY.md §1.2, which cannot happen here
+    because the partition values come from the data itself).
+    """
+    writer = df.write.mode("overwrite").format(fmt).partitionBy(*partition_by)
+    if dynamic:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.save(path)
