@@ -1,0 +1,128 @@
+"""Unit tests: reference query on a tweets-shaped table + operator edges."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tweets_spark_top_10_spark.functions.dedup import (
+    simhash64,
+    simhash_near_pairs,
+)
+from tweets_spark_top_10_spark.functions.text import (
+    fingerprint,
+    language_id,
+    ngrams,
+    quality_score,
+    stopword_ratio,
+    tokenize,
+)
+from tweets_spark_top_10_spark.operators.explode_count import explode_count
+from tweets_spark_top_10_spark.operators.topk import top_k, top_k_per_group
+
+
+def _tweets(spark):
+    """The reference-shaped fixture (FIXTURES.md §A): timestamp +
+    hashtags array, null/empty arrays included."""
+    rows = [
+        (1, ["spark", "data"]),
+        (2, ["spark"]),
+        (3, []),
+        (4, None),
+        (5, ["data", "spark", "ml"]),
+        (6, ["ml"]),
+    ]
+    return spark.createDataFrame(rows, "id: long, hashtags: array<string>")
+
+
+def test_reference_query_golden(spark):
+    """The §2.1 reference query (App.java:92-134) with deterministic
+    tie-break: explode → count → top-10."""
+    tweets = _tweets(spark)
+    counted = explode_count(tweets, "hashtags", out_key="hashtag", out_count="NumberOfHashtags")
+    result = top_k(counted, [F.desc("NumberOfHashtags"), F.asc("hashtag")], k=10)
+    got = [(r.hashtag, r.NumberOfHashtags) for r in result.collect()]
+    # null/empty arrays contribute nothing (explode drops them) — the
+    # reference's semantics for hashtag-less tweets.
+    assert got == [("spark", 3), ("data", 2), ("ml", 2)]
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 20.0), (1, "c", 5.0), (2, "d", 1.0)],
+        "g: long, item: string, v: double",
+    )
+    out = top_k_per_group(df, ["g"], [F.desc("v"), F.asc("item")], k=2)
+    got = sorted((r.g, r.item) for r in out.collect())
+    assert got == [(1, "a"), (1, "b"), (2, "d")]
+
+
+def test_tokenize_drops_empties(spark):
+    df = spark.createDataFrame([("  a  b ",), ("",), (None,)], "t: string")
+    out = df.select(tokenize(F.col("t")).alias("toks")).collect()
+    assert out[0].toks == ["a", "b"]
+    assert out[1].toks == []
+    assert out[2].toks is None
+
+
+def test_ngrams_short_docs(spark):
+    df = spark.createDataFrame([("a b c",), ("a",), ("",)], "t: string")
+    out = df.select(ngrams(tokenize(F.col("t")), 2).alias("g")).collect()
+    assert out[0].g == ["a b", "b c"]
+    assert out[1].g == []
+    assert out[2].g == []
+
+
+def test_stopword_ratio_bounds(spark):
+    df = spark.createDataFrame([("the a of x",), ("xyz qrs",), ("",)], "t: string")
+    out = df.select(stopword_ratio(tokenize(F.col("t"))).alias("r")).collect()
+    assert abs(out[0].r - 0.75) < 1e-9
+    assert out[1].r == 0.0
+    assert out[2].r == 0.0
+
+
+def test_quality_score_range(spark):
+    df = spark.createDataFrame(
+        [("a reasonable document with enough words to pass the length gate ok",),
+         ("!!! ??? ###",), ("",)],
+        "t: string",
+    )
+    out = df.select(quality_score(F.col("t"), tokenize(F.col("t"))).alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in out)
+    assert out[0].q > out[1].q
+
+
+def test_language_id_picks_matching_lang(spark):
+    df = spark.createDataFrame(
+        [("the cat is on the mat",), ("le chat est dans la maison pour un",),
+         ("el perro es un animal para la casa",), ("zzz qqq",)],
+        "t: string",
+    )
+    out = df.select(language_id(tokenize(F.col("t"))).alias("l")).collect()
+    assert [r.l for r in out] == ["en", "fr", "es", "und"]
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",), ("different",)], "t: string"
+    )
+    fps = [r.fp for r in df.select(fingerprint(F.col("t")).alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+    assert len(fps[0]) == 16
+
+
+def test_simhash_near_duplicates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely unrelated text about spark query engines"),
+        ],
+        "doc_id: long, text: string",
+    )
+    sh = simhash64(df)
+    vals = {r.doc_id: r.simhash for r in sh.collect()}
+    assert vals[1] != vals[3]
+    pairs = simhash_near_pairs(sh, max_hamming=12).collect()
+    pairset = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in pairset
+    assert (1, 3) not in pairset

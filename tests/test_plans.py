@@ -1,0 +1,67 @@
+"""Physical-plan hygiene: the shapes that matter at 100 TB.
+
+`.explain()` assertions: filters reach the parquet scan (PushedFilters),
+small dims broadcast, global top-K plans TakeOrderedAndProject (not a
+full sort), and hour-partition reads prune partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tweets_spark_top_10_spark.queries import QUERIES
+from tweets_spark_top_10_spark.sources.readers import read_hour_partition
+from tweets_spark_top_10_spark.sources.writers import write_partitioned
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushed_to_scan(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("]")[0], plan
+
+
+def test_scan_schema_pruned(spark, sf_dir):
+    # ref query needs only `text`; the parquet ReadSchema must not
+    # include the other documents columns.
+    df = QUERIES["ref_top10_tokens"](spark, sf_dir)
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema, read_schema
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(QUERIES["ref_top10_tokens"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_broadcast_join_planned(spark, sf_dir):
+    plan = _plan(QUERIES["top_revenue_orders"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_anti_join_broadcast(spark, sf_dir):
+    plan = _plan(QUERIES["customers_without_big_orders"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_hour_partition_pruning(spark, tmp_path):
+    base = str(tmp_path / "hourly")
+    df = spark.range(100).select(
+        F.col("id"),
+        F.lit(2026).alias("year"),
+        F.lit(8).alias("month"),
+        F.lit(13).alias("day"),
+        (F.col("id") % 4).cast("int").alias("hour"),
+    )
+    write_partitioned(df, base, ["year", "month", "day", "hour"])
+    got = read_hour_partition(spark, base, 2026, 8, 13, 2)
+    assert got.count() == 25
+    plan = _plan(got)
+    # Partition filters present and scan restricted to 1 of 4 hour dirs.
+    assert "PartitionFilters" in plan and "hour" in plan, plan

@@ -1,0 +1,148 @@
+"""Streaming tests: file-stream replay of the events table.
+
+Strategy (SURVEY.md §5.2): re-write events as a multi-file parquet dir,
+replay it as a file stream (maxFilesPerTrigger=1 → several micro-
+batches), run the streaming query with availableNow, and compare
+against the equivalent batch computation. Append-mode windows only
+finalize once the watermark passes them, so comparisons restrict the
+batch side to windows closed by the final watermark.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tweets_spark_top_10_spark.sources.registry import SCHEMAS, load_table
+from tweets_spark_top_10_spark.streaming import (
+    dedup_stream,
+    file_stream,
+    foreach_batch_overwrite,
+    run_to_memory,
+    windowed_count,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """events re-written as 4 *chronological* parquet files.
+
+    File streams replay in modification-time order and the watermark
+    advances between micro-batches — randomly-partitioned files would
+    make the watermark jump to ~max after batch 1 and drop everything
+    else as late. Chronological chunks mirror a real tailing source.
+    """
+    import glob
+    import os
+    import shutil
+
+    base = tmp_path_factory.mktemp("events_stream")
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 4
+    bounds = [None, lo + span, lo + 2 * span, lo + 3 * span, None]
+    path = str(base / "stream")
+    os.makedirs(path, exist_ok=True)
+    for i in range(4):
+        chunk = events
+        if bounds[i] is not None:
+            chunk = chunk.filter(F.col("ts") > F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            chunk = chunk.filter(F.col("ts") <= F.lit(bounds[i + 1]))
+        tmp_out = str(base / f"chunk{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        src = glob.glob(f"{tmp_out}/part-*.parquet")[0]
+        dst = f"{path}/chunk{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return path
+
+
+@pytest.fixture(scope="module")
+def events_schema():
+    return SCHEMAS["events"]
+
+
+def _final_watermark_cutoff(spark, sf_dir, delay_secs):
+    mx = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    return mx - datetime.timedelta(seconds=delay_secs)
+
+
+def test_windowed_count_matches_batch(spark, sf_dir, events_dir, events_schema):
+    stream = file_stream(spark, events_dir, events_schema, max_files_per_trigger=1)
+    counts = windowed_count(
+        stream, "ts", ["event_type"], window="1 hour", watermark="10 minutes"
+    )
+    q = run_to_memory(counts, "win_counts")
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.table("win_counts").collect()
+    }
+    assert got, "stream emitted nothing"
+
+    cutoff = _final_watermark_cutoff(spark, sf_dir, 600)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("window.end") <= F.lit(cutoff))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+    expected = {(r.ws, r.event_type): r.n for r in batch.collect()}
+    # Every batch-finalized window must match the streamed result exactly.
+    for key, n in expected.items():
+        assert got.get(key) == n, f"window {key}: stream={got.get(key)} batch={n}"
+
+
+def test_streaming_dedup_drops_duplicates(spark, events_dir, events_schema, tmp_path):
+    # Duplicate every row: same file replayed means duplicates arrive
+    # within the watermark horizon and must be dropped.
+    dup_dir = str(tmp_path / "dup")
+    base = spark.read.schema(events_schema).parquet(events_dir)
+    base.union(base).repartition(2).write.mode("overwrite").parquet(dup_dir)
+
+    stream = file_stream(spark, dup_dir, events_schema)
+    deduped = dedup_stream(stream, ["event_id"], "ts", watermark="1 hour")
+    q = run_to_memory(deduped, "dedup_out")
+    q.awaitTermination()
+    n_out = spark.table("dedup_out").count()
+    n_unique = base.select("event_id").distinct().count()
+    assert n_out == n_unique, f"dedup kept {n_out}, expected {n_unique}"
+
+
+def test_foreach_batch_overwrite_idempotent(
+    spark, sf_dir, events_dir, events_schema, tmp_path
+):
+    out = str(tmp_path / "out")
+
+    def run(checkpoint: str):
+        stream = file_stream(spark, events_dir, events_schema)
+        counts = windowed_count(
+            stream, "ts", ["event_type"], window="1 hour", watermark="10 minutes"
+        )
+        q = foreach_batch_overwrite(
+            counts,
+            out,
+            partition_by=["event_type"],
+            checkpoint=checkpoint,
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ckpt1"))
+    first = sorted(
+        (r.window_start, r.event_type, r.n)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert first, "sink wrote nothing"
+    # Re-running the whole pipeline (fresh checkpoint) overwrites the
+    # same partitions with the same content — the idempotent replacement
+    # for the reference's ES delete-then-insert (App.java:146-157).
+    run(str(tmp_path / "ckpt2"))
+    second = sorted(
+        (r.window_start, r.event_type, r.n)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert first == second

@@ -20,6 +20,8 @@ Scale design (100 TB of documents):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -165,8 +167,6 @@ def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -
     has no clean Catalyst expression), so it is the Arrow-batched kind:
     one Python call per ~10k rows, numpy inside.
     """
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")

@@ -1,0 +1,29 @@
+"""Structured Streaming: the reference's hourly batch job, done natively.
+
+The reference implements "streaming" as an hourly cron over hour-
+partitioned HDFS dirs plus a Storm speed layer it reconciles by deleting
+ES rows (``App.java:43-63``, ``App.java:146-157``). Here the same
+semantics are one Structured Streaming query: event-time tumbling
+windows + watermark replace the dir-per-hour convention, and an
+idempotent ``foreachBatch`` overwrite-by-window replaces the
+delete-then-insert dance.
+"""
+
+from tweets_spark_top_10_spark.streaming.sources import file_stream
+from tweets_spark_top_10_spark.streaming.windows import (
+    session_agg,
+    windowed_count,
+    windowed_top_k,
+)
+from tweets_spark_top_10_spark.streaming.dedup import dedup_stream
+from tweets_spark_top_10_spark.streaming.sinks import foreach_batch_overwrite, run_to_memory
+
+__all__ = [
+    "file_stream",
+    "windowed_count",
+    "windowed_top_k",
+    "session_agg",
+    "dedup_stream",
+    "foreach_batch_overwrite",
+    "run_to_memory",
+]

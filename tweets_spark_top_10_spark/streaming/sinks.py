@@ -1,0 +1,64 @@
+"""Streaming sinks: idempotent foreachBatch overwrite + test helpers.
+
+``foreach_batch_overwrite`` is the engine's replacement for the
+reference's ES maintenance (``App.java:146-157``: delete the speed-layer
+rows for a window, then (commented-out) insert the batch rows): each
+micro-batch dynamically overwrites exactly the result partitions it
+contains. Re-running a batch rewrites the same partitions — idempotent,
+no delete window arithmetic, no month off-by-one bug (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def foreach_batch_overwrite(
+    stream: DataFrame,
+    path: str,
+    partition_by: list[str],
+    checkpoint: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """writeStream.foreachBatch → dynamic partition overwrite of parquet.
+
+    ``transform`` runs per micro-batch on the driver-side plan (e.g. the
+    per-window top-K ranking that can't run inside the stream).
+    """
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        out = transform(batch) if transform is not None else batch
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+
+    writer = stream.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_to_memory(
+    stream: DataFrame,
+    name: str,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Drain a (bounded) stream into an in-memory table and return the
+    query; callers awaitTermination then read ``spark.table(name)``.
+    Test-only: memory sink collects to the driver."""
+    return (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
