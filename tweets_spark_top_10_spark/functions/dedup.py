@@ -121,7 +121,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    num_hash_tables: int = 8,
+    num_hash_tables: int = 4,
     num_features: int = 1 << 18,
     jaccard_threshold: float = 0.2,
     seed: int = 42,

@@ -216,4 +216,4 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("minhash_lsh_candidates", oracle=None)  # LSH banding — rows-only gate
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.1)
+    return minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.3)
