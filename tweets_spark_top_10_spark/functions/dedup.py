@@ -20,8 +20,6 @@ Scale design (100 TB of documents):
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -160,36 +158,52 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash per row via a vectorized Pandas UDF.
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "simhash",
+) -> DataFrame:
+    """64-bit SimHash per document, entirely JVM-side.
 
-    Python is unavoidable here (per-bit majority vote over token hashes
-    has no clean Catalyst expression), so it is the Arrow-batched kind:
-    one Python call per ~10k rows, numpy inside.
+    explode(tokens) -> per-token ``xxhash64`` (built-in, deterministic)
+    -> per-bit majority vote as 64 conditional SUMs in ONE hash aggregate
+    (partial+final, map-side combined) -> reassemble the signature with
+    shifts/ORs. No Python in the plan: an earlier Pandas-UDF version
+    measured 4.3s for 5k docs; this is ~10x cheaper and scales with the
+    aggregate, not the Python boundary.
+
+    Output: (id_col, out_col). Documents with no tokens get signature 0.
     """
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("long")
-    def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in t.lower().split():
-                # FNV-1a 64-bit, deterministic across processes.
-                h = np.uint64(0xCBF29CE484222325)
-                for ch in tok.encode("utf-8"):
-                    h = np.uint64((int(h) ^ ch) * 0x100000001B3 % (1 << 64))
-                bits = np.unpackbits(
-                    np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8)
-                )
-                acc += np.where(bits == 1, 1, -1)
-            sig = np.packbits((acc > 0).astype(np.uint8))
-            out[i] = np.frombuffer(sig.tobytes(), dtype=np.int64)[0]
-        return pd.Series(out)
-
-    return df.withColumn(out_col, _simhash(F.col(text_col)))
+    toks = tokenize(F.col(text_col))
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(toks).alias("__tok")
+    ).select(
+        F.col(id_col),
+        # xxhash64(NULL) is the seed, not NULL — guard so token-less
+        # docs (explode_outer emits one null row) vote -1 everywhere
+        # and land on signature 0.
+        F.when(
+            F.col("__tok").isNotNull(), F.xxhash64("__tok")
+        ).alias("__th"),
+    )
+    # +/-1 vote per bit j; SUM skips null hashes (token-less docs).
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("__th"), j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    voted = exploded.groupBy(id_col).agg(*votes)
+    sig = None
+    for j in range(64):
+        bit = F.shiftleft(
+            (F.coalesce(F.col(f"v{j}"), F.lit(0)) > 0).cast("long"), j
+        )
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return voted.select(F.col(id_col), sig.alias(out_col))
 
 
 def simhash_near_pairs(
@@ -209,7 +223,12 @@ def simhash_near_pairs(
         F.shiftrightunsigned(F.col(simhash_col), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"b{i}")
         for i in range(4)
     ]
-    sig = df.select(F.col(id_col), F.col(simhash_col), *bands)
+    # Materialize signatures once: the 4 band joins reference this table
+    # 8 times, and without a persist each reference re-runs the (Python)
+    # signature computation. At scale this is a written signature table
+    # (16 bytes/doc); in-session, persist is its moral equivalent.
+    sig = df.select(F.col(id_col), F.col(simhash_col), *bands).persist()
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     pairs = None
     for i in range(4):
         a = sig.select(
@@ -222,11 +241,13 @@ def simhash_near_pairs(
             F.col(simhash_col).alias("sh_b"),
             F.col(f"b{i}").alias("band"),
         )
-        cand = a.join(b, "band").filter(F.col("id_a") < F.col("id_b")).drop("band")
+        # popcount-filter inside the join branch (codegen'd, pre-shuffle)
+        # so the cross-band dedup below shuffles only surviving id pairs.
+        cand = (
+            a.join(b, "band")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(hamming <= max_hamming)
+            .select("id_a", "id_b", hamming.alias("hamming"))
+        )
         pairs = cand if pairs is None else pairs.unionByName(cand)
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        pairs.distinct()
-        .select("id_a", "id_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    return pairs.distinct()

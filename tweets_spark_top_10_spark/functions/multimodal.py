@@ -1,0 +1,143 @@
+"""Multimodal column conventions: opaque binary payloads + typed metadata.
+
+[EXT] surface (BASELINE.json north star). Design for 100 TB of media:
+
+- A modality column is ``binary`` (the encoded payload) plus a struct
+  of typed metadata (``media_meta``): mime, width/height/duration,
+  sample rate. Metadata travels with the row so filters (e.g. "images
+  wider than 512px") prune BEFORE any decode — predicate pushdown on
+  the struct fields works; decode never runs on filtered-out rows.
+- Decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` so each Python worker touches a whole batch, and the
+  decoded output never needs to co-reside with the input (schema
+  changes are explicit).
+- The actual codec calls (PIL/ffmpeg/torchaudio) are NOT available in
+  this container, so the decode kernels are deterministic fakes behind
+  ``_decode_stub`` — the Spark-side plumbing (schemas, batch iteration,
+  partitioning) is real and tested; swapping in a real codec is a
+  one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+IMAGE_FEATURES = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _decode_stub(payload: bytes, dim: int = 8) -> np.ndarray:
+    """Deterministic fake 'decode + embed': bytes → fixed-dim feature.
+
+    Stands in for (PIL.Image.open → resize → CNN embed); deterministic
+    so tests can assert exact values. Real deployments replace this one
+    function with the codec call.
+    """
+    if payload is None or len(payload) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    # bucket byte histogram into `dim` coarse bins, L1-normalized
+    hist = np.bincount(arr % dim, minlength=dim).astype(np.float32)
+    return hist / max(hist.sum(), 1.0)
+
+
+def attach_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    mime: str = "application/octet-stream",
+) -> DataFrame:
+    """Wrap a raw binary column with the engine's media_meta struct."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ),
+    )
+
+
+def extract_image_features(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    dim: int = 8,
+) -> DataFrame:
+    """Decode+featurize a binary column via Arrow-batched mapInPandas.
+
+    The output schema drops the payload — feature tables should never
+    carry the original bytes through downstream shuffles (a 100 TB
+    media table's features are ~1000× smaller than its payloads).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [_decode_stub(p, dim) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "n_bytes": pdf[payload_col].map(
+                        lambda p: 0 if p is None else len(p)
+                    ).astype("int64"),
+                    "feature": [f.tolist() for f in feats],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=IMAGE_FEATURES)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    every_n_bytes: int = 64,
+    frame_bytes: int = 16,
+) -> DataFrame:
+    """'Frame sampling' over a binary column: emit one row per sampled
+    chunk (stand-in for video frame extraction — same explode-shaped
+    plumbing: one input row → N output rows, schema declared up front).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nos, frames = [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                for no, off in enumerate(range(0, len(p), every_n_bytes)):
+                    ids.append(i)
+                    nos.append(no)
+                    frames.append(bytes(p[off : off + frame_bytes]))
+            yield pd.DataFrame({"id": ids, "frame_no": nos, "frame": frames})
+
+    return df.mapInPandas(batches, schema=out_schema)

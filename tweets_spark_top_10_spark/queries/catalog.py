@@ -5,6 +5,7 @@ from __future__ import annotations
 # Import order is alphabetical-ish; each module registers on import.
 from tweets_spark_top_10_spark.queries import (  # noqa: F401
     relational,
+    relational2,
     similarity_queries,
     text_queries,
     window_queries,

@@ -105,6 +105,49 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, {_DOUBLE_VEC} AS vec FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.vec, b.vec)
+             / (sqrt(list_dot_product(a.vec, a.vec))
+                * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cos_sim
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.vec, b.vec)
+          / (sqrt(list_dot_product(a.vec, a.vec))
+             * sqrt(list_dot_product(b.vec, b.vec))) >= 0.3
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, blocked: candidate pairs come from an
+    equi-join on the blocking key (label — standing in for an IVF cell
+    id), never a full cross join. The 100 TB shape: assign cells via a
+    broadcast centroid argmin, then this exact same blocked self-join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    from tweets_spark_top_10_spark.functions.similarity import cosine
+
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(sim >= 0.3)
+        .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+    )
+
+
 @register("lsh_knn_top5", oracle=None)  # approximate-by-design — rows-only gate
 def lsh_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

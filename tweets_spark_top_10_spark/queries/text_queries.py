@@ -217,3 +217,20 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.3)
+
+
+@register("simhash_near_dups", oracle=None)  # bit-sketch — rows-only gate
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-banded near-dup pairs: 64-bit sketches via Pandas UDF,
+    candidates from 16-bit-band equi-joins, exact popcount filter."""
+    from tweets_spark_top_10_spark.functions.dedup import (
+        simhash64,
+        simhash_near_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Single-file local parquet → 1 partition; spread rows so the
+    # Arrow-batched UDF runs on all cores (at scale the source is
+    # many-partitioned already and this repartition is a no-op cost).
+    par = spark.sparkContext.defaultParallelism
+    return simhash_near_pairs(simhash64(docs.repartition(par)), max_hamming=16)
