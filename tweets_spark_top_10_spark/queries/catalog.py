@@ -6,6 +6,7 @@ from __future__ import annotations
 from tweets_spark_top_10_spark.queries import (  # noqa: F401
     relational,
     relational2,
+    relational3,
     similarity_queries,
     text_queries,
     window_queries,

@@ -1,0 +1,292 @@
+"""Third batch of relational coverage: outer-join surface, range join,
+as-of join, lag/lead, pivot, grouping sets, exact percentiles, ordered
+list aggregation.
+
+The reference implements none of these (its whole dataflow is
+explode→count→top-10, ``App.java:92-134``); they are part of the [EXT]
+capability envelope in SURVEY.md §2.2.  Scale notes per query:
+
+- Outer joins ride Spark's sort-merge join; the dimension sides here are
+  tiny aggregates so AQE converts them to broadcast joins at runtime.
+- The range join broadcasts a literal bucket dim — O(rows × buckets)
+  with no shuffle of the fact side.
+- The as-of join deliberately avoids the naive
+  ``join on key + filter + row_number`` (which explodes to an O(n·m)
+  intermediate per key); it is the union + ordered-window formulation:
+  one shuffle on the key, one sort, O(n+m) rows total.  This is the
+  standard scalable as-of (cf. pandas merge_asof semantics, financial
+  trades/quotes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tweets_spark_top_10_spark.queries.registry import register
+from tweets_spark_top_10_spark.sources.registry import load_table
+
+
+@register(
+    "nation_activity_full_outer",
+    oracle="""
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           c.n_cust, s.n_supp
+    FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+          FROM customer WHERE c_mktsegment = 'BUILDING'
+          GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+          FROM supplier WHERE s_acctbal > 8000
+          GROUP BY 1) s
+    ON c.nationkey = s.nationkey
+    """,
+)
+def nation_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two filtered per-nation aggregates (either side
+    may be missing a nation → NULL counts survive)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cust.join(supp, "nationkey", "full_outer").select(
+        "nationkey", "n_cust", "n_supp"
+    )
+
+
+@register(
+    "customer_order_counts_right",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def customer_order_counts_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join: order counts per customer *including* customers
+    with zero orders (COUNT of a NULL column → 0)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "quantity_bucket_ranges",
+    oracle="""
+    SELECT b.bucket, COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 4) AS revenue
+    FROM lineitem l
+    JOIN (VALUES (0.0, 10.0, 'q00_10'), (10.0, 20.0, 'q10_20'),
+                 (20.0, 30.0, 'q20_30'), (30.0, 40.0, 'q30_40'),
+                 (40.0, 60.0, 'q40_60')) AS b(lo, hi, bucket)
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.bucket
+    """,
+)
+def quantity_bucket_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join of the fact table into a literal bucket
+    dimension.  The dim is broadcast, so the fact side never shuffles for
+    the join — the only shuffle is the final 5-group aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    buckets = spark.createDataFrame(
+        [
+            (0.0, 10.0, "q00_10"),
+            (10.0, 20.0, "q10_20"),
+            (20.0, 30.0, "q20_30"),
+            (30.0, 40.0, "q30_40"),
+            (40.0, 60.0, "q40_60"),
+        ],
+        "lo double, hi double, bucket string",
+    )
+    return (
+        li.join(
+            F.broadcast(buckets),
+            (li.l_quantity >= buckets.lo) & (li.l_quantity < buckets.hi),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "purchase_last_view_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def purchase_last_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the most recent view by the same
+    user at-or-before the purchase timestamp (NULL if none).
+
+    Scalable formulation: tag both streams, UNION, one window sorted by
+    (ts, side) per user, then ``last(view_ts, ignorenulls)`` carries the
+    latest view forward.  O(n+m) rows, single shuffle on user_id — never
+    materializes the per-key cross product.
+    """
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("view_ts"),
+        F.lit(0).alias("is_query"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp").alias("view_ts"),
+        F.lit(1).alias("is_query"),
+    )
+    # At equal ts the view sorts first (is_query asc), so "at-or-before"
+    # includes same-instant views — matching ASOF's >= semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_query")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        views.unionByName(purchases)
+        .withColumn("last_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_query") == 1)
+        .select("event_id", "user_id", "ts", "last_view_ts")
+    )
+
+
+@register(
+    "event_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           LAG(ts) OVER w AS prev_ts,
+           ROUND(LEAD(value) OVER w, 6) AS next_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def event_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over per-user event-time order (deterministic tie-break
+    on event_id)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.round(F.lead("value").over(w), 6).alias("next_value"),
+    )
+
+
+@register(
+    "priority_status_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide counts per status).  Pivot values are listed
+    explicitly — at scale an unlisted pivot forces an extra distinct-scan
+    job to discover them."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+@register(
+    "status_priority_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def status_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )
+
+
+@register(
+    "quantity_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.90), 6) AS price_p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``).  At 100 TB swap to ``approx_percentile`` —
+    t-digest sketch, no global sort — which has no cross-engine oracle;
+    the exact form is the correctness anchor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.90)"), 6).alias("price_p90"),
+    )
+
+
+@register(
+    "customer_priority_lists",
+    oracle="""
+    SELECT o_custkey, list_sort(list(o_orderpriority)) AS priorities,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def customer_priority_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list + sort_array: multiset aggregation with deterministic
+    order (collect_list alone is partition-order-nondeterministic —
+    never compare it unsorted)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderpriority")).alias("priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
