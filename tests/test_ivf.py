@@ -1,0 +1,43 @@
+"""IVF ANN: determinism + recall against the exact brute-force baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tweets_spark_top_10_spark.functions.similarity import brute_force_knn, ivf_knn
+from tweets_spark_top_10_spark.sources.registry import load_table
+
+
+def _split(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    return q, c
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    q, c = _split(spark, sf_dir)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_knn(q, c, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_knn(q, c, k=5, n_cells=16, n_probe=4).collect()
+    }
+    assert len(approx) > 0
+    recall = len(exact & approx) / len(exact)
+    # probing 4/16 cells: recall well below 1.0 is expected, but the
+    # quantizer must not be useless
+    assert recall >= 0.3, f"IVF recall collapsed: {recall:.2f}"
+
+
+def test_ivf_deterministic(spark, sf_dir):
+    q, c = _split(spark, sf_dir)
+    a = sorted(map(tuple, ivf_knn(q, c, k=5).collect()))
+    b = sorted(map(tuple, ivf_knn(q, c, k=5).collect()))
+    assert a == b

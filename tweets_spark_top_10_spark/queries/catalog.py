@@ -4,6 +4,7 @@ from __future__ import annotations
 
 # Import order is alphabetical-ish; each module registers on import.
 from tweets_spark_top_10_spark.queries import (  # noqa: F401
+    multimodal_queries,
     relational,
     relational2,
     relational3,

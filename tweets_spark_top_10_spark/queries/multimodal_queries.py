@@ -1,0 +1,67 @@
+"""Multimodal-column queries over the documents fixture.
+
+The fixtures carry no real media, so each query synthesizes the binary
+payload column as ``encode(text, 'utf-8')`` — an honest stand-in: the
+payload is opaque bytes to everything downstream, and the mapInPandas
+plumbing (schemas, Arrow batches, explode-shaped frame output) is
+exactly what a real image/video column uses.  The decode kernel itself
+is the deterministic stub in ``functions/multimodal.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tweets_spark_top_10_spark.functions.multimodal import (
+    attach_meta,
+    extract_image_features,
+    frame_sample,
+)
+from tweets_spark_top_10_spark.queries.registry import register
+from tweets_spark_top_10_spark.sources.registry import load_table
+
+
+def _with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+@register(
+    "media_frame_counts",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(CEIL(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    WHERE octet_length(encode(text)) > 0
+    """,
+)
+def media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample a binary column (1 row per 64-byte chunk via
+    mapInPandas), then count frames per id.  The oracle recomputes the
+    chunk count arithmetically — so the Arrow batch plumbing itself is
+    under the correctness gate, not just the kernel."""
+    payloads = _with_payload(spark, sf_dir)
+    frames = frame_sample(payloads, every_n_bytes=64, frame_bytes=16)
+    sizes = payloads.select(
+        "id", F.octet_length("payload").cast("long").alias("n_bytes")
+    )
+    return (
+        frames.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+        .join(sizes, "id")
+        .select("id", "n_frames", "n_bytes")
+    )
+
+
+@register("media_image_features", oracle=None)  # stub decode kernel — rows-only gate
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode+featurize binary payloads (deterministic stub for the
+    codec+embed step) through Arrow-batched mapInPandas; output drops the
+    payload so downstream shuffles move features, not media bytes."""
+    payloads = attach_meta(_with_payload(spark, sf_dir), mime="text/plain")
+    return extract_image_features(payloads, dim=8)

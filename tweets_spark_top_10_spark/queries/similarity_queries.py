@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from tweets_spark_top_10_spark.functions.similarity import (
     brute_force_knn,
+    ivf_knn,
     l2_norm,
     lsh_knn,
 )
@@ -146,6 +147,72 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(sim >= 0.3)
         .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
     )
+
+
+_COS = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), {d})"
+)
+
+
+@register(
+    "ivf_knn_top5",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {_DOUBLE_VEC} AS vec FROM embeddings
+    ), cand AS (
+      SELECT vec_id AS neighbor_id, vec FROM v WHERE vec_id >= 10
+    ), q AS (
+      SELECT vec_id AS query_id, vec FROM v WHERE vec_id < 10
+    ), cents AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY neighbor_id ASC) AS INT) AS cell_id,
+             vec AS centroid
+      FROM cand WHERE neighbor_id % 97 = 0
+      QUALIFY cell_id <= 16
+    ), cand_cells AS (
+      SELECT neighbor_id, vec, cell_id FROM (
+        SELECT c.neighbor_id, c.vec, ct.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.neighbor_id
+                 ORDER BY {_COS.format(a='c.vec', b='ct.centroid', d=9)} DESC,
+                          ct.cell_id ASC) AS r
+        FROM cand c CROSS JOIN cents ct
+      ) WHERE r <= 1
+    ), query_cells AS (
+      SELECT query_id, vec, cell_id FROM (
+        SELECT q.query_id, q.vec, ct.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_COS.format(a='q.vec', b='ct.centroid', d=9)} DESC,
+                          ct.cell_id ASC) AS r
+        FROM q CROSS JOIN cents ct
+      ) WHERE r <= 4
+    ), scored AS (
+      SELECT qc.query_id, cc.neighbor_id,
+             {_COS.format(a='qc.vec', b='cc.vec', d=6)} AS cos_sim
+      FROM cand_cells cc JOIN query_cells qc ON cc.cell_id = qc.cell_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+      ) AS BIGINT) AS rank
+      FROM scored
+    ) t WHERE rank <= 5
+    """,
+)
+def ivf_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (deterministic coarse quantizer + n_probe=4 +
+    exact rerank).  Unusually for an ANN op, every stage is
+    deterministic, so it carries a full value oracle rather than the
+    weaker rows-only gate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    return ivf_knn(queries, cands, k=5, n_cells=16, n_probe=4)
 
 
 @register("lsh_knn_top5", oracle=None)  # approximate-by-design — rows-only gate
