@@ -146,3 +146,63 @@ def test_foreach_batch_overwrite_idempotent(
         for r in spark.read.parquet(out).collect()
     )
     assert first == second
+
+
+def test_stateful_sessionization_matches_batch(spark, sf_dir, events_dir, events_schema):
+    """applyInPandasWithState sessions == batch lag-gap sessions.
+
+    Closed-session semantics: every batch session that ends more than
+    (gap + watermark-delay) before the max event time MUST be emitted by
+    the stream; everything the stream emits must be a real batch session.
+    """
+    import datetime
+
+    from pyspark.sql import Window
+    from tweets_spark_top_10_spark.streaming import sessionize_with_state
+
+    gap_s, wm_s = 7200, 600
+    stream = file_stream(spark, events_dir, events_schema, max_files_per_trigger=1)
+    sessions = sessionize_with_state(
+        stream, "ts", "user_id", gap_seconds=gap_s, watermark="10 minutes"
+    )
+    q = run_to_memory(sessions, "state_sessions")
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("state_sessions").collect()
+    }
+    assert got, "stateful stream emitted nothing"
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    batch = (
+        events.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros("prev_ts")
+                    > gap_s * 1_000_000
+                )
+            ).cast("int"),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    all_sessions = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch.collect()
+    }
+    mx = events.agg(F.max("ts")).collect()[0][0]
+    cutoff = mx - datetime.timedelta(seconds=gap_s + wm_s)
+    must_emit = {s for s in all_sessions if s[2] < cutoff}
+
+    assert got <= all_sessions, f"phantom sessions: {sorted(got - all_sessions)[:3]}"
+    missing = must_emit - got
+    assert not missing, f"{len(missing)} closed sessions never emitted: {sorted(missing)[:3]}"
