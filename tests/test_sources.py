@@ -1,0 +1,67 @@
+"""Source/sink coverage: format roundtrips, the reference's CSV sink,
+and graceful degradation when spark-avro is absent from the classpath."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from tweets_spark_top_10_spark.sources.readers import read_batch
+from tweets_spark_top_10_spark.sources.registry import SCHEMAS, load_table
+from tweets_spark_top_10_spark.sources.writers import write_csv_top_k
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_csv")
+    nation.write.mode("overwrite").option("header", "true").csv(out)
+    back = read_batch(spark, out, fmt="csv", schema=SCHEMAS["nation"])
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    region = load_table(spark, sf_dir, "region")
+    out = str(tmp_path / "region_json")
+    region.write.mode("overwrite").json(out)
+    back = read_batch(spark, out, fmt="json", schema=SCHEMAS["region"])
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, region.collect()))
+
+
+def test_write_csv_top_k_single_headered_file(spark, sf_dir, tmp_path):
+    """The reference's sink shape: top-10 rows, one CSV file, header
+    (App.java:133-134)."""
+    out = str(tmp_path / "top10")
+    df = (
+        load_table(spark, sf_dir, "customer")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .select("c_custkey", "c_acctbal")
+    )
+    write_csv_top_k(df, out, k=10)
+    files = glob.glob(f"{out}/part-*.csv")
+    assert len(files) == 1, files
+    lines = open(files[0]).read().strip().splitlines()
+    assert lines[0] == "c_custkey,c_acctbal"
+    assert len(lines) == 11  # header + 10 rows
+
+
+def test_avro_unavailable_is_loud_not_silent(spark, sf_dir, tmp_path):
+    """Without the spark-avro package the engine must fail with a clear
+    packaging error (DATA_SOURCE_NOT_FOUND), never return wrong data.
+    If the jar IS present, the roundtrip must work."""
+    nation = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_avro")
+    try:
+        nation.write.mode("overwrite").format("avro").save(out)
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        assert "avro" in msg.lower(), msg
+        pytest.skip("spark-avro not on classpath (expected in this container)")
+    back = read_batch(spark, out, fmt="avro")
+    assert back.count() == nation.count()
+
+
+def test_unknown_format_rejected(spark):
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_batch(spark, "/nonexistent", fmt="xml")
