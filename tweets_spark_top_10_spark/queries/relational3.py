@@ -83,6 +83,32 @@ def customer_order_counts_right(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "part_lineitem_left",
+    oracle="""
+    SELECT p_partkey, COUNT(l_orderkey) AS n_lines,
+           ROUND(COALESCE(SUM(l_extendedprice), 0.0), 4) AS revenue
+    FROM part LEFT JOIN lineitem ON l_partkey = p_partkey
+    GROUP BY p_partkey
+    """,
+)
+def part_lineitem_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join: per-part lineitem stats keeping never-ordered
+    parts (NULL-side aggregates collapse to 0)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, li.l_partkey == part.p_partkey, "left")
+        .groupBy("p_partkey")
+        .agg(
+            F.count("l_orderkey").alias("n_lines"),
+            F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)), 4).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
     "quantity_bucket_ranges",
     oracle="""
     SELECT b.bucket, COUNT(*) AS n,
