@@ -10,6 +10,7 @@ from tweets_spark_top_10_spark.queries import (  # noqa: F401
     relational3,
     similarity_queries,
     text_queries,
+    udf_queries,
     window_queries,
 )
 from tweets_spark_top_10_spark.queries.registry import ORACLE, QUERIES

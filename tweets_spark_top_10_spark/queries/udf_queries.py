@@ -1,0 +1,172 @@
+"""Python-execution surface: pandas grouped-map, pandas grouped-agg
+(UDAF), Python UDTF, and the skew-salting pattern.
+
+Each query exists to put one Python-boundary (or skew) mechanism under
+the oracle gate; the JVM-side twin queries elsewhere in the catalog are
+the fast path.  Scale notes:
+
+- pandas paths move Arrow batches — fine when the *per-group* data fits
+  an executor (grouped-map materializes one group per call).
+- The UDTF runs row-at-a-time per input row but yields many rows;
+  at scale prefer ``explode(split(...))`` (JVM) — the UDTF form is for
+  logic Catalyst can't express.
+- Salting splits a hot grouping key across ``n_salt`` partial groups,
+  then re-aggregates: identical result, bounded per-task state.  AQE
+  handles skewed *joins*; skewed *aggregations* still need this.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tweets_spark_top_10_spark.functions.text import tokenize
+from tweets_spark_top_10_spark.queries.registry import register
+from tweets_spark_top_10_spark.sources.registry import load_table
+
+
+@register(
+    "salted_token_count_top20",
+    oracle=r"""
+    SELECT token, COUNT(*) AS n FROM (
+      SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents
+    ) t
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 20
+    """,
+)
+def salted_token_count_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation of a skewed key (hot tokens).
+
+    Phase 1 groups by (token, salt) — the hot key's rows spread over 16
+    partial groups; phase 2 sums partials by token.  Result is identical
+    to the direct groupBy (the oracle IS the direct form); the plan
+    bounds any single task's state at ~1/16 of the hot key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+    salted = toks.withColumn(
+        "salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(16))
+    )
+    partial = salted.groupBy("token", "salt").agg(F.count(F.lit(1)).alias("pn"))
+    return (
+        partial.groupBy("token")
+        .agg(F.sum("pn").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "label_centroids_pandas",
+    oracle="""
+    WITH expanded AS (
+      SELECT label,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val,
+             unnest(range(0, len(embedding))) AS pos
+      FROM embeddings
+    )
+    SELECT label, CAST(pos AS BIGINT) AS pos, ROUND(AVG(val), 6) AS avg_val
+    FROM expanded
+    GROUP BY label, pos
+    """,
+)
+def label_centroids_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid via ``applyInPandas`` grouped-map (numpy mean
+    over the whole group's matrix) — same oracle as the JVM-side
+    ``label_centroids``, proving the Arrow grouped-map path end-to-end."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        mean = np.round(mat.mean(axis=0), 6)
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "pos": np.arange(mat.shape[1], dtype=np.int64),
+                "avg_val": mean,
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        centroid, schema="label int, pos long, avg_val double"
+    )
+
+
+@register(
+    "event_value_udaf",
+    oracle="""
+    SELECT event_type,
+           ROUND(AVG(value), 6) AS mean_value,
+           ROUND(STDDEV_SAMP(value), 6) AS sd_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_value_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas grouped-agg UDAF (vectorized UDAF surface): per-type mean
+    and sample stddev computed in pandas, matching the SQL aggregates."""
+
+    @F.pandas_udf("double")
+    def mean_udaf(v: pd.Series) -> float:
+        return float(v.mean())
+
+    @F.pandas_udf("double")
+    def sd_udaf(v: pd.Series) -> float:
+        return float(v.std(ddof=1))
+
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(mean_udaf("value"), 6).alias("mean_value"),
+        F.round(sd_udaf("value"), 6).alias("sd_value"),
+    )
+
+
+@register(
+    "doc_sentences_udtf",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, '. '), s -> s <> ''))
+                AS BIGINT) AS n_sentences
+    FROM documents
+    WHERE text IS NOT NULL
+      AND len(list_filter(string_split(text, '. '), s -> s <> '')) > 0
+    """,
+)
+def doc_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): one row per sentence, then
+    re-aggregated to per-doc counts the oracle can recompute
+    arithmetically.  The UDTF is the escape hatch for one-to-many logic
+    Catalyst can't express; for plain splitting, explode(split()) is
+    the fast path."""
+
+    @F.udtf(returnType="doc_id bigint, sentence_no int, sentence string")
+    class SentenceSplit:
+        def eval(self, doc_id: int, text: str) -> Iterator[tuple]:
+            if text is None:
+                return
+            no = 0
+            for raw in text.split(". "):
+                if raw:
+                    yield doc_id, no, raw
+                    no += 1
+
+    docs = load_table(spark, sf_dir, "documents")
+    # lateral-join the UDTF output per document row
+    docs.createOrReplaceTempView("__docs_udtf_in")
+    spark.udtf.register("sentence_split", SentenceSplit)
+    out = spark.sql(
+        """
+        SELECT s.doc_id, s.sentence_no, s.sentence
+        FROM __docs_udtf_in d,
+             LATERAL sentence_split(d.doc_id, d.text) s
+        """
+    )
+    return out.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sentences"))
