@@ -206,3 +206,52 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir, events_dir, events
     assert got <= all_sessions, f"phantom sessions: {sorted(got - all_sessions)[:3]}"
     missing = must_emit - got
     assert not missing, f"{len(missing)} closed sessions never emitted: {sorted(missing)[:3]}"
+
+
+def test_streaming_top_k_matches_batch(spark, sf_dir, events_dir, events_schema, tmp_path):
+    """The reference query, streaming: windowed counts -> per-window
+    top-3 ranked in the foreachBatch sink -> partition-overwritten
+    parquet. Finalized windows must equal the batch top-3 exactly."""
+    from tweets_spark_top_10_spark.streaming import windowed_top_k
+    from tweets_spark_top_10_spark.streaming.sinks import foreach_batch_top_k
+
+    out = str(tmp_path / "topk_out")
+    stream = file_stream(spark, events_dir, events_schema, max_files_per_trigger=1)
+    counts = windowed_top_k(
+        stream, "ts", "event_type", window="1 hour", watermark="10 minutes"
+    )
+    q = foreach_batch_top_k(
+        counts, out, checkpoint=str(tmp_path / "ckpt"), key="event_type", k=3
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got, "top-k sink wrote nothing"
+    per_window = {}
+    for (ws, et), n in got.items():
+        per_window.setdefault(ws, []).append((n, et))
+    assert all(len(v) <= 3 for v in per_window.values())
+
+    cutoff = _final_watermark_cutoff(spark, sf_dir, 600)
+    from pyspark.sql import Window as W
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("window.end") <= F.lit(cutoff))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("ws").orderBy(F.desc("n"), F.asc("event_type"))
+            ),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+    expected = {(r.ws, r.event_type): r.n for r in batch.collect()}
+    for key, n in expected.items():
+        assert got.get(key) == n, f"{key}: stream={got.get(key)} batch={n}"

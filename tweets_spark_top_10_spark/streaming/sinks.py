@@ -47,6 +47,45 @@ def foreach_batch_overwrite(
     return writer.start()
 
 
+def foreach_batch_top_k(
+    windowed_counts: DataFrame,
+    path: str,
+    checkpoint: str,
+    key: str,
+    k: int = 10,
+    count_col: str = "n",
+) -> StreamingQuery:
+    """The streaming reference query's sink: per finalized window, keep
+    the top-K keys by count and overwrite that window's result partition.
+
+    Ranking runs in the micro-batch (append mode delivers each window
+    exactly once, after the watermark closes it), so state stays the
+    incremental windowed count — Spark needs no sorted/update-mode
+    output support.  This is `App.java:99+134`'s orderBy+limit applied
+    per hour-window, continuously.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    def rank(batch: DataFrame) -> DataFrame:
+        w = W.partitionBy("window_start").orderBy(
+            F.desc(count_col), F.asc(key)
+        )
+        return (
+            batch.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .drop("rank")
+        )
+
+    return foreach_batch_overwrite(
+        windowed_counts,
+        path,
+        partition_by=["window_start"],
+        checkpoint=checkpoint,
+        transform=rank,
+    )
+
+
 def run_to_memory(
     stream: DataFrame,
     name: str,

@@ -60,7 +60,7 @@ def windowed_top_k(
     ``foreachBatch`` + :func:`tweets_spark_top_10_spark.operators.topk.
     top_k_per_group` — ranking inside the stream would need update-mode
     sorting Spark doesn't support. This returns the windowed counts;
-    the K is applied by the caller's sink (see sinks.run_top_k_csv).
+    the K is applied by the caller's sink (see sinks.foreach_batch_top_k).
     """
     return windowed_count(stream, ts_col, [key], window=window, watermark=watermark)
 
