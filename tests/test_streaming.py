@@ -255,3 +255,45 @@ def test_streaming_top_k_matches_batch(spark, sf_dir, events_dir, events_schema,
     expected = {(r.ws, r.event_type): r.n for r in batch.collect()}
     for key, n in expected.items():
         assert got.get(key) == n, f"{key}: stream={got.get(key)} batch={n}"
+
+
+def test_session_window_matches_batch(spark, sf_dir, events_dir, events_schema):
+    """Built-in session_window streaming == the same session_window agg
+    run as a batch query, for sessions closed by the final watermark."""
+    import datetime
+
+    from tweets_spark_top_10_spark.streaming import session_agg
+
+    stream = file_stream(spark, events_dir, events_schema, max_files_per_trigger=1)
+    sessions = session_agg(stream, "ts", "user_id", gap="2 hours", watermark="10 minutes")
+    q = run_to_memory(sessions, "sw_sessions")
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.session_value)
+        for r in spark.table("sw_sessions").collect()
+    }
+    assert got, "session stream emitted nothing"
+
+    events = load_table(spark, sf_dir, "events")
+    batch = (
+        events.groupBy(F.session_window("ts", "2 hours"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    mx = events.agg(F.max("ts")).collect()[0][0]
+    cutoff = mx - datetime.timedelta(seconds=600)
+    for r in batch.collect():
+        if r.session_end <= cutoff:
+            assert got.get((r.user_id, r.session_start)) == (
+                r.n_events,
+                r.session_value,
+            ), f"user {r.user_id} @ {r.session_start}"

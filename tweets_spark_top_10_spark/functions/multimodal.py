@@ -109,6 +109,52 @@ def extract_image_features(
     return df.mapInPandas(batches, schema=IMAGE_FEATURES)
 
 
+def resize_media(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    factor: int = 4,
+) -> DataFrame:
+    """'Resize' a binary column: deterministic 1-in-``factor`` byte
+    downsample (stand-in for PIL resize / ffmpeg scale — same contract:
+    payload in, smaller payload + updated meta out, Arrow-batched).
+
+    Output keeps the media_meta convention: new payload plus original
+    and resized byte sizes so downstream filters can prune on size
+    without touching bytes.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("orig_bytes", T.LongType()),
+            T.StructField("resized_bytes", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, orig, resized = [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    p = b""
+                small = bytes(p[::factor])
+                ids.append(i)
+                payloads.append(small)
+                orig.append(len(p))
+                resized.append(len(small))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "payload": payloads,
+                    "orig_bytes": orig,
+                    "resized_bytes": resized,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def frame_sample(
     df: DataFrame,
     id_col: str = "id",

@@ -17,6 +17,7 @@ from tweets_spark_top_10_spark.functions.multimodal import (
     attach_meta,
     extract_image_features,
     frame_sample,
+    resize_media,
 )
 from tweets_spark_top_10_spark.queries.registry import register
 from tweets_spark_top_10_spark.sources.registry import load_table
@@ -55,6 +56,25 @@ def media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_frames"))
         .join(sizes, "id")
         .select("id", "n_frames", "n_bytes")
+    )
+
+
+@register(
+    "media_resize_stats",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+           CAST(CEIL(octet_length(encode(text)) / 4.0) AS BIGINT) AS resized_bytes
+    FROM documents
+    """,
+)
+def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize kernel (1-in-4 byte downsample stub) through mapInPandas;
+    the oracle recomputes both sizes arithmetically, gating the batch
+    plumbing and the size bookkeeping."""
+    payloads = _with_payload(spark, sf_dir)
+    return resize_media(payloads, factor=4).select(
+        "id", "orig_bytes", "resized_bytes"
     )
 
 
