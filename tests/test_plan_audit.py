@@ -1,0 +1,39 @@
+"""Catalog-wide physical-plan audit.
+
+Two invariants every query must satisfy (SURVEY.md §4 / the 100 TB
+design rules):
+
+1. No row-at-a-time Python UDFs anywhere (``BatchEvalPython``): Python
+   is allowed only through Arrow surfaces (``ArrowEvalPython``,
+   ``MapInPandas``, ``FlatMapGroupsInPandas``, UDTF).
+2. No cartesian product, except queries that deliberately broadcast a
+   tiny side (kNN query sets, IVF centroids) — those must plan as
+   ``BroadcastNestedLoopJoin``/``CartesianProduct`` with the broadcast
+   hint present, and are whitelisted here explicitly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tweets_spark_top_10_spark.queries import QUERIES
+
+# Queries whose plan intentionally contains a (broadcast) nested-loop or
+# cartesian join of a deliberately tiny side.
+CROSS_JOIN_OK = {
+    "knn_cosine_top5",  # 10 broadcast query vectors x candidates
+    "ivf_knn_top5",  # broadcast centroid assignment (<=16 rows)
+    "lsh_knn_top5",  # MinHashLSH approxSimilarityJoin internals
+    "quantity_bucket_ranges",  # broadcast 5-row bucket dim, range predicate
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_plan_invariants(name, spark, sf_dir):
+    plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in plan\n{plan}"
+    )
+    if name not in CROSS_JOIN_OK:
+        for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert op not in plan, f"{name}: unintended {op}\n{plan}"

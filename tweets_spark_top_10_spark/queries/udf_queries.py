@@ -158,6 +158,9 @@ def doc_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     yield doc_id, no, raw
                     no += 1
 
+    # Arrow-batched UDTF transfer (runtime-settable; the session factory
+    # sets it too, but the driver's own session may not have it).
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     docs = load_table(spark, sf_dir, "documents")
     # lateral-join the UDTF output per document row
     docs.createOrReplaceTempView("__docs_udtf_in")

@@ -51,6 +51,8 @@ def get_spark(
         "spark.sql.session.timeZone": "UTC",
         # Arrow for pandas_udf / applyInPandas / mapInPandas paths.
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Python UDTFs also cross via Arrow batches, not pickled rows.
+        "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
         # Readable errors over deep Catalyst stacktraces.
         "spark.sql.pyspark.jvmStacktrace.enabled": "false",
     }
