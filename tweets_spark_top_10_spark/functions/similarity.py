@@ -62,11 +62,23 @@ def brute_force_knn(
     *rounded* similarity plus the neighbor id as tie-break so results
     are deterministic and engine-independent.
     """
+    # Per-row norms precomputed before the (broadcast) cross join: the
+    # per-pair work is one dot product, not dot + two norms.  Same
+    # double arithmetic as the inline cosine — oracle-identical.
     q = queries.select(
-        F.col(query_id), F.col(vec_col).alias("__qv")
+        F.col(query_id),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
-    c = candidates.select(F.col(cand_id), F.col(vec_col).alias("__cv"))
-    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits)
+    c = candidates.select(
+        F.col(cand_id),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    sim = F.round(
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        round_digits,
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .select(query_id, cand_id, sim.alias("cos_sim"))

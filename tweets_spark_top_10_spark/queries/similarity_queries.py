@@ -127,25 +127,33 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the blocking key (label — standing in for an IVF cell
     id), never a full cross join. The 100 TB shape: assign cells via a
     broadcast centroid argmin, then this exact same blocked self-join."""
+    from tweets_spark_top_10_spark.functions.similarity import dot, l2_norm
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # Norms are per-ROW quantities: compute them once on the n rows
+    # before the join, not on the O(n^2/labels) pairs after it.  The
+    # arithmetic (double accumulate -> sqrt -> divide) is identical to
+    # the inline form, so oracle parity is preserved exactly.
     a = emb.select(
         F.col("label"),
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
+        l2_norm(F.col("embedding")).alias("na"),
     )
     b = emb.select(
         F.col("label"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vb"),
+        l2_norm(F.col("embedding")).alias("nb"),
     )
-    from tweets_spark_top_10_spark.functions.similarity import cosine
-
-    sim = cosine(F.col("va"), F.col("vb"))
     return (
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(sim >= 0.3)
-        .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+        .withColumn(
+            "__cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("__cos") >= 0.3)
+        .select("id_a", "id_b", F.round("__cos", 6).alias("cos_sim"))
     )
 
 
