@@ -299,6 +299,36 @@ def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_trailing_hour_value",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ), 6) AS trailing_1h_value
+    FROM events
+    """,
+)
+def user_trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time (trailing 1 hour per user) — the
+    value-based frame spec, vs user_running_value's ROWS frame.  Ordered
+    by epoch micros so the range bound is an exact integer interval on
+    both engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 6).alias("trailing_1h_value"),
+    )
+
+
+@register(
     "customer_priority_lists",
     oracle="""
     SELECT o_custkey, list_sort(list(o_orderpriority)) AS priorities,
