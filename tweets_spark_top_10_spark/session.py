@@ -40,6 +40,11 @@ def get_spark(
         builder = builder.master(master)
 
     conf = {
+        # local-mode executors share the driver JVM; the 1g default heap
+        # GC-thrashes a 32-thread run (bench total swung 48s->92s from
+        # heap pressure alone). Create-time conf: ignored if a session
+        # already exists.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         # Adaptive execution: coalesce shuffle partitions, split skewed
         # joins, pick broadcast joins from runtime stats.
         "spark.sql.adaptive.enabled": "true",
