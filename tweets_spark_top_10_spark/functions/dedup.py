@@ -158,6 +158,58 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Dedup clusters: connected components over a near-dup pair list.
+
+    Iterative min-label propagation (the standard large-graph CC on a
+    relational engine): every node starts as its own component, each
+    round sends its label to neighbors and keeps the min, until a fixed
+    point.  Converges in O(component diameter) rounds — near-dup
+    clusters are shallow, so this is a handful of shuffles, each keyed
+    by node id.  ``localCheckpoint`` truncates the growing lineage each
+    round (at 100 TB this would be a persisted iteration table).
+
+    Output: (node, component) — component = min doc id reachable.
+    Deterministic given any pair list; only nodes appearing in pairs
+    are labeled (isolated docs are trivially their own cluster).
+    """
+    fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    rev = pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    edges = fwd.unionByName(rev).distinct().persist()
+    comp = (
+        edges.select(F.col("a").alias("n"))
+        .distinct()
+        .withColumn("comp", F.col("n"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = comp.join(edges, comp.n == edges.a).select(
+            F.col("b").alias("n"), F.col("comp")
+        )
+        new_comp = (
+            comp.unionByName(msgs)
+            .groupBy("n")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_comp.alias("x")
+            .join(comp.alias("y"), "n")
+            .filter(F.col("x.comp") != F.col("y.comp"))
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    edges.unpersist()
+    return comp.select(F.col("n").alias("node"), F.col("comp").alias("component"))
+
+
 def simhash64(
     df: DataFrame,
     text_col: str = "text",

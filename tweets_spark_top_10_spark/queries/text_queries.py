@@ -195,6 +195,57 @@ def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_components",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS arr
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(arr) - 1, 1)),
+                 i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]
+               )) AS shingle
+        FROM toks
+      ) raw
+    ), counts AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN counts ca ON ca.doc_id = id_a
+      JOIN counts cb ON cb.doc_id = id_b
+      WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.1
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), walk(n, m) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT w.n, e.b FROM walk w JOIN edges e ON w.m = e.a
+    )
+    SELECT n AS node, MIN(m) AS component FROM walk GROUP BY n
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: n-gram Jaccard pairs → connected components
+    via iterative min-label propagation (functions/dedup.py).  The
+    oracle recomputes components with a recursive CTE — the iterative
+    DataFrame algorithm is under the full value gate."""
+    from tweets_spark_top_10_spark.functions.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    return connected_components(pairs)
+
+
+@register(
     "doc_quality",
     oracle=None,  # heuristic blend — checked by unit tests + rows-only gate
 )
