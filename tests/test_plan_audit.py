@@ -25,6 +25,7 @@ CROSS_JOIN_OK = {
     "ivf_knn_top5",  # broadcast centroid assignment (<=16 rows)
     "lsh_knn_top5",  # MinHashLSH approxSimilarityJoin internals
     "quantity_bucket_ranges",  # broadcast 5-row bucket dim, range predicate
+    "doc_tfidf_top3",  # broadcast 1-row N (total doc count) into the scorer
 }
 
 

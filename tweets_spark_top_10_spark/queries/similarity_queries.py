@@ -157,6 +157,45 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {_DOUBLE_VEC} AS vec FROM embeddings
+    ), scaled AS (
+      SELECT vec_id, vec,
+             list_max(list_transform(vec, x -> abs(x))) AS mx
+      FROM v
+    )
+    SELECT vec_id,
+           ROUND(127.0 / mx, 6) AS scale,
+           list_transform(vec, x -> CAST(floor(x * (127.0 / mx)) AS INT))
+             AS codes
+    FROM scaled WHERE mx > 0
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (the storage/bandwidth
+    shrink for billion-vector ANN: 4x smaller than float32, codes
+    dot-product-able with the scale factor).  ``floor`` (not round) so
+    the code assignment is unambiguous across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    scaled = emb.select(
+        "vec_id",
+        vec.alias("vec"),
+        F.array_max(F.transform(vec, F.abs)).alias("mx"),
+    ).filter(F.col("mx") > 0)
+    scale = F.lit(127.0) / F.col("mx")
+    return scaled.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.transform(
+            "vec", lambda x: F.floor(x * scale).cast("int")
+        ).alias("codes"),
+    )
+
+
 _COS = (
     "ROUND(list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), {d})"

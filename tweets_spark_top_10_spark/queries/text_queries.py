@@ -8,7 +8,7 @@ expressible in a sane way).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tweets_spark_top_10_spark.functions.dedup import (
@@ -192,6 +192,66 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+
+
+@register(
+    "doc_tfidf_top3",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(text, '\s+'), t -> t <> '')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), n AS (
+      SELECT COUNT(*) AS n FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, token ASC
+      ) AS BIGINT) AS rank
+      FROM scored
+    ) t WHERE rank <= 3
+    """,
+)
+def doc_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with per-doc top-3 terms: tf and df from one exploded
+    token table (two aggregations, both keyed by uniformly-hashed
+    token/doc — skew-free), idf as ln(N/df) with N broadcast via a
+    1-row cross join (never a driver-side collect in the plan).
+    Ranking is on the ROUNDED score + token tie-break, so ordering is
+    engine-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df_t, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
 
 
 @register(
