@@ -297,3 +297,32 @@ def test_session_window_matches_batch(spark, sf_dir, events_dir, events_schema):
                 r.n_events,
                 r.session_value,
             ), f"user {r.user_id} @ {r.session_start}"
+
+
+def test_rate_source_windowed_count_runs(spark):
+    """Rate source smoke: a windowed count over the built-in load
+    generator produces rows within a bounded run."""
+    import time
+
+    from tweets_spark_top_10_spark.streaming.sources import rate_stream
+
+    counts = windowed_count(
+        rate_stream(spark, rows_per_second=200),
+        "timestamp",
+        [],
+        window="1 second",
+        watermark="0 seconds",
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("rate_counts")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 25
+        while time.time() < deadline and not spark.table("rate_counts").count():
+            time.sleep(1)
+        assert spark.table("rate_counts").count() > 0
+    finally:
+        q.stop()

@@ -13,6 +13,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+def rate_stream(
+    spark: SparkSession,
+    rows_per_second: int = 100,
+) -> DataFrame:
+    """Built-in rate source: (timestamp, value) rows at a fixed rate —
+    the zero-dependency load generator for soak/latency testing of
+    streaming queries."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
 def file_stream(
     spark: SparkSession,
     path: str,
