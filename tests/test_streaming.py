@@ -326,3 +326,88 @@ def test_rate_source_windowed_count_runs(spark):
         assert spark.table("rate_counts").count() > 0
     finally:
         q.stop()
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, events_dir, events_schema):
+    """Stream-static broadcast join: every streamed event enriched with
+    its user's segment; totals must equal the batch join."""
+    from tweets_spark_top_10_spark.streaming.joins import enrich_stream
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    stream = file_stream(spark, events_dir, events_schema)
+    enriched = enrich_stream(stream, dim, on="user_id")
+    q = run_to_memory(enriched.select("event_id", "c_mktsegment"), "enriched")
+    q.awaitTermination()
+    got = (
+        spark.table("enriched")
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    assert {(r.c_mktsegment, r["count"]) for r in got} == {
+        (r.c_mktsegment, r["count"]) for r in batch
+    }
+
+
+def test_stream_stream_interval_join_matches_batch(
+    spark, sf_dir, events_dir, events_schema
+):
+    """Stream-stream interval join (purchases x views within 1h per
+    user) == the equivalent batch theta join, for pairs whose left
+    event closed under the final watermark."""
+    import datetime
+
+    from tweets_spark_top_10_spark.streaming.joins import interval_join
+
+    def split(df, et, suffix):
+        return df.filter(F.col("event_type") == et).select(
+            F.col("event_id").alias(f"eid_{suffix}"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias(f"ts_{suffix}"),
+        )
+
+    stream = file_stream(spark, events_dir, events_schema, max_files_per_trigger=1)
+    purchases = split(stream, "purchase", "p").withColumnRenamed("user_id", "user_id")
+    views = split(stream, "view", "v")
+    joined = interval_join(
+        purchases.withColumnRenamed("ts_p", "tsp"),
+        views.withColumnRenamed("ts_v", "tsv"),
+        key="user_id",
+        left_ts="tsp",
+        right_ts="tsv",
+        lookback="1 hour",
+        watermark="10 minutes",
+    ).select("eid_p", "eid_v")
+    q = run_to_memory(joined, "ssj_out")
+    q.awaitTermination()
+    got = {(r.eid_p, r.eid_v) for r in spark.table("ssj_out").collect()}
+    assert got, "stream-stream join emitted nothing"
+
+    ev = load_table(spark, sf_dir, "events")
+    p = split(ev, "purchase", "p")
+    v = split(ev, "view", "v")
+    batch = p.join(
+        v,
+        (p.user_id == v.user_id)
+        & (F.col("ts_v") >= F.col("ts_p") - F.expr("INTERVAL 1 hour"))
+        & (F.col("ts_v") <= F.col("ts_p")),
+    ).select("eid_p", "eid_v", "ts_p")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = mx - datetime.timedelta(seconds=600 + 3600)
+    expected_closed = {
+        (r.eid_p, r.eid_v) for r in batch.collect() if r.ts_p < cutoff
+    }
+    all_pairs = {(r.eid_p, r.eid_v) for r in batch.collect()}
+    assert got <= all_pairs, f"phantom pairs: {sorted(got - all_pairs)[:3]}"
+    missing = expected_closed - got
+    assert not missing, f"{len(missing)} closed pairs missing: {sorted(missing)[:3]}"
