@@ -135,6 +135,28 @@ def props_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "props_key_counts",
+    oracle="""
+    SELECT key, COUNT(*) AS n
+    FROM (SELECT unnest(json_keys(props)) AS key FROM events
+          WHERE props IS NOT NULL)
+    GROUP BY key
+    """,
+)
+def props_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_keys over JSON-parsed props: schema discovery for a
+    semi-structured column (which keys exist, how often)."""
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        events.filter(F.col("props").isNotNull())
+        .select(F.explode(F.map_keys(m)).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @register("approx_distinct_users", oracle=None)  # HLL sketch differs per engine
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL) next to the exact count: the scale
