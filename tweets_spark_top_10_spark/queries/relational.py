@@ -37,6 +37,7 @@ from tweets_spark_top_10_spark.sources.registry import load_table
     """,
 )
 def ref_top10_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference query (App.java:92-134): explode -> group-count -> top-10 with deterministic tie-break, over document tokens."""
     docs = load_table(spark, sf_dir, "documents")
     counted = explode_count(
         docs, tokenize(F.col("text")), out_key="token", out_count="n"
@@ -55,6 +56,7 @@ def ref_top10_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's group-count + top-K shape on the events stream table."""
     events = load_table(spark, sf_dir, "events")
     agg = events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -205,6 +207,7 @@ def regional_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-K via row_number window - the scalable form of 'ORDER BY LIMIT per key'."""
     orders = load_table(spark, sf_dir, "orders")
     return top_k_per_group(
         orders.select("o_custkey", "o_orderkey", "o_totalprice"),
@@ -231,6 +234,7 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per user over event time with an explicit ROWS frame."""
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
@@ -286,6 +290,7 @@ def customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def late_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join (EXISTS): orders having any lineitem shipped >60 days after order date, counted by priority."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cond = (orders.o_orderkey == li.l_orderkey) & (
@@ -308,6 +313,7 @@ def late_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def nations_cust_and_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of customer-nations and supplier-nations (set op)."""
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
@@ -326,6 +332,7 @@ def nations_cust_and_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def urgent_only_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (subtract): customers with urgent orders and no low-priority ones."""
     orders = load_table(spark, sf_dir, "orders")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
@@ -346,6 +353,7 @@ def urgent_only_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotals + grand total in one pass."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
@@ -365,6 +373,7 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc month rollup of order revenue (time-dimension aggregation)."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy(
@@ -390,6 +399,7 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment order stats: count/sum/avg/min/max in one hash aggregate after a broadcast dim join."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return (
@@ -419,6 +429,7 @@ def segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def supplier_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_distinct per supplier (expands to two-phase distinct aggregate)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_suppkey").agg(
         F.countDistinct("l_partkey").alias("distinct_parts"),
@@ -438,6 +449,7 @@ def supplier_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def part_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate surface in one scan: =, <, >, IN, LIKE, BETWEEN, IS NULL, AND/OR/NOT - all pushed to the parquet reader."""
     part = load_table(spark, sf_dir, "part")
     return part.filter(
         F.col("p_size").between(10, 25)
@@ -461,6 +473,7 @@ def part_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def event_props_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object string-path extraction from the JSON props column (the untyped fast path; props_map_access is the typed one)."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(

@@ -22,6 +22,7 @@ from tweets_spark_top_10_spark.sources.registry import load_table
     """,
 )
 def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over per-segment balance order (deterministic tie-break on custkey)."""
     cust = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("c_acctbal"), F.asc("c_custkey")
@@ -46,6 +47,7 @@ def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all grouping-set combinations in one shuffle."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
@@ -95,6 +97,7 @@ def segment_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: upper, substring, regexp_extract, lpad, replace, length."""
     part = load_table(spark, sf_dir, "part")
     return part.select(
         "p_partkey",

@@ -32,6 +32,7 @@ _DOUBLE_VEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
     """,
 )
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm per embedding via codegen'd aggregate/zip_with - the vector-math primitive everything else builds on."""
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id", F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm")
@@ -264,6 +265,7 @@ def ivf_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("lsh_knn_top5", oracle=None)  # approximate-by-design — rows-only gate
 def lsh_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH ANN with exact rerank - the sub-linear candidate path when the query set is huge."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"

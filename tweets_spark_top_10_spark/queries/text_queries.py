@@ -43,6 +43,7 @@ from tweets_spark_top_10_spark.sources.registry import load_table
     """,
 )
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content hash -> one shuffle keyed by the hash (uniform, skew-free), keep min doc_id + duplicate count."""
     docs = load_table(spark, sf_dir, "documents")
     return exact_dedup(docs, "text", "doc_id", hash_col="content_hash")
 
@@ -104,6 +105,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword ratio per doc, array-native (aggregate over tokens, no Python)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
     return docs.select(
@@ -153,6 +155,7 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint (md5 of normalized text) for exact-dup keys and incremental diffing."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
@@ -190,6 +193,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs; candidates from a shingle equi-join, never a cross join."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
 
@@ -310,6 +314,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # heuristic blend — checked by unit tests + rows-only gate
 )
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length / punctuation / stopword blend) - the cheap gate before expensive model scoring."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
     return docs.select(
@@ -319,6 +324,7 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("langid_heuristic", oracle=None)  # heuristic argmax — rows-only gate
 def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword-overlap language ID returning the argmax language per doc."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
     return docs.select("doc_id", "lang", language_id(toks).alias("lang_pred"))
@@ -326,6 +332,7 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("minhash_lsh_candidates", oracle=None)  # LSH banding — rows-only gate
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (banding): sub-quadratic candidate generation over shingle sets."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.3)
 

@@ -126,6 +126,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Parquet TIMESTAMP(NANOS) (e.g. events.ts, written by pandas) has no
     # Spark type; read it as nano-longs and convert below. Runtime-settable.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Right-size shuffles for sessions still on Spark's 200 default
+    # (e.g. the driver harness's own session): ~1 partition per core.
+    # Never overrides an explicit setting.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     expected = {f.name: f.dataType for f in SCHEMAS[name].fields}
     missing = set(expected) - set(df.columns)
