@@ -411,3 +411,73 @@ def test_stream_stream_interval_join_matches_batch(
     assert got <= all_pairs, f"phantom pairs: {sorted(got - all_pairs)[:3]}"
     missing = expected_closed - got
     assert not missing, f"{len(missing)} closed pairs missing: {sorted(missing)[:3]}"
+
+
+def test_late_rows_dropped_after_watermark(spark, tmp_path):
+    """Exact watermark semantics on synthetic data: a row arriving in a
+    later micro-batch with event time older than (max_seen - delay) must
+    be dropped from an append-mode windowed aggregate; a late-but-within
+    -delay row must still count."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("k", T.StringType())]
+    )
+    base = dt.datetime(2024, 6, 1, 10, 0, 0)
+    d = str(tmp_path / "late_stream")
+    os.makedirs(d)
+
+    def write_chunk(name, rows, mtime):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        import glob as g
+        import shutil
+
+        src = g.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        dst = f"{d}/{name}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (mtime, mtime))
+
+    # b0: events in windows 10:00 (one row) and 10:05 (two rows)
+    write_chunk(
+        "c1",
+        [
+            (base + dt.timedelta(minutes=1), "a"),
+            (base + dt.timedelta(minutes=6), "a"),
+            (base + dt.timedelta(minutes=7), "a"),
+        ],
+        1_700_000_000,
+    )
+    # b1: 10:30 → watermark after b1 = 10:20
+    write_chunk("c2", [(base + dt.timedelta(minutes=30), "a")], 1_700_000_060)
+    # b2: wm=10:20 finalizes the 10:00 and 10:05 windows THIS batch
+    write_chunk("c3", [(base + dt.timedelta(minutes=31), "a")], 1_700_000_120)
+    # b3: 10:02 arrives AFTER its window finalized → must be dropped
+    # (append mode never re-emits); 10:27 is within the open horizon → kept
+    write_chunk(
+        "c4",
+        [
+            (base + dt.timedelta(minutes=2), "a"),
+            (base + dt.timedelta(minutes=27), "a"),
+        ],
+        1_700_000_180,
+    )
+    # b4: push watermark beyond every open window so all finalize
+    write_chunk("c5", [(base + dt.timedelta(minutes=60), "a")], 1_700_000_240)
+
+    stream = file_stream(spark, d, schema, max_files_per_trigger=1)
+    counts = windowed_count(stream, "ts", ["k"], window="5 minutes", watermark="10 minutes")
+    q = run_to_memory(counts, "late_counts")
+    q.awaitTermination()
+    rows = spark.table("late_counts").collect()
+    got = {r.window_start.minute: r.n for r in rows}
+    assert len(rows) == len(got), f"append mode re-emitted a window: {rows}"
+    # 10:00 window stays 1 — the post-finalization late row was dropped
+    assert got.get(0) == 1, got
+    assert got.get(5) == 2, got
+    assert got.get(25) == 1, got
+    assert got.get(30) == 2, got  # 10:30 + 10:31
