@@ -329,6 +329,65 @@ def user_trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_profile",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses,
+           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_prices,
+           ROUND(MIN(o_totalprice), 4) AS min_price,
+           ROUND(MAX(o_totalprice), 4) AS max_price,
+           MIN(o_orderdate) AS min_date,
+           MAX(o_orderdate) AS max_date
+    FROM orders
+    """,
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling in one pass: row/distinct/null counts and value
+    ranges — the validation gate a pipeline runs before trusting a new
+    table drop.  One scan, one 1-row aggregate, no shuffle of note."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias(
+            "null_prices"
+        ),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+
+
+@register(
+    "deterministic_sample_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_sampled,
+           ROUND(SUM(o_totalprice), 4) AS sampled_revenue
+    FROM orders
+    WHERE (ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) * 256
+           + ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))) % 10 = 0
+    """,
+)
+def deterministic_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample via content hash (md5 of the key), not
+    ``sample()`` — reproducible across engines, runs, and partitionings,
+    which is what a training-data pipeline needs for held-out splits.
+    The predicate pushes to the scan; no shuffle until the 1-row agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 10
+    return orders.filter(bucket == 0).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.sum("o_totalprice"), 4).alias("sampled_revenue"),
+    )
+
+
+@register(
     "customer_priority_lists",
     oracle="""
     SELECT o_custkey, list_sort(list(o_orderpriority)) AS priorities,
