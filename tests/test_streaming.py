@@ -481,3 +481,56 @@ def test_late_rows_dropped_after_watermark(spark, tmp_path):
     assert got.get(5) == 2, got
     assert got.get(25) == 1, got
     assert got.get(30) == 2, got  # 10:30 + 10:31
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Stop a checkpointed stream, add new files, restart with the SAME
+    checkpoint: previously-processed files are not re-read (no
+    duplicates) and new files are picked up — exactly-once resumption,
+    the property the reference's delete-then-insert dance was trying to
+    fake (App.java:146-157)."""
+    import datetime as dt
+    import glob as g
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("k", T.StringType())]
+    )
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+    d = str(tmp_path / "resume_stream")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(d)
+
+    def write_chunk(name, rows, mtime):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        src = g.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        dst = f"{d}/{name}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (mtime, mtime))
+
+    def run_pass():
+        stream = file_stream(spark, d, schema)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_chunk("a", [(base + dt.timedelta(minutes=i), "x") for i in range(5)], 1_700_000_000)
+    run_pass()
+    assert spark.read.parquet(out).count() == 5
+
+    write_chunk("b", [(base + dt.timedelta(minutes=60 + i), "y") for i in range(3)], 1_700_000_100)
+    run_pass()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 8, f"expected 5+3 rows exactly once, got {len(rows)}"
+    assert len({(r.ts, r.k) for r in rows}) == 8, "duplicate rows after resume"
