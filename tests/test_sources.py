@@ -65,3 +65,15 @@ def test_avro_unavailable_is_loud_not_silent(spark, sf_dir, tmp_path):
 def test_unknown_format_rejected(spark):
     with pytest.raises(ValueError, match="unsupported format"):
         read_batch(spark, "/nonexistent", fmt="xml")
+
+
+def test_schema_drift_fails_loudly(spark, sf_dir, tmp_path, monkeypatch):
+    """A producer dropping a registered column must fail at load time
+    with a clear error, not surface as a resolution error mid-query."""
+    from tweets_spark_top_10_spark.sources import registry
+
+    nation = load_table(spark, sf_dir, "nation").drop("n_regionkey")
+    bad_dir = str(tmp_path / "drifted")
+    nation.write.mode("overwrite").parquet(str(tmp_path / "drifted" / "nation.parquet"))
+    with pytest.raises(ValueError, match="missing columns.*n_regionkey"):
+        registry.load_table(spark, bad_dir, "nation")

@@ -534,3 +534,35 @@ def test_checkpoint_resume_exactly_once(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 8, f"expected 5+3 rows exactly once, got {len(rows)}"
     assert len({(r.ts, r.k) for r in rows}) == 8, "duplicate rows after resume"
+
+
+def test_update_mode_final_counts_match_batch(spark, sf_dir, events_dir, events_schema):
+    """Update output mode: per-batch refinements; the LAST emission per
+    window must equal the batch count for EVERY window (update mode
+    needs no watermark finality, unlike append)."""
+    stream = file_stream(spark, events_dir, events_schema, max_files_per_trigger=1)
+    counts = windowed_count(
+        stream, "ts", ["event_type"], window="1 hour", watermark="10 minutes"
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("upd_counts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # memory sink in update mode appends each refinement; last write wins
+    final = {}
+    for r in spark.table("upd_counts").collect():
+        final[(r.window_start, r.event_type)] = max(
+            r.n, final.get((r.window_start, r.event_type), 0)
+        )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+    expected = {(r.ws, r.event_type): r.n for r in batch.collect()}
+    assert final == expected
