@@ -64,3 +64,13 @@ def test_meta_filter_prunes_before_decode(spark):
     small = df.filter(F.length("payload") <= 16)
     out = extract_image_features(small).collect()
     assert sorted(r.id for r in out) == [2, 4]
+
+
+def test_attach_meta_byte_size_prunes_before_decode(spark):
+    df = attach_meta(_media(spark), mime="image/png")
+    small = df.filter(F.col("media_meta.n_bytes") < 8)
+    # the size filter needs no decode and no Python — plan stays JVM-side
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    for r in small.collect():
+        assert r.media_meta.n_bytes == (0 if r.payload is None else len(r.payload))

@@ -35,6 +35,7 @@ MEDIA_META = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("duration_ms", T.IntegerType()),
         T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
     ]
 )
 
@@ -67,7 +68,11 @@ def attach_meta(
     payload_col: str = "payload",
     mime: str = "application/octet-stream",
 ) -> DataFrame:
-    """Wrap a raw binary column with the engine's media_meta struct."""
+    """Wrap a raw binary column with the engine's media_meta struct.
+
+    ``width``/``height``/``duration_ms``/``sample_rate`` start NULL (a
+    real decoder fills them); ``mime`` and the payload byte size are
+    known up front, so size/mime filters prune before any decode."""
     return df.withColumn(
         "media_meta",
         F.struct(
@@ -76,6 +81,7 @@ def attach_meta(
             F.lit(None).cast("int").alias("height"),
             F.lit(None).cast("int").alias("duration_ms"),
             F.lit(None).cast("int").alias("sample_rate"),
+            F.octet_length(F.col(payload_col)).alias("n_bytes"),
         ),
     )
 
