@@ -77,3 +77,19 @@ def test_schema_drift_fails_loudly(spark, sf_dir, tmp_path, monkeypatch):
     nation.write.mode("overwrite").parquet(str(tmp_path / "drifted" / "nation.parquet"))
     with pytest.raises(ValueError, match="missing columns.*n_regionkey"):
         registry.load_table(spark, bad_dir, "nation")
+
+
+def test_compact_parquet_preserves_content(spark, sf_dir, tmp_path):
+    from tweets_spark_top_10_spark.sources.writers import compact_parquet
+
+    src = load_table(spark, sf_dir, "orders")
+    d = str(tmp_path / "many_files")
+    src.repartition(20).write.mode("overwrite").parquet(d)
+    import glob
+
+    assert len(glob.glob(f"{d}/part-*.parquet")) == 20
+    before = sorted(map(tuple, spark.read.parquet(d).collect()))
+    n_files = compact_parquet(spark, d, target_files=4)
+    assert n_files <= 4
+    after = sorted(map(tuple, spark.read.parquet(d).collect()))
+    assert before == after

@@ -22,6 +22,36 @@ def write_csv_top_k(df: DataFrame, path: str, k: int = 10) -> None:
     df.limit(k).coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_files: int,
+    tmp_suffix: str = "__compact_tmp",
+) -> int:
+    """Compact a small-files parquet directory to ``target_files`` files.
+
+    The small-files problem is the classic file-based-lake failure mode
+    (per-hour streaming sinks emit one file per micro-batch per
+    partition; a year later the table is millions of tiny files and the
+    driver chokes on listing).  Read → coalesce (no shuffle) → write to
+    a sibling tmp dir → atomic-ish swap.  At real scale this runs per
+    partition, not per table.  Returns the new file count.
+    """
+    import glob
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + tmp_suffix
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    before = spark.read.parquet(tmp).count()
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    after = spark.read.parquet(path).count()
+    assert before == after, f"compaction lost rows: {before} -> {after}"
+    return len(glob.glob(f"{path}/part-*.parquet"))
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
