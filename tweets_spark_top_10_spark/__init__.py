@@ -22,5 +22,14 @@ executes. No custom executor, no RDDs in the hot path.
 
 from tweets_spark_top_10_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def hourly_top_k(*args, **kwargs):
+    """Lazy re-export of :func:`tweets_spark_top_10_spark.api.hourly_top_k`
+    (the reference job as a library call)."""
+    from tweets_spark_top_10_spark.api import hourly_top_k as _impl
+
+    return _impl(*args, **kwargs)
+
+
+__all__ = ["get_spark", "hourly_top_k"]
 __version__ = "0.1.0"
