@@ -566,3 +566,69 @@ def test_update_mode_final_counts_match_batch(spark, sf_dir, events_dir, events_
     )
     expected = {(r.ws, r.event_type): r.n for r in batch.collect()}
     assert final == expected
+
+
+def test_stream_over_hour_partitioned_dirs(spark, sf_dir, tmp_path):
+    """Streaming backfill of the reference's own layout: readStream over
+    a year=/month=/day=/hour= partitioned table (App.java:60-63's dir
+    convention) picks up partition columns and replays every hour."""
+    from tweets_spark_top_10_spark.sources.writers import write_partitioned
+    from pyspark.sql import types as T
+
+    events = load_table(spark, sf_dir, "events")
+    base = str(tmp_path / "hourly")
+    write_partitioned(
+        events.withColumns(
+            {
+                "year": F.year("ts"),
+                "month": F.month("ts"),
+                "day": F.dayofmonth("ts"),
+                "hour": F.hour("ts"),
+            }
+        ),
+        base,
+        ["year", "month", "day", "hour"],
+    )
+    schema = T.StructType(
+        SCHEMAS["events"].fields
+        + [
+            T.StructField("year", T.IntegerType()),
+            T.StructField("month", T.IntegerType()),
+            T.StructField("day", T.IntegerType()),
+            T.StructField("hour", T.IntegerType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("basePath", base)
+        .load(base + "/year=*/month=*/day=*/hour=*")
+    )
+    counts = (
+        stream.groupBy("year", "month", "day", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("hourly_backfill")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.year, r.month, r.day, r.hour): r.n
+        for r in spark.table("hourly_backfill").collect()
+    }
+    expected = {
+        (r.year, r.month, r.day, r.hour): r.n
+        for r in events.groupBy(
+            F.year("ts").alias("year"),
+            F.month("ts").alias("month"),
+            F.dayofmonth("ts").alias("day"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
