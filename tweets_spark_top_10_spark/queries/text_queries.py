@@ -311,10 +311,38 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_quality",
-    oracle=None,  # heuristic blend — checked by unit tests + rows-only gate
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS arr
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(arr) AS n_tok,
+             CASE WHEN len(arr) > 0
+                  THEN CAST(length(array_to_string(arr, '')) AS DOUBLE) / len(arr)
+                  ELSE 0.0 END AS mean_len,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                            AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS pr
+      FROM t
+    )
+    SELECT doc_id,
+           ROUND(
+             0.4 * (CASE WHEN n_tok BETWEEN 10 AND 5000 THEN 1.0
+                         WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END)
+           + 0.3 * (CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0
+                         THEN 1.0 ELSE 0.5 END)
+           + 0.3 * (1.0 - least(pr * 4.0, 1.0)), 6) AS quality
+    FROM m
+    """,
 )
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality score (length / punctuation / stopword blend) - the cheap gate before expensive model scoring."""
+    """Heuristic quality score (token-count band, mean token length
+    band, punctuation ratio) — the cheap gate before expensive model
+    scoring.  The blend is arbitrary but FIXED, so the oracle replays
+    the exact formula."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
     return docs.select(
@@ -322,9 +350,40 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("langid_heuristic", oracle=None)  # heuristic argmax — rows-only gate
+def _langid_oracle() -> str:
+    from tweets_spark_top_10_spark.functions.text import LANG_STOPWORDS
+
+    score_cols = ",\n".join(
+        f"       len(list_filter(arr, t -> list_contains({LANG_STOPWORDS[lang]!r}, t)))"
+        f" AS s_{lang}"
+        for lang in sorted(LANG_STOPWORDS)
+    )
+    langs = sorted(LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    # earlier language code wins ties — same as the Spark builder
+    whens = " ".join(f"WHEN s_{la} = best THEN '{la}'" for la in langs)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS arr
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+{score_cols},
+             {best} AS best
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CASE WHEN best > 0 THEN CASE {whens} END ELSE 'und' END AS lang_pred
+    FROM s
+    """
+
+
+@register("langid_heuristic", oracle=_langid_oracle())
 def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram/stopword-overlap language ID returning the argmax language per doc."""
+    """Stopword-overlap language ID (argmax with deterministic
+    tie-break) — the oracle regenerates the same scoring from the same
+    stopword lists."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
     return docs.select("doc_id", "lang", language_id(toks).alias("lang_pred"))
