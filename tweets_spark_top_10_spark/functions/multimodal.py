@@ -43,24 +43,31 @@ IMAGE_FEATURES = T.StructType(
     [
         T.StructField("id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
+        T.StructField("hist", T.ArrayType(T.LongType())),
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
 
 
-def _decode_stub(payload: bytes, dim: int = 8) -> np.ndarray:
-    """Deterministic fake 'decode + embed': bytes → fixed-dim feature.
+def _decode_stub(payload: bytes, dim: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic fake 'decode + embed': bytes → (int histogram,
+    L1-normalized fixed-dim feature).
 
     Stands in for (PIL.Image.open → resize → CNN embed); deterministic
     so tests can assert exact values. Real deployments replace this one
-    function with the codec call.
+    function with the codec call.  The integer histogram rides along
+    because it is exactly replayable in SQL — the correctness oracle
+    checks it bit-for-bit, while the float feature is gated by its L1
+    invariant (sums to 1 for non-empty payloads).
     """
     if payload is None or len(payload) == 0:
-        return np.zeros(dim, dtype=np.float32)
+        z = np.zeros(dim)
+        return z.astype(np.int64), z.astype(np.float32)
     arr = np.frombuffer(payload, dtype=np.uint8)
     # bucket byte histogram into `dim` coarse bins, L1-normalized
-    hist = np.bincount(arr % dim, minlength=dim).astype(np.float32)
-    return hist / max(hist.sum(), 1.0)
+    hist = np.bincount(arr % dim, minlength=dim)
+    feat = hist.astype(np.float32) / max(float(hist.sum()), 1.0)
+    return hist.astype(np.int64), feat
 
 
 def attach_meta(
@@ -101,14 +108,15 @@ def extract_image_features(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [_decode_stub(p, dim) for p in pdf[payload_col]]
+            decoded = [_decode_stub(p, dim) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].astype("int64"),
                     "n_bytes": pdf[payload_col].map(
                         lambda p: 0 if p is None else len(p)
                     ).astype("int64"),
-                    "feature": [f.tolist() for f in feats],
+                    "hist": [h.tolist() for h, _ in decoded],
+                    "feature": [f.tolist() for _, f in decoded],
                 }
             )
 

@@ -78,10 +78,55 @@ def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_image_features", oracle=None)  # stub decode kernel — rows-only gate
+@register(
+    "media_image_features",
+    oracle="""
+    WITH e AS (
+      SELECT doc_id AS id, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             unnest(range(1, length(text) + 1)) AS i
+      FROM documents
+      WHERE octet_length(encode(text)) > 0
+    ), b AS (
+      SELECT id, n_bytes, ascii(substr(text, CAST(i AS INT), 1)) % 8 AS bin
+      FROM e
+    )
+    SELECT id, MAX(n_bytes) AS n_bytes,
+           array_to_string(list_value(
+             CAST(SUM(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN bin = 4 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN bin = 5 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN bin = 6 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS BIGINT)), ',')
+             AS hist,
+           CAST(1.0 AS DOUBLE) AS feat_l1
+    FROM b
+    GROUP BY id
+    """,
+)
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode+featurize binary payloads (deterministic stub for the
     codec+embed step) through Arrow-batched mapInPandas; output drops the
-    payload so downstream shuffles move features, not media bytes."""
+    payload so downstream shuffles move features, not media bytes.
+
+    Full value oracle: the kernel's integer byte-histogram is replayed
+    exactly in SQL (documents text is ASCII, so ``ascii(substr(...))``
+    is the byte value); the float feature is gated by its L1 invariant
+    (normalized histogram sums to 1), rounded to 4 digits.
+    """
     payloads = attach_meta(_with_payload(spark, sf_dir), mime="text/plain")
-    return extract_image_features(payloads, dim=8)
+    feats = extract_image_features(payloads, dim=8)
+    return feats.filter(F.col("n_bytes") > 0).select(
+        "id",
+        "n_bytes",
+        F.array_join(F.col("hist"), ",").alias("hist"),
+        F.round(
+            F.aggregate(
+                "feature", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            4,
+        ).alias("feat_l1"),
+    )

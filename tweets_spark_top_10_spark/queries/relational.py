@@ -290,11 +290,14 @@ def customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def late_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_semi join (EXISTS): orders having any lineitem shipped >60 days after order date, counted by priority."""
+    """left_semi join (EXISTS): orders having any lineitem shipped >60 days
+    after order date, counted by priority.  Timestamp INTERVAL arithmetic
+    (not ``date_add``, which truncates to DATE and would diverge from the
+    oracle if o_orderdate ever carries a time-of-day)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cond = (orders.o_orderkey == li.l_orderkey) & (
-        li.l_shipdate > F.date_add(orders.o_orderdate, 60)
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
     )
     return (
         orders.join(li, cond, "left_semi")

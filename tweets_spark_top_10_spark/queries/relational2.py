@@ -59,7 +59,7 @@ def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "segment_priority_sets",
     oracle="""
     SELECT c_mktsegment,
-           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
            COUNT(DISTINCT o_orderpriority) AS n_priorities
     FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c_mktsegment
@@ -67,7 +67,11 @@ def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def segment_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set + sort_array: set aggregation with deterministic
-    output order (collect_set alone is order-nondeterministic)."""
+    output order (collect_set alone is order-nondeterministic).
+
+    The sorted set is emitted as a '|'-joined string so the driver's
+    pandas canonicalizer can hash it (raw array cells are unhashable).
+    """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return (
@@ -77,7 +81,9 @@ def segment_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("c_mktsegment")
         .agg(
-            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), "|"
+            ).alias("priorities"),
             F.countDistinct("o_orderpriority").alias("n_priorities"),
         )
     )

@@ -334,7 +334,8 @@ def user_trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_rows,
            COUNT(DISTINCT o_custkey) AS n_customers,
            COUNT(DISTINCT o_orderstatus) AS n_statuses,
-           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_prices,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_prices,
            ROUND(MIN(o_totalprice), 4) AS min_price,
            ROUND(MAX(o_totalprice), 4) AS max_price,
            MIN(o_orderdate) AS min_date,
@@ -390,7 +391,8 @@ def deterministic_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "customer_priority_lists",
     oracle="""
-    SELECT o_custkey, list_sort(list(o_orderpriority)) AS priorities,
+    SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderpriority)), '|') AS priorities,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY o_custkey
@@ -399,9 +401,12 @@ def deterministic_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_priority_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list + sort_array: multiset aggregation with deterministic
     order (collect_list alone is partition-order-nondeterministic —
-    never compare it unsorted)."""
+    never compare it unsorted).  Emitted '|'-joined so the driver's
+    pandas canonicalizer can hash the cell (raw lists are unhashable)."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderpriority")).alias("priorities"),
+        F.array_join(F.sort_array(F.collect_list("o_orderpriority")), "|").alias(
+            "priorities"
+        ),
         F.count(F.lit(1)).alias("n_orders"),
     )

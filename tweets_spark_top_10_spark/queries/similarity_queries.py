@@ -170,7 +170,8 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            ROUND(127.0 / mx, 6) AS scale,
-           list_transform(vec, x -> CAST(floor(x * (127.0 / mx)) AS INT))
+           array_to_string(
+             list_transform(vec, x -> CAST(floor(x * (127.0 / mx)) AS INT)), ',')
              AS codes
     FROM scaled WHERE mx > 0
     """,
@@ -179,7 +180,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization per vector (the storage/bandwidth
     shrink for billion-vector ANN: 4x smaller than float32, codes
     dot-product-able with the scale factor).  ``floor`` (not round) so
-    the code assignment is unambiguous across engines."""
+    the code assignment is unambiguous across engines.  Codes are
+    emitted ','-joined: the driver's pandas canonicalizer cannot hash
+    raw array cells."""
     emb = load_table(spark, sf_dir, "embeddings")
     vec = F.transform("embedding", lambda x: x.cast("double"))
     scaled = emb.select(
@@ -191,8 +194,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select(
         "vec_id",
         F.round(scale, 6).alias("scale"),
-        F.transform(
-            "vec", lambda x: F.floor(x * scale).cast("int")
+        F.array_join(
+            F.transform("vec", lambda x: F.floor(x * scale).cast("int")), ","
         ).alias("codes"),
     )
 
