@@ -176,11 +176,15 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                )) AS shingle
         FROM toks
       ) raw
+    ), keep AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100
+    ), shk AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
     ), counts AS (
-      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+      SELECT doc_id, COUNT(*) AS n_sh FROM shk GROUP BY doc_id
     ), shared AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -193,9 +197,16 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs; candidates from a shingle equi-join, never a cross join."""
+    """Exact n-gram Jaccard near-dup pairs; candidates from a shingle
+    equi-join, never a cross join.  ``max_shingle_df=100`` drops
+    boilerplate shingles shared by >100 docs — the hot-key guard that
+    keeps the candidate set sub-quadratic at scale (a shingle shared by
+    10k docs contributes ~5e7 pairs and zero dedup evidence).  The
+    oracle applies the identical document-frequency cap."""
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.1, max_shingle_df=100
+    )
 
 
 @register(
@@ -274,11 +285,15 @@ def doc_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
                )) AS shingle
         FROM toks
       ) raw
+    ), keep AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100
+    ), shk AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
     ), counts AS (
-      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+      SELECT doc_id, COUNT(*) AS n_sh FROM shk GROUP BY doc_id
     ), shared AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ), pairs AS (
       SELECT id_a, id_b FROM shared
@@ -301,11 +316,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: n-gram Jaccard pairs → connected components
     via iterative min-label propagation (functions/dedup.py).  The
     oracle recomputes components with a recursive CTE — the iterative
-    DataFrame algorithm is under the full value gate."""
+    DataFrame algorithm is under the full value gate.  The pair step
+    runs with the same ``max_shingle_df=100`` hot-shingle cap as
+    ``ngram_jaccard_dup_pairs`` (mirrored in the oracle), so the edge
+    list stays sub-quadratic at scale."""
     from tweets_spark_top_10_spark.functions.dedup import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.1, max_shingle_df=100
+    )
     return connected_components(pairs)
 
 

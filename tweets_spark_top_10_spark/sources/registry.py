@@ -113,6 +113,13 @@ SCHEMAS: dict[str, T.StructType] = {
 
 TABLES: tuple[str, ...] = tuple(SCHEMAS)
 
+# (session id, sf_dir, table) -> analyzed DataFrame. DataFrames are
+# immutable plans, so handing the same object to every query is safe and
+# skips re-listing the directory + re-reading parquet footers on each of
+# the catalog's ~130 load calls. Keyed by session id so a new session
+# (fresh driver process, restarted test fixture) never sees stale plans.
+_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; validate column names against the registry.
@@ -134,6 +141,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "spark.sql.shuffle.partitions",
             str(spark.sparkContext.defaultParallelism),
         )
+    key = (id(spark), sf_dir, name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     expected = {f.name: f.dataType for f in SCHEMAS[name].fields}
     missing = set(expected) - set(df.columns)
@@ -147,6 +158,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
             )
+    _DF_CACHE[key] = df
     return df
 
 
