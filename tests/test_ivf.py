@@ -41,3 +41,13 @@ def test_ivf_deterministic(spark, sf_dir):
     a = sorted(map(tuple, ivf_knn(q, c, k=5).collect()))
     b = sorted(map(tuple, ivf_knn(q, c, k=5).collect()))
     assert a == b
+
+
+def test_ivf_quantizer_no_single_partition_exchange(spark, sf_dir):
+    """The coarse quantizer must stay embarrassingly parallel: cell ids
+    come from a per-row div expression, never a global-sort row_number
+    (which plans an Exchange SinglePartition and serializes the
+    quantizer at scale)."""
+    q, c = _split(spark, sf_dir)
+    plan = ivf_knn(q, c, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan

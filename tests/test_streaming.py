@@ -208,6 +208,58 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir, events_dir, events
     assert not missing, f"{len(missing)} closed sessions never emitted: {sorted(missing)[:3]}"
 
 
+def test_stateful_session_absorbs_earlier_late_event(
+    spark, events_schema, tmp_path
+):
+    """A late-but-within-watermark event that PREDATES the stored
+    session's start must lower session_start to it (session_window
+    semantics: the merged session starts at its earliest member).
+
+    Regression test: the merge branch used to extend only session_end.
+    """
+    import datetime
+    import os
+
+    import pandas as pd
+    from tweets_spark_top_10_spark.streaming import sessionize_with_state
+
+    def write_batch(name, rows, mtime):
+        p = str(tmp_path / name)
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [pd.Timestamp(r[1]) for r in rows],
+                "user_id": [r[2] for r in rows],
+                "event_type": "x",
+                "value": 1.0,
+                "props": "{}",
+            }
+        ).to_parquet(p, coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.utime(p, (mtime, mtime))
+
+    t = datetime.datetime(2024, 1, 1, 10, 0)
+    h = datetime.timedelta(minutes=30)
+    # Batch 1: the session as first seen (10:30). Batch 2: a late event
+    # at 10:00 — older than the stored start, newer than the 2h
+    # watermark. Batch 3: a far-future event closing the session.
+    write_batch("b1.parquet", [(1, t + h, 1)], 1_000)
+    write_batch("b2.parquet", [(2, t, 1)], 2_000)
+    write_batch("b3.parquet", [(3, t + datetime.timedelta(hours=10), 99)], 3_000)
+
+    stream = file_stream(spark, str(tmp_path), events_schema, max_files_per_trigger=1)
+    sessions = sessionize_with_state(
+        stream, "ts", "user_id", gap_seconds=3600, watermark="2 hours"
+    )
+    q = run_to_memory(sessions, "late_start_sessions")
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("late_start_sessions").collect()
+        if r.user_id == 1
+    }
+    assert got == {(1, t, t + h, 2)}, got
+
+
 def test_streaming_top_k_matches_batch(spark, sf_dir, events_dir, events_schema, tmp_path):
     """The reference query, streaming: windowed counts -> per-window
     top-3 ranked in the foreachBatch sink -> partition-overwritten

@@ -130,12 +130,19 @@ def ivf_centroids(
     """Deterministic coarse quantizer: every ``stride``-th candidate by
     id becomes a cell centroid (stand-in for a k-means fit, which at
     scale runs once offline on a sample; determinism keeps the oracle
-    and tests stable)."""
-    w = Window.orderBy(F.asc(cand_id))
+    and tests stable).
+
+    The cell id is ``cand_id div stride`` — a pure per-row expression,
+    so the quantizer is embarrassingly parallel.  (An earlier version
+    ranked the strided sample with a global ``Window.orderBy``
+    row_number: correct, but a single-partition sort that serializes
+    the quantizer if it ever runs over the full corpus.  A plan test
+    asserts the single-partition window stays gone.)
+    """
     return (
         candidates.filter(F.col(cand_id) % stride == 0)
-        .withColumn("cell_id", F.row_number().over(w).cast("int"))
-        .filter(F.col("cell_id") <= n_cells)
+        .withColumn("cell_id", F.expr(f"{cand_id} div {stride}").cast("int"))
+        .filter((F.col("cell_id") >= 1) & (F.col("cell_id") <= n_cells))
         .select("cell_id", F.col(vec_col).alias("centroid"))
     )
 

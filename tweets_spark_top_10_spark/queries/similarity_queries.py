@@ -216,10 +216,10 @@ _COS = (
     ), q AS (
       SELECT vec_id AS query_id, vec FROM v WHERE vec_id < 10
     ), cents AS (
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY neighbor_id ASC) AS INT) AS cell_id,
+      SELECT CAST(neighbor_id // 97 AS INT) AS cell_id,
              vec AS centroid
-      FROM cand WHERE neighbor_id % 97 = 0
-      QUALIFY cell_id <= 16
+      FROM cand
+      WHERE neighbor_id % 97 = 0 AND neighbor_id // 97 BETWEEN 1 AND 16
     ), cand_cells AS (
       SELECT neighbor_id, vec, cell_id FROM (
         SELECT c.neighbor_id, c.vec, ct.cell_id,

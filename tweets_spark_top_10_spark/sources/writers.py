@@ -36,19 +36,30 @@ def compact_parquet(
     driver chokes on listing).  Read → coalesce (no shuffle) → write to
     a sibling tmp dir → atomic-ish swap.  At real scale this runs per
     partition, not per table.  Returns the new file count.
+
+    Row preservation is checked against the SOURCE count (counted before
+    the rewrite), and the swap keeps the original directory intact until
+    the compacted copy has passed that check: original -> renamed aside,
+    tmp -> live, aside deleted last.  A crash mid-swap leaves either the
+    original or both copies on disk — never neither.
     """
     import glob
     import os
     import shutil
 
-    df = spark.read.parquet(path)
+    before = spark.read.parquet(path).count()
     tmp = path.rstrip("/") + tmp_suffix
-    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    before = spark.read.parquet(tmp).count()
-    shutil.rmtree(path)
+    spark.read.parquet(path).coalesce(target_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    compacted = spark.read.parquet(tmp).count()
+    if compacted != before:
+        shutil.rmtree(tmp)
+        raise AssertionError(f"compaction lost rows: {before} -> {compacted}")
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path, old)
     os.rename(tmp, path)
-    after = spark.read.parquet(path).count()
-    assert before == after, f"compaction lost rows: {before} -> {after}"
+    shutil.rmtree(old)
     return len(glob.glob(f"{path}/part-*.parquet"))
 
 

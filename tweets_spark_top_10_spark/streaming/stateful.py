@@ -106,6 +106,12 @@ def sessionize_with_state(
             else:
                 if cur_n == 0:
                     cur_start = t
+                else:
+                    # A late-but-within-watermark event can predate the
+                    # stored session's start (cross-batch arrival);
+                    # session_window semantics start the merged session
+                    # at the earliest member.
+                    cur_start = min(cur_start, t)
                 cur_end = max(cur_end, t)
                 cur_n += 1
         state.update((cur_start, cur_end, cur_n))
