@@ -162,6 +162,47 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_exact_rerank(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed on CANDIDATE pairs only.
+
+    The scale contract of LSH: the all-pairs join never happens; exact
+    similarity runs on the (sub-quadratic) candidate set.  Plan shape:
+    candidates join shingles of side a (explodes each pair by a's
+    shingles), equi-join side b on (id_b, shingle) to count the
+    intersection, then the Jaccard filter.  Cost is
+    O(|candidates| x shingles/doc), independent of corpus size.
+
+    Output: (id_a, id_b, jaccard) — exact, rounded to 6 digits.
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    pa = pairs.select("id_a", "id_b").distinct()
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    shared = (
+        pa.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",

@@ -49,6 +49,7 @@ _NEVER_CHECKED = [
     "doc_sentences_udtf",
     "ngram_jaccard_dup_pairs",
     "simhash_near_dups",
+    "simhash_invariants",
     "minhash_lsh_candidates",
     "dedup_components",
 ]

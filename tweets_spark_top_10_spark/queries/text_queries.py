@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from tweets_spark_top_10_spark.functions.dedup import (
     exact_dedup,
+    lsh_exact_rerank,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
 )
@@ -409,17 +410,149 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", language_id(toks).alias("lang_pred"))
 
 
-@register("minhash_lsh_candidates", oracle=None)  # LSH banding — rows-only gate
+@register(
+    "minhash_lsh_candidates",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS arr
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(arr) - 1, 1)),
+                 i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]
+               )) AS shingle
+        FROM toks
+      ) raw
+    ), counts AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared), 6)
+             AS jaccard
+    FROM shared
+    JOIN counts ca ON ca.doc_id = id_a
+    JOIN counts cb ON cb.doc_id = id_b
+    WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5
+    """,
+)
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs (banding): sub-quadratic candidate generation over shingle sets."""
+    """MinHash-LSH banding + exact rerank, under a FULL value oracle.
+
+    Candidates come from ``pyspark.ml`` MinHashLSH banding
+    (sub-quadratic, approx threshold 0.3); exact 3-gram Jaccard is then
+    computed on the candidate pairs only (``lsh_exact_rerank``) and cut
+    at 0.5.  The oracle computes the TRUE all-pairs Jaccard>=0.5 set in
+    SQL, so the comparison is a driver-visible recall gate on the
+    banding itself: if LSH ever drops a true >=0.5 pair, the row set
+    mismatches.  (The banding-retention property is also pytest-gated
+    at threshold 0.5 across fixtures; 4 OR-ed hash tables at
+    approx-cut 0.3 give miss probability (1-s)^4 <= 0.0625 per s=0.5
+    pair, and the fixed seed makes the achieved full recall
+    deterministic.)  At 100 TB the oracle side is the thing you can no
+    longer afford — the registered plan (banding + candidate-restricted
+    rerank) is the scale path.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.3)
+    cands = minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.3)
+    return lsh_exact_rerank(docs, cands, "text", "doc_id", n=3, threshold=0.5)
+
+
+@register(
+    "simhash_invariants",
+    oracle=r"""
+    WITH seeds AS (
+      SELECT COUNT(*) AS n FROM documents WHERE doc_id % 10 = 0
+    ), norm AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+      FROM documents
+    ), dup_pairs AS (
+      SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS n
+      FROM (SELECT COUNT(*) AS c FROM norm GROUP BY h) g
+    )
+    SELECT seeds.n AS n_seeded,
+           seeds.n AS n_seeded_found,
+           dup_pairs.n AS n_exact_dup_pairs,
+           CAST(0 AS BIGINT) AS n_exact_dups_missed
+    FROM seeds, dup_pairs
+    """,
+)
+def simhash_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible invariant gate for the SimHash sketch.
+
+    SimHash signatures are ``xxhash64``-specific, so no SQL engine can
+    replay the pair list itself — instead this query checks two
+    MATHEMATICAL guarantees end-to-end and emits counts the oracle
+    derives independently:
+
+    - **Seeded reorder pairs**: every 10th document is re-added with its
+      tokens reversed (same token multiset, id + 10^6).  SimHash is a
+      function of the token multiset, so each (original, reversed) pair
+      has Hamming distance 0 and the 4x16-bit banding MUST surface it.
+      ``n_seeded_found`` == ``n_seeded`` or the gate fails.
+    - **Exact-dup pairs**: documents with identical normalized text
+      (the ``content_hash`` fingerprint) also hash identically;
+      ``n_exact_dups_missed`` must be 0.
+
+    The gate catches order-dependence bugs in the signature, banding
+    that drops d=0 pairs, and any partitioning nondeterminism — the
+    failure modes a sketch actually has.
+    """
+    from tweets_spark_top_10_spark.functions.dedup import (
+        content_hash,
+        simhash64,
+        simhash_near_pairs,
+    )
+
+    offset = 1_000_000
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeds = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + offset).alias("doc_id"),
+        F.array_join(F.reverse(tokenize(F.col("text"))), " ").alias("text"),
+    )
+    corpus = docs.unionByName(seeds)
+    par = spark.sparkContext.defaultParallelism
+    pairs = simhash_near_pairs(
+        simhash64(corpus.repartition(par)), max_hamming=3
+    ).persist()
+
+    n_seeded = seeds.agg(F.count(F.lit(1)).alias("n_seeded"))
+    seeded_found = pairs.filter(
+        (F.col("id_b") == F.col("id_a") + offset)
+        & (F.col("id_a") % 10 == 0)
+        & (F.col("id_a") < offset)
+    ).agg(F.count(F.lit(1)).alias("n_seeded_found"))
+
+    h = docs.select(content_hash(F.col("text")).alias("h"), "doc_id")
+    dup_pairs = (
+        h.alias("a")
+        .join(h.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    n_dups = dup_pairs.agg(F.count(F.lit(1)).alias("n_exact_dup_pairs"))
+    missed = dup_pairs.join(
+        pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_exact_dups_missed"))
+
+    return n_seeded.crossJoin(seeded_found).crossJoin(n_dups).crossJoin(missed)
 
 
 @register("simhash_near_dups", oracle=None)  # bit-sketch — rows-only gate
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-banded near-dup pairs: 64-bit sketches via Pandas UDF,
-    candidates from 16-bit-band equi-joins, exact popcount filter."""
+    """SimHash-banded near-dup pairs: 64-bit JVM-side sketches,
+    candidates from 16-bit-band equi-joins, exact popcount filter.
+    Pair values are ``xxhash64``-specific (rows-only here); the sketch's
+    guarantees are value-gated by ``simhash_invariants``."""
     from tweets_spark_top_10_spark.functions.dedup import (
         simhash64,
         simhash_near_pairs,
