@@ -62,18 +62,70 @@ def main() -> None:
             print(f"# bench failure {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "cpus": int(cpus),
-            }
+    out = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cpus": int(cpus),
+    }
+
+    # Regression tracking: per-query delta vs the newest BENCH_r*.json
+    # recorded by the round driver (only comparable at the same sf).
+    prev = _latest_round_timings(os.path.dirname(os.path.abspath(__file__)), float(sf))
+    if prev:
+        ref_name, ref_q = prev
+        out["delta_vs"] = ref_name
+        out["delta_s"] = {
+            n: round(t - ref_q[n], 3)
+            for n, t in timings.items()
+            if n in ref_q and t >= 0 and ref_q[n] >= 0
+        }
+        regressed = sorted(
+            (n for n, d in out["delta_s"].items() if d > max(0.5, 0.5 * ref_q[n])),
+            key=lambda n: -out["delta_s"][n],
         )
-    )
+        out["regressed"] = regressed
+
+    print(json.dumps(out))
+
+
+def _latest_round_timings(repo_dir: str, sf: float):
+    """(filename, {query: sec}) from the newest BENCH_r*.json at this sf."""
+    import glob
+    import re
+
+    best = None
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+            if float(rec.get("sf", rec.get("parsed", {}).get("sf", -1) if isinstance(rec.get("parsed"), dict) else -1)) != sf:
+                continue
+            q = None
+            parsed = rec.get("parsed")
+            if isinstance(parsed, dict):
+                q = parsed.get("queries")
+            if q is None and isinstance(rec.get("queries"), dict):
+                q = rec["queries"]
+            if q is None and isinstance(rec.get("tail"), str):
+                # tail is a fragment like '"queries": {...}, "sf": ...' —
+                # decode just the first JSON object after the marker.
+                tail = rec["tail"]
+                idx = tail.find('"queries"')
+                if idx >= 0:
+                    brace = tail.find("{", idx)
+                    if brace >= 0:
+                        q, _ = json.JSONDecoder().raw_decode(tail[brace:])
+            if q and (best is None or int(m.group(1)) > best[0]):
+                best = (int(m.group(1)), os.path.basename(path), q)
+        except (ValueError, KeyError, OSError, IndexError):
+            continue
+    return (best[1], best[2]) if best else None
 
 
 if __name__ == "__main__":

@@ -225,13 +225,29 @@ def connected_components(
     Deterministic given any pair list; only nodes appearing in pairs
     are labeled (isolated docs are trivially their own cluster).
     """
-    fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    rev = pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    edges = fwd.unionByName(rev).distinct().persist()
-    comp = (
-        edges.select(F.col("a").alias("n"))
+    # Symmetrize with one explode, NOT a self-union: a union of two
+    # selects evaluates the (often expensive) upstream pair plan twice.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
-        .withColumn("comp", F.col("n"))
+        .persist()
+    )
+    # Initialize with the 1-hop minimum (min of self and neighbors)
+    # instead of self: near-dup components are shallow (pairs/cliques),
+    # so most converge immediately and the loop below only confirms.
+    comp = (
+        edges.select(F.col("a").alias("n"), F.col("b").alias("comp"))
+        .unionByName(edges.select(F.col("a").alias("n"), F.col("a").alias("comp")))
+        .groupBy("n")
+        .agg(F.min("comp").alias("comp"))
         .localCheckpoint(eager=True)
     )
     # The convergence probe (a driver-side count of changed labels)
@@ -251,7 +267,10 @@ def connected_components(
         )
         prev = comp
         comp = new_comp
-        if it % 2 == 1 or it == max_iter - 1:
+        # Even iterations: with 1-hop-min init, shallow components are
+        # already at their fixed point when it=0, so the first probe
+        # usually ends the loop after a single confirmation round.
+        if it % 2 == 0 or it == max_iter - 1:
             changed = (
                 new_comp.alias("x")
                 .join(prev.alias("y"), "n")

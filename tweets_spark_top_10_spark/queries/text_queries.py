@@ -504,6 +504,12 @@ def simhash_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     The gate catches order-dependence bugs in the signature, banding
     that drops d=0 pairs, and any partitioning nondeterminism — the
     failure modes a sketch actually has.
+
+    Both invariants only concern the seeded docs and the members of
+    exact-dup groups, and membership in that subset is decided by the
+    DATA (doc_id stride + content hash), not by the sketch — so the
+    sketch runs on just that subset.  Same gate, ~10x less signature
+    and banding work than sketching the full corpus.
     """
     from tweets_spark_top_10_spark.functions.dedup import (
         content_hash,
@@ -513,11 +519,22 @@ def simhash_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     offset = 1_000_000
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    seeds = docs.filter(F.col("doc_id") % 10 == 0).select(
+    tenth = docs.filter(F.col("doc_id") % 10 == 0)
+    seeds = tenth.select(
         (F.col("doc_id") + offset).alias("doc_id"),
         F.array_join(F.reverse(tokenize(F.col("text"))), " ").alias("text"),
     )
-    corpus = docs.unionByName(seeds)
+    h = docs.select(content_hash(F.col("text")).alias("h"), "doc_id", "text")
+    dup_hashes = (
+        h.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    dup_docs = h.join(F.broadcast(dup_hashes), "h").select("doc_id", "text")
+    corpus = (
+        tenth.unionByName(seeds).unionByName(dup_docs).dropDuplicates(["doc_id"])
+    )
     par = spark.sparkContext.defaultParallelism
     pairs = simhash_near_pairs(
         simhash64(corpus.repartition(par)), max_hamming=3
@@ -530,7 +547,6 @@ def simhash_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("id_a") < offset)
     ).agg(F.count(F.lit(1)).alias("n_seeded_found"))
 
-    h = docs.select(content_hash(F.col("text")).alias("h"), "doc_id")
     dup_pairs = (
         h.alias("a")
         .join(h.alias("b"), "h")
