@@ -150,3 +150,26 @@ def test_minhash_lsh_recall_of_high_sim_pairs(spark, sf_dir):
     }
     recall = len(exact & cand) / len(exact)
     assert recall >= 0.9, f"LSH lost high-sim pairs: recall={recall:.2f}"
+
+
+def test_minhash_band_recall_is_full(spark, sf_dir):
+    """The hand-rolled banding (the registered catalog path) must retain
+    EVERY exact-Jaccard>=0.5 pair — it backs a full value oracle, so a
+    single dropped pair is a driver mismatch.  8 OR-ed tables give miss
+    probability (1-s)^8 per pair; the fixed seed makes the achieved
+    full recall deterministic per fixture."""
+    from tweets_spark_top_10_spark.functions.dedup import (
+        minhash_band_pairs,
+        ngram_jaccard_pairs,
+    )
+    from tweets_spark_top_10_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact, "fixture has no high-similarity pairs"
+    cand = {(r.id_a, r.id_b) for r in minhash_band_pairs(docs).collect()}
+    missed = exact - cand
+    assert not missed, f"banding dropped true pairs: {sorted(missed)[:5]}"

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from tweets_spark_top_10_spark.functions.dedup import (
     exact_dedup,
     lsh_exact_rerank,
-    minhash_lsh_pairs,
+    minhash_band_pairs,
     ngram_jaccard_pairs,
 )
 from tweets_spark_top_10_spark.functions.text import (
@@ -443,25 +443,34 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH banding + exact rerank, under a FULL value oracle.
+    """MinHash banding + exact rerank, under a FULL value oracle.
 
-    Candidates come from ``pyspark.ml`` MinHashLSH banding
-    (sub-quadratic, approx threshold 0.3); exact 3-gram Jaccard is then
-    computed on the candidate pairs only (``lsh_exact_rerank``) and cut
-    at 0.5.  The oracle computes the TRUE all-pairs Jaccard>=0.5 set in
-    SQL, so the comparison is a driver-visible recall gate on the
-    banding itself: if LSH ever drops a true >=0.5 pair, the row set
-    mismatches.  (The banding-retention property is also pytest-gated
-    at threshold 0.5 across fixtures; 4 OR-ed hash tables at
-    approx-cut 0.3 give miss probability (1-s)^4 <= 0.0625 per s=0.5
-    pair, and the fixed seed makes the achieved full recall
-    deterministic.)  At 100 TB the oracle side is the thing you can no
-    longer afford — the registered plan (banding + candidate-restricted
-    rerank) is the scale path.
+    Candidates come from hand-rolled MinHash banding
+    (``minhash_band_pairs``: 8 OR-ed tables, one codegen'd hash
+    aggregate, band equi-joins — sub-quadratic and ~4x faster than the
+    ``pyspark.ml`` MinHashLSH pipeline it replaced); exact 3-gram
+    Jaccard is then computed on the candidate pairs only
+    (``lsh_exact_rerank``) and cut at 0.5.  The oracle computes the
+    TRUE all-pairs Jaccard>=0.5 set in SQL, so the comparison is a
+    driver-visible recall gate on the banding itself: if the banding
+    ever drops a true >=0.5 pair, the row set mismatches.  (Retention
+    is also pytest-gated across fixtures; 8 OR-ed tables give miss
+    probability (1-s)^8 <= 0.4% per s=0.5 pair, and the fixed seed
+    makes the achieved full recall deterministic.)  At 100 TB the
+    oracle side is the thing you can no longer afford — the registered
+    plan (banding + candidate-restricted rerank) is the scale path.
     """
+    from tweets_spark_top_10_spark.functions.dedup import shingle_table
+
     docs = load_table(spark, sf_dir, "documents")
-    cands = minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.3)
-    return lsh_exact_rerank(docs, cands, "text", "doc_id", n=3, threshold=0.5)
+    # One shingle table shared by banding and rerank (it is referenced
+    # four times across the two phases) — at scale, a materialized
+    # per-corpus intermediate; in-session, persist.
+    sh = shingle_table(docs, "text", "doc_id", n=3).persist()
+    cands = minhash_band_pairs(docs, "text", "doc_id", n=3, shingles=sh)
+    return lsh_exact_rerank(
+        docs, cands, "text", "doc_id", n=3, threshold=0.5, shingles=sh
+    )
 
 
 @register(
@@ -524,7 +533,11 @@ def simhash_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + offset).alias("doc_id"),
         F.array_join(F.reverse(tokenize(F.col("text"))), " ").alias("text"),
     )
-    h = docs.select(content_hash(F.col("text")).alias("h"), "doc_id", "text")
+    # h is referenced three times (dup-hash agg, corpus build, dup-pair
+    # self-join) — persist so the scan+md5 runs once, not three times.
+    h = docs.select(
+        content_hash(F.col("text")).alias("h"), "doc_id", "text"
+    ).persist()
     dup_hashes = (
         h.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -532,8 +545,10 @@ def simhash_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
     )
     dup_docs = h.join(F.broadcast(dup_hashes), "h").select("doc_id", "text")
-    corpus = (
-        tenth.unionByName(seeds).unionByName(dup_docs).dropDuplicates(["doc_id"])
+    # Disjoint three-way union (seed ids are offset; dup members already
+    # in the tenth stride are excluded) — no dropDuplicates shuffle.
+    corpus = tenth.unionByName(seeds).unionByName(
+        dup_docs.filter(F.col("doc_id") % 10 != 0)
     )
     par = spark.sparkContext.defaultParallelism
     pairs = simhash_near_pairs(
