@@ -148,8 +148,38 @@ def test_foreach_batch_overwrite_idempotent(
     assert first == second
 
 
-def test_stateful_sessionization_matches_batch(spark, sf_dir, events_dir, events_schema):
-    """applyInPandasWithState sessions == batch lag-gap sessions.
+def _has_protobuf() -> bool:
+    # transformWithStateInPandas speaks protobuf to the state server;
+    # the runtime dependency is missing from this container (PySpark
+    # declares it optional) and installs are unavailable.
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.parametrize(
+    "impl",
+    [
+        "apply_in_pandas",
+        pytest.param(
+            "transform_with_state",
+            marks=pytest.mark.skipif(
+                not _has_protobuf(),
+                reason="transformWithStateInPandas needs google.protobuf "
+                "(absent from container; pip install unavailable) — the "
+                "differential gate runs wherever protobuf exists",
+            ),
+        ),
+    ],
+)
+def test_stateful_sessionization_matches_batch(
+    spark, sf_dir, events_dir, events_schema, impl
+):
+    """Stateful sessions == batch lag-gap sessions, for BOTH custom-state
+    APIs (applyInPandasWithState and transformWithStateInPandas).
 
     Closed-session semantics: every batch session that ends more than
     (gap + watermark-delay) before the max event time MUST be emitted by
@@ -158,18 +188,26 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir, events_dir, events
     import datetime
 
     from pyspark.sql import Window
-    from tweets_spark_top_10_spark.streaming import sessionize_with_state
+    from tweets_spark_top_10_spark.streaming import (
+        sessionize_transform_with_state,
+        sessionize_with_state,
+    )
 
+    sessionize = (
+        sessionize_with_state
+        if impl == "apply_in_pandas"
+        else sessionize_transform_with_state
+    )
     gap_s, wm_s = 7200, 600
     stream = file_stream(spark, events_dir, events_schema, max_files_per_trigger=1)
-    sessions = sessionize_with_state(
+    sessions = sessionize(
         stream, "ts", "user_id", gap_seconds=gap_s, watermark="10 minutes"
     )
-    q = run_to_memory(sessions, "state_sessions")
+    q = run_to_memory(sessions, f"state_sessions_{impl}")
     q.awaitTermination()
     got = {
         (r.user_id, r.session_start, r.session_end, r.n_events)
-        for r in spark.table("state_sessions").collect()
+        for r in spark.table(f"state_sessions_{impl}").collect()
     }
     assert got, "stateful stream emitted nothing"
 

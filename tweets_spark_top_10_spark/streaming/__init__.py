@@ -17,13 +17,17 @@ from tweets_spark_top_10_spark.streaming.windows import (
 )
 from tweets_spark_top_10_spark.streaming.dedup import dedup_stream
 from tweets_spark_top_10_spark.streaming.sinks import foreach_batch_overwrite, run_to_memory
-from tweets_spark_top_10_spark.streaming.stateful import sessionize_with_state
+from tweets_spark_top_10_spark.streaming.stateful import (
+    sessionize_transform_with_state,
+    sessionize_with_state,
+)
 
 __all__ = [
     "file_stream",
     "windowed_count",
     "windowed_top_k",
     "session_agg",
+    "sessionize_transform_with_state",
     "sessionize_with_state",
     "dedup_stream",
     "foreach_batch_overwrite",

@@ -24,6 +24,12 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    ExpiredTimerInfo,
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
 from pyspark.sql.types import (
     LongType,
     StructField,
@@ -127,5 +133,129 @@ def sessionize_with_state(
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+class _SessionProcessor(StatefulProcessor):
+    """Gap-sessionization as a ``StatefulProcessor`` (the Spark 4
+    ``transformWithStateInPandas`` API — typed state variables + explicit
+    timers, superseding ``applyInPandasWithState``'s single state tuple).
+
+    Same state machine as :func:`sessionize_with_state`: closed sessions
+    emit immediately; the open session lives in a value state and a
+    registered event-time timer at ``session_end + gap`` emits it when
+    the watermark passes.  The timer is re-registered (old one deleted)
+    whenever new events extend the session, so exactly one timer per key
+    is live — timer count scales with open keys, not event volume.
+    """
+
+    def __init__(self, ts_col: str, gap_us: int) -> None:
+        self._ts_col = ts_col
+        self._gap_us = gap_us
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._state = handle.getValueState(
+            "session", "start_us LONG, end_us LONG, n LONG"
+        )
+
+    @staticmethod
+    def _emit(user_id: Any, start_us: int, end_us: int, n: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(end_us, unit="us")],
+                "n_events": [n],
+            }
+        )
+
+    def handleInputRows(
+        self,
+        key: Any,
+        rows: Iterator[pd.DataFrame],
+        timerValues: TimerValues,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        ts_us = sorted(
+            int(t.value) // 1000  # pandas Timestamp.value is nanoseconds
+            for pdf in rows
+            for t in pdf[self._ts_col]
+            if t is not None
+        )
+        if not ts_us:
+            return
+        stored = self._state.get()
+        if stored is not None:
+            cur_start, cur_end, cur_n = stored
+            # One live timer per key: drop the one armed for the old end.
+            self._handle.deleteTimer((cur_end + self._gap_us) // 1000)
+        else:
+            cur_start, cur_end, cur_n = 0, 0, 0
+        for t in ts_us:
+            if cur_n > 0 and t - cur_end > self._gap_us:
+                yield self._emit(user_id, cur_start, cur_end, cur_n)
+                cur_start, cur_end, cur_n = t, t, 1
+            else:
+                if cur_n == 0:
+                    cur_start = t
+                else:
+                    # Late-but-within-watermark events can predate the
+                    # stored start (session_window semantics: merged
+                    # sessions start at their earliest member).
+                    cur_start = min(cur_start, t)
+                cur_end = max(cur_end, t)
+                cur_n += 1
+        self._state.update((cur_start, cur_end, cur_n))
+        self._handle.registerTimer((cur_end + self._gap_us) // 1000)
+
+    def handleExpiredTimer(
+        self,
+        key: Any,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        stored = self._state.get()
+        if stored is None:
+            return
+        start_us, end_us, n = stored
+        self._state.clear()
+        yield self._emit(user_id, start_us, end_us, n)
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize_transform_with_state(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_seconds: int = 7200,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """:func:`sessionize_with_state` on the ``transformWithStateInPandas``
+    API — identical closed-session semantics (gated by the same
+    batch-differential test), expressed with a typed value state and
+    explicit per-key event-time timers instead of the implicit
+    single-timeout ``GroupState``.
+
+    Environment note: the API's Python<->state-server protocol needs
+    ``google.protobuf`` (an optional PySpark dependency, absent from
+    this container, installs unavailable) — running the query without it
+    fails loudly at stream start with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE.  The differential
+    test skips (with that reason) where protobuf is missing and runs
+    everywhere else.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=_SessionProcessor(ts_col, gap_seconds * _US),
+            outputStructType=SESSION_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
         )
     )
