@@ -84,6 +84,10 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
             spark.range(1).count()
 
+    # PQ recall/latency curve: coarse -> fine decompositions of the same
+    # 64-dim space, each timed and scored against the exact cosine scan.
+    pq_curve = _pq_recall_curve(spark, sf_dir)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     out = {
         "metric": "catalog_total_wall",
@@ -93,6 +97,8 @@ def main() -> None:
         "sf": float(sf),
         "cpus": int(cpus),
     }
+    if pq_curve:
+        out["pq_curve"] = pq_curve
 
     # Regression tracking: per-query delta vs the newest BENCH_r*.json
     # recorded by the round driver (only comparable at the same sf).
@@ -112,6 +118,62 @@ def main() -> None:
         out["regressed"] = regressed
 
     print(json.dumps(out))
+
+
+def _pq_recall_curve(spark, sf_dir: str) -> list[dict]:
+    """recall@5 + wall seconds for PQ/ADC at three (m, sub_dim) points
+    against the exact cosine top-5 — the compression/accuracy tradeoff
+    the PQ operator exists to navigate."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from tweets_spark_top_10_spark.functions.pq import pq_adc_topk
+    from tweets_spark_top_10_spark.functions.similarity import (
+        brute_force_knn,
+        l2_norm,
+    )
+    from tweets_spark_top_10_spark.sources.registry import load_table
+
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = l2_norm(F.col("embedding"))
+        normed = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double") / n).alias(
+                "embedding"
+            ),
+        )
+        q = normed.filter(F.col("vec_id") < 10).withColumnRenamed(
+            "vec_id", "query_id"
+        )
+        c = normed.filter(F.col("vec_id") >= 10).withColumnRenamed(
+            "vec_id", "neighbor_id"
+        ).repartition(spark.sparkContext.defaultParallelism)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_knn(q, c, k=5).collect()
+        }
+        curve = []
+        for m, sub_dim in [(4, 16), (8, 8), (16, 4)]:
+            start = time.perf_counter()
+            approx = {
+                (r.query_id, r.neighbor_id)
+                for r in pq_adc_topk(q, c, k=5, m=m, sub_dim=sub_dim).collect()
+            }
+            curve.append(
+                {
+                    "m": m,
+                    "sub_dim": sub_dim,
+                    "recall_at5": round(len(exact & approx) / len(exact), 3),
+                    "sec": round(time.perf_counter() - start, 3),
+                }
+            )
+        spark.catalog.clearCache()
+        return curve
+    except Exception as exc:  # the curve is telemetry, never a bench failure
+        print(f"# pq curve failure: {exc}", file=sys.stderr)
+        return []
 
 
 def _latest_round_timings(repo_dir: str, sf: float):

@@ -1,0 +1,170 @@
+"""Product quantization (PQ) for embedding columns.
+
+[EXT] surface (SURVEY.md §2.2 similarity family; builds on the int8
+path in ``queries/similarity_queries.py``).  PQ is the standard
+compression for billion-vector ANN (Jegou et al., "Product Quantization
+for Nearest Neighbor Search", TPAMI 2011): split each vector into M
+subvectors, quantize each against a per-subspace codebook of K
+centroids, and answer queries with an asymmetric distance computation
+(ADC) — the query stays full-precision and per-candidate distance is a
+sum of M lookup-table entries, never a full-width dot product.
+
+Scale design (billions of vectors):
+- Codes are M small ints per vector (M bytes at K<=256) — a 64-dim
+  float32 vector shrinks 64x.  The codes table is the only thing the
+  query-time scan reads.
+- The LUT (queries x M x K subspace distances) is tiny and broadcast;
+  the ADC scan is an equi-join on (subspace, code) followed by a
+  partial-aggregated SUM — shuffle keyed by (query, candidate), no
+  vector math on the candidate side at all.
+- The codebook here is a deterministic strided sample (same convention
+  as ``ivf_centroids``; a real deployment k-means-fits offline on a
+  sample).  Determinism keeps the DuckDB oracle and tests exact —
+  every step (argmin encode, LUT, ADC ranking) rounds before compare
+  and tie-breaks on ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tweets_spark_top_10_spark.functions.similarity import dot
+
+
+def l2_sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance via three dot products (same double-fold
+    arithmetic as the cosine path, so oracles replay it exactly)."""
+    return dot(a, a) - 2 * dot(a, b) + dot(b, b)
+
+
+def l2_sq_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Squared L2 distance as ``dim`` unrolled (a_i-b_i)^2 terms.
+
+    Higher-order array functions (``aggregate``/``zip_with``) evaluate
+    their lambdas interpreted, per element — fine per row, but the PQ
+    encode join touches |vectors| x K rows per subspace and the lambda
+    overhead dominated (13s -> ~1s at sf0.1).  Unrolled element_at
+    arithmetic stays inside whole-stage codegen; the oracle SQL spells
+    out the SAME left-associated term order, so doubles round-trip
+    bit-identically."""
+    def term(i: int) -> Column:
+        d = F.element_at(a, i) - F.element_at(b, i)
+        return d * d
+
+    out = term(1)
+    for i in range(2, dim + 1):
+        out = out + term(i)
+    return out
+
+
+def _explode_subvectors(
+    df: DataFrame, id_col: str, vec_col: str, m: int, sub_dim: int
+) -> DataFrame:
+    """(id, m, sub_vec): the vector split into ``m`` contiguous
+    ``sub_dim``-wide subvectors, long format (one explode, no shuffle)."""
+    parts = [
+        F.struct(
+            F.lit(j).alias("m"),
+            F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim).alias("sub_vec"),
+        )
+        for j in range(m)
+    ]
+    return df.select(
+        F.col(id_col), F.explode(F.array(*parts)).alias("e")
+    ).select(F.col(id_col), F.col("e.m").alias("m"), F.col("e.sub_vec").alias("sub_vec"))
+
+
+def pq_codebook(
+    candidates: DataFrame,
+    cand_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    sub_dim: int = 4,
+    n_codes: int = 128,
+    stride: int = 7,
+) -> DataFrame:
+    """(m, code, sub_centroid): per-subspace codebooks from every
+    ``stride``-th candidate (code = id div stride, 1..n_codes) — a pure
+    per-row expression, order-free and embarrassingly parallel, exactly
+    the ``ivf_centroids`` convention.  Each sampled vector contributes
+    its m-th subvector to subspace m's codebook."""
+    cents = (
+        candidates.filter(F.col(cand_id) % stride == 0)
+        .withColumn("code", F.expr(f"{cand_id} div {stride}").cast("int"))
+        .filter((F.col("code") >= 1) & (F.col("code") <= n_codes))
+    )
+    return _explode_subvectors(cents, "code", vec_col, m, sub_dim).select(
+        "m", "code", F.col("sub_vec").alias("sub_centroid")
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    m: int = 16,
+    sub_dim: int = 4,
+    round_digits: int = 9,
+) -> DataFrame:
+    """(id, m, code): each subvector's nearest codebook entry.
+
+    Argmin is one hash aggregate — MIN over a (rounded distance, code)
+    struct, so ties break on the smaller code deterministically.  The
+    codebook is broadcast; nothing shuffles but the final aggregate,
+    keyed by (id, m) — uniform by construction.
+    """
+    sub = _explode_subvectors(vectors, id_col, vec_col, m, sub_dim)
+    d2 = F.round(
+        l2_sq_unrolled(F.col("sub_vec"), F.col("sub_centroid"), sub_dim),
+        round_digits,
+    )
+    return (
+        sub.join(F.broadcast(codebook), "m")
+        .groupBy(id_col, "m")
+        .agg(F.min(F.struct(d2.alias("d"), F.col("code"))).alias("b"))
+        .select(F.col(id_col), F.col("m"), F.col("b.code").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    sub_dim: int = 4,
+    n_codes: int = 128,
+    stride: int = 7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-K by PQ/ADC: candidates are scanned as M-byte
+    codes; per-candidate distance is SUM of M broadcast-LUT entries.
+
+    Output: (query_id, cand_id, approx_d2, rank) — rank by rounded ADC
+    distance, candidate id as tie-break (deterministic, oracle-exact).
+    """
+    cb = pq_codebook(candidates, cand_id, vec_col, m, sub_dim, n_codes, stride)
+    codes = pq_encode(candidates, cb, cand_id, vec_col, m, sub_dim)
+    qsub = _explode_subvectors(queries, query_id, vec_col, m, sub_dim)
+    lut = qsub.join(F.broadcast(cb), "m").select(
+        F.col(query_id),
+        "m",
+        "code",
+        l2_sq_unrolled(F.col("sub_vec"), F.col("sub_centroid"), sub_dim).alias(
+            "lut_d2"
+        ),
+    )
+    approx = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy(query_id, cand_id)
+        .agg(F.round(F.sum("lut_d2"), round_digits).alias("approx_d2"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc("approx_d2"), F.asc(cand_id))
+    return (
+        approx.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -277,3 +277,144 @@ def lsh_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), "embedding"
     )
     return lsh_knn(queries, cands, k=5)
+
+
+# L2-normalized double vectors: PQ approximates squared L2, and on unit
+# vectors L2^2 = 2 - 2*cos, so ADC ranking tracks the cosine ranking the
+# rest of the similarity family uses.  16 subspaces x 4 dims, codebook =
+# every 7th candidate (codes 1..128) — the deterministic stand-in for an
+# offline k-means fit, replayed exactly by the oracle.
+_NORM_VEC = (
+    "list_transform(embedding, x -> CAST(x AS DOUBLE) / "
+    f"sqrt(list_dot_product({_DOUBLE_VEC}, {_DOUBLE_VEC})))"
+)
+
+# Unrolled squared-L2 over 4-dim subvectors — textually the SAME
+# left-associated term order the Spark side codegens (l2_sq_unrolled),
+# so doubles round-trip bit-identically.
+_L2SQ4 = " + ".join(
+    f"({{a}}[{i}] - {{b}}[{i}]) * ({{a}}[{i}] - {{b}}[{i}])" for i in range(1, 5)
+)
+
+_PQ_CB = f"""
+    ms AS (SELECT unnest(range(16)) AS m),
+    cb AS (
+      SELECT ms.m, CAST(c.neighbor_id // 7 AS INT) AS code,
+             c.vec[ms.m * 4 + 1 : ms.m * 4 + 4] AS sub_c
+      FROM cand c CROSS JOIN ms
+      WHERE c.neighbor_id % 7 = 0 AND c.neighbor_id // 7 BETWEEN 1 AND 128
+    ), sub AS (
+      SELECT c.neighbor_id, ms.m,
+             c.vec[ms.m * 4 + 1 : ms.m * 4 + 4] AS sub_v
+      FROM cand c CROSS JOIN ms
+    ), codes AS (
+      SELECT neighbor_id, m, code FROM (
+        SELECT s.neighbor_id, s.m, cb.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.neighbor_id, s.m
+                 ORDER BY ROUND({_L2SQ4.format(a='s.sub_v', b='cb.sub_c')}, 9) ASC,
+                          cb.code ASC) AS r
+        FROM sub s JOIN cb ON s.m = cb.m
+      ) WHERE r = 1
+    )"""
+
+
+def _normed(emb: DataFrame, id_alias: str, lo: int, hi: int | None) -> DataFrame:
+    """(id_alias, embedding): L2-normalized double vectors for one side
+    of the PQ queries (same arithmetic as the _NORM_VEC oracle macro)."""
+    cond = (
+        (F.col("vec_id") >= lo)
+        if hi is None
+        else ((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+    )
+    n = l2_norm(F.col("embedding"))
+    return emb.filter(cond).select(
+        F.col("vec_id").alias(id_alias),
+        F.transform("embedding", lambda x: x.cast("double") / n).alias(
+            "embedding"
+        ),
+    )
+
+
+@register(
+    "pq_codes",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {_NORM_VEC} AS vec FROM embeddings
+    ), cand AS (
+      SELECT vec_id AS neighbor_id, vec FROM v WHERE vec_id >= 10
+    ),{_PQ_CB}
+    SELECT neighbor_id, m, code FROM codes
+    """,
+)
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (functions/pq.py): 64-dim normalized
+    vectors -> 16 subspace codes against deterministic strided
+    codebooks, long format (neighbor_id, m, code).  The argmin, the
+    codebook sampling, and the tie-break are all deterministic, so the
+    encode carries a FULL value oracle — rare for a compression step.
+    128 codes/subspace here; the shape is K<=256 (one byte per code) at
+    scale — 16 bytes per 256-byte float32 vector."""
+    from tweets_spark_top_10_spark.functions.pq import pq_codebook, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Single-file local parquet -> 1 partition; spread the encode join
+    # (|cands| x 16 subspaces x K codebook rows) across cores.  At scale
+    # the source is many-partitioned and this is a no-op cost.
+    cands = _normed(emb, "neighbor_id", 10, None).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cb = pq_codebook(cands)
+    return pq_encode(cands, cb, "neighbor_id").select(
+        "neighbor_id", F.col("m").cast("long").alias("m"), "code"
+    )
+
+
+@register(
+    "pq_adc_top5",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {_NORM_VEC} AS vec FROM embeddings
+    ), cand AS (
+      SELECT vec_id AS neighbor_id, vec FROM v WHERE vec_id >= 10
+    ), q AS (
+      SELECT vec_id AS query_id, vec FROM v WHERE vec_id < 10
+    ),{_PQ_CB},
+    lut AS (
+      SELECT qs.query_id, qs.m, cb.code,
+             {_L2SQ4.format(a='qs.sub_v', b='cb.sub_c')} AS lut_d2
+      FROM (
+        SELECT q.query_id, ms.m,
+               q.vec[ms.m * 4 + 1 : ms.m * 4 + 4] AS sub_v
+        FROM q CROSS JOIN ms
+      ) qs JOIN cb ON qs.m = cb.m
+    ), approx AS (
+      SELECT l.query_id, c.neighbor_id, ROUND(SUM(l.lut_d2), 6) AS approx_d2
+      FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, approx_d2, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id ASC
+      ) AS BIGINT) AS rank
+      FROM approx
+    ) WHERE rank <= 5
+    """,
+)
+def pq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-5 (functions/pq.py): candidates scanned as
+    16 one-byte codes each, per-candidate distance = SUM of 16
+    broadcast-LUT entries — no full-width vector math on the scan side.
+    Vectors are L2-normalized first so ADC's L2^2 ranking tracks the
+    cosine ranking (L2^2 = 2 - 2cos on unit vectors).  Fully
+    deterministic (rounded distances, id tie-breaks), so it carries a
+    FULL value oracle; recall vs the exact scan is pytest-gated
+    (tests/test_pq.py)."""
+    from tweets_spark_top_10_spark.functions.pq import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _normed(emb, "query_id", 0, 10)
+    cands = _normed(emb, "neighbor_id", 10, None).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return pq_adc_topk(queries, cands, k=5)
