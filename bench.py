@@ -60,29 +60,36 @@ def main() -> None:
         )
     ).write.format("noop").mode("overwrite").save()
 
+    # Two passes, report the MIN per query: single-shot wall times on
+    # this box swing 2-5x from CPU-steal/GC noise (an identical trivial
+    # groupBy measured 1.9s and 5.0s in back-to-back runs); min-of-N is
+    # the standard noise-robust wall-time estimator and N=2 keeps the
+    # bench under the round budget.
     timings: dict[str, float] = {}
-    for name in sorted(QUERIES):
-        fn = QUERIES[name]
-        start = time.perf_counter()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - start, 3)
-        except Exception as exc:  # keep the bench line parseable on failure
-            timings[name] = -1.0
-            print(f"# bench failure {name}: {exc}", file=sys.stderr)
-        finally:
-            # Queries that persist() intermediates (dedup sketches, CC)
-            # cannot unpersist before their lazy result materializes, so
-            # the bench drops leftover blocks here — otherwise caches
-            # accumulate across 60+ queries and GC pressure inflates
-            # every later timing (measured +5s on unrelated queries).
-            # Block eviction is async and a major GC can land mid-next-
-            # query (measured: a trivial groupBy absorbing 9s after a
-            # cache-heavy query), so force the collection and settle
-            # with a no-op action while the clock is NOT running.
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
-            spark.range(1).count()
+    for _pass in range(2):
+        for name in sorted(QUERIES):
+            fn = QUERIES[name]
+            start = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                t = round(time.perf_counter() - start, 3)
+                timings[name] = min(timings.get(name, t), t)
+            except Exception as exc:  # keep the bench line parseable on failure
+                timings[name] = -1.0
+                print(f"# bench failure {name}: {exc}", file=sys.stderr)
+            finally:
+                # Queries that persist() intermediates (dedup sketches,
+                # CC) cannot unpersist before their lazy result
+                # materializes, so the bench drops leftover blocks here —
+                # otherwise caches accumulate across 70+ queries and GC
+                # pressure inflates every later timing (measured +5s on
+                # unrelated queries).  Block eviction is async and a
+                # major GC can land mid-next-query, so force the
+                # collection and settle with a no-op action while the
+                # clock is NOT running.
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                spark.range(1).count()
 
     # PQ recall/latency curve: coarse -> fine decompositions of the same
     # 64-dim space, each timed and scored against the exact cosine scan.
@@ -96,6 +103,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "cpus": int(cpus),
+        "timing": "min_of_2_passes",
     }
     if pq_curve:
         out["pq_curve"] = pq_curve

@@ -1,0 +1,121 @@
+"""Training-pipeline ops: normalization, PII scrub, stratified sampling,
+canonical-keep dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tweets_spark_top_10_spark.functions.sampling import (
+    hash_bucket,
+    stratified_hash_sample,
+)
+from tweets_spark_top_10_spark.functions.text import (
+    PII_PATTERNS,
+    normalize_text,
+    pii_count,
+    redact_pii,
+)
+from tweets_spark_top_10_spark.sources.registry import load_table
+
+
+def test_normalize_text_rules_and_idempotence(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "\t Hello\x07WORLD  \r\n mixed   CASE \x1f"),
+            (2, "already clean text"),
+            (3, ""),
+        ],
+        "id: long, text: string",
+    )
+    got = {r.id: r.n for r in df.select("id", normalize_text("text").alias("n")).collect()}
+    assert got[1] == "hello world mixed case"
+    assert got[2] == "already clean text"
+    assert got[3] == ""
+    # idempotent: normalizing normalized text is the identity
+    twice = {
+        r.id: r.n
+        for r in df.select(
+            "id", normalize_text(normalize_text("text")).alias("n")
+        ).collect()
+    }
+    assert twice == got
+
+
+def test_redact_pii_scrubs_every_pattern(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-1.org call 555-123-4567 ssn 123-45-6789 ip 10.0.0.1"),
+            (2, "no pii here, just 12345 and v1.2"),
+        ],
+        "id: long, text: string",
+    )
+    rows = {
+        r.id: (r.clean, r.n)
+        for r in df.select(
+            "id",
+            redact_pii("text").alias("clean"),
+            pii_count("text").alias("n"),
+        ).collect()
+    }
+    assert rows[1][0] == "mail <EMAIL> call <PHONE> ssn <SSN> ip <IP>"
+    assert rows[1][1] == 4
+    assert rows[2] == ("no pii here, just 12345 and v1.2", 0)
+    # nothing a second pass would still match
+    leftover = (
+        df.select(redact_pii("text").alias("clean"))
+        .select(pii_count("clean").alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert leftover == 0
+    assert len(PII_PATTERNS) == 4
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 0.1, "zh": 1.0}
+    picked = stratified_hash_sample(docs, "lang", rates, "doc_id", default_rate=0.5)
+    counts = {
+        r.lang: (r.n, r.total)
+        for r in picked.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("total")), "lang"
+        )
+        .collect()
+    }
+    n_zh, total_zh = counts["zh"]
+    assert n_zh == total_zh, "rate-1.0 stratum must keep every row"
+    n_en, total_en = counts["en"]
+    assert 0 < n_en < 0.25 * total_en, f"en rate 0.1 off: {n_en}/{total_en}"
+    # partitioning-independent: same sample after an arbitrary repartition
+    again = {
+        r.doc_id
+        for r in stratified_hash_sample(
+            docs.repartition(7, "lang"), "lang", rates, "doc_id", 0.5
+        ).select("doc_id").collect()
+    }
+    assert again == {r.doc_id for r in picked.select("doc_id").collect()}
+
+
+def test_hash_bucket_uniform_enough(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    buckets = orders.select(hash_bucket("o_orderkey", 10).alias("b"))
+    dist = {r.b: r.n for r in buckets.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(dist.values())
+    assert set(dist) == set(range(10))
+    for b, n in dist.items():
+        assert 0.05 < n / total < 0.2, f"bucket {b} skewed: {n}/{total}"
+
+
+def test_dedup_canonical_is_consistent_with_components(spark, sf_dir):
+    """Every non-canonical doc points at a canonical doc; canonical ids
+    are minimal in their cluster (component = min reachable id)."""
+    from tweets_spark_top_10_spark.queries import QUERIES
+
+    rows = QUERIES["dedup_canonical_docs"](spark, sf_dir).collect()
+    canon = {r.doc_id for r in rows if r.is_canonical}
+    for r in rows:
+        assert r.canonical_id <= r.doc_id
+        assert r.canonical_id in canon
+        assert r.is_canonical == (r.canonical_id == r.doc_id)

@@ -131,3 +131,48 @@ def fingerprint(text: Column | str, length: int = 16) -> Column:
     col = F.col(text) if isinstance(text, str) else text
     normalized = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
     return F.substring(F.md5(normalized), 1, length)
+
+
+# PII patterns, conservative syntax shared by Java regex (Spark) and RE2
+# (DuckDB) — \x escapes, \b, \d, bounded repetition only.  Order
+# matters: SSN (3-2-4) before phone (3-3-4) is not required (disjoint),
+# but email must run before the IP rule would see its host part.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+]
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Training-corpus text normalization, fully JVM-side:
+    control characters -> space, whitespace runs collapsed to one
+    space, trimmed, lowercased.  (The C4/RefinedWeb-style cheap cleanup
+    that runs before any expensive scoring; explicit ``\\x`` ranges so
+    the regex means the same thing under Java regex and RE2.)"""
+    col = F.col(text) if isinstance(text, str) else text
+    no_ctrl = F.regexp_replace(col, r"[\x00-\x1F\x7F]", " ")
+    collapsed = F.regexp_replace(no_ctrl, r"\s+", " ")
+    return F.lower(F.trim(collapsed))
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace email / SSN / phone / IPv4 literals with typed
+    placeholders — chained ``regexp_replace``, no Python, so the scrub
+    runs at scan throughput over 100 TB."""
+    col = F.col(text) if isinstance(text, str) else text
+    out = col
+    for pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_count(text: Column | str) -> Column:
+    """How many PII literals :func:`redact_pii` would replace (the
+    audit metric a scrub job reports per document)."""
+    col = F.col(text) if isinstance(text, str) else text
+    n = F.lit(0)
+    for pat, _ in PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+    return n.cast("long")

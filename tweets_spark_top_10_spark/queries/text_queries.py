@@ -598,3 +598,225 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (pigeonhole); looser thresholds both lose the guarantee and blow
     # up the output (d<=16 emits 213k pairs at sf0.1 vs 525 at d<=3).
     return simhash_near_pairs(simhash64(docs.repartition(par)), max_hamming=3)
+
+
+@register(
+    "doc_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           lower(trim(regexp_replace(
+             regexp_replace(
+               chr(9) || ' ' || upper(substr(text, 1, 30)) || '  ' || text
+                 || ' ' || chr(13) || chr(10),
+               '[\x00-\x1F\x7F]', ' ', 'g'),
+             '\s+', ' ', 'g'))) AS norm_text
+    FROM documents
+    """,
+)
+def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization (functions/text.normalize_text):
+    control chars -> space, whitespace collapsed, trimmed, lowercased —
+    the cheap C4-style cleanup before any scoring pass.  The fixtures
+    are already clean, so the query first MESSES THE TEXT UP
+    deterministically (tab/CR/LF, double spaces, an uppercased prefix)
+    and the oracle replays both the mess and the cleanup — the gate
+    proves each rule actually fires."""
+    from tweets_spark_top_10_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("\t "),
+        F.upper(F.substring(F.col("text"), 1, 30)),
+        F.lit("  "),
+        F.col("text"),
+        F.lit(" \r\n"),
+    )
+    return docs.select("doc_id", normalize_text(messy).alias("norm_text"))
+
+
+@register(
+    "doc_pii_redact",
+    oracle=r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || ' reach user' || doc_id
+               || '@example.com or 555-123-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || ' ssn 123-45-6789 host 10.0.'
+               || CAST(doc_id % 256 AS VARCHAR) || '.1 end' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+              + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+              + len(regexp_extract_all(text, '\b\d{1,3}(\.\d{1,3}){3}\b'))
+             AS BIGINT) AS n_pii,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS redacted
+    FROM seeded
+    """,
+)
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/text.redact_pii): email/SSN/phone/IPv4 ->
+    typed placeholders via chained JVM regexp_replace, plus the audit
+    count — the per-document metric a scrub job reports.  The synthetic
+    fixtures contain no PII, so the query seeds one of each pattern
+    (derived from doc_id, so deterministic) into every document and the
+    oracle replays seed + scrub; n_pii >= 4 by construction and the
+    redacted text must contain no live pattern."""
+    from tweets_spark_top_10_spark.functions.text import pii_count, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789 host 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 end"),
+    )
+    return docs.select(
+        "doc_id",
+        pii_count(seeded).alias("n_pii"),
+        redact_pii(seeded).alias("redacted"),
+    )
+
+
+@register(
+    "stratified_sample_docs",
+    oracle="""
+    WITH rated AS (
+      SELECT lang,
+             CASE lang WHEN 'en' THEN 0.1 WHEN 'zh' THEN 1.0
+                       ELSE 0.5 END AS rate,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 10000) AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN bucket < rate * 10000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sampled
+    FROM rated
+    GROUP BY lang
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (functions/sampling.py): keep
+    10% of dominant 'en', all of low-resource 'zh', 50% elsewhere — the
+    corpus-rebalancing move every multilingual training pipeline makes.
+    The keep decision is a pure function of md5(doc_id) (never
+    ``sampleBy``, which is seed- and partitioning-dependent), so the
+    oracle replays the exact sample; emitted as per-stratum totals."""
+    from tweets_spark_top_10_spark.functions.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 0.1, "zh": 1.0}
+    sampled = stratified_hash_sample(
+        docs, "lang", rates, "doc_id", default_rate=0.5
+    )
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    picked = sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    return (
+        totals.join(picked, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+        )
+    )
+
+
+@register(
+    "dedup_canonical_docs",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS arr
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(arr) - 1, 1)),
+                 i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]
+               )) AS shingle
+        FROM toks
+      ) raw
+    ), keep AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100
+    ), shk AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+    ), counts AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM shk GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN counts ca ON ca.doc_id = id_a
+      JOIN counts cb ON cb.doc_id = id_b
+      WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), walk(n, m) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT w.n, e.b FROM walk w JOIN edges e ON w.m = e.a
+    ), comp AS (
+      SELECT n AS node, MIN(m) AS component FROM walk GROUP BY n
+    )
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS canonical_id,
+           d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup MATERIALIZATION step: every document mapped to the
+    canonical (min-id) member of its near-dup cluster, singletons to
+    themselves — the (doc_id, canonical_id, is_canonical) table a
+    training pipeline joins against to drop duplicates while keeping
+    provenance.  Pairs at Jaccard>=0.5 with the max_shingle_df=100
+    hot-shingle cap, clusters from the iterative CC operator, all under
+    the recursive-CTE value oracle."""
+    from tweets_spark_top_10_spark.functions.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, max_shingle_df=100
+    )
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "canonical_id"
+            ),
+            (
+                F.col("doc_id")
+                == F.coalesce(F.col("component"), F.col("doc_id"))
+            ).alias("is_canonical"),
+        )
+    )
