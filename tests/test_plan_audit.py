@@ -27,6 +27,7 @@ CROSS_JOIN_OK = {
     "quantity_bucket_ranges",  # broadcast 5-row bucket dim, range predicate
     "doc_tfidf_top3",  # broadcast 1-row N (total doc count) into the scorer
     "simhash_invariants",  # final assembly of four 1-row invariant counts
+    "lsh_knn_invariants",  # exact side: 10 broadcast query vectors x candidates
 }
 
 

@@ -7,7 +7,7 @@ so ordering is deterministic and engine-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tweets_spark_top_10_spark.functions.similarity import (
@@ -418,3 +418,65 @@ def pq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     return pq_adc_topk(queries, cands, k=5)
+
+
+@register(
+    "lsh_knn_invariants",
+    oracle="""
+    SELECT vec_id AS query_id,
+           CAST(5 AS BIGINT) AS n_found,
+           TRUE AS dominance_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def lsh_knn_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible invariant gate for the (seed-dependent) LSH ANN.
+
+    The bucketed-projection top-5 itself is not SQL-replayable, but two
+    of its guarantees are: every query must surface a full top-5 (the
+    OR-ed hash tables cover the fixture candidates), and the LSH
+    distance at rank r can never be SMALLER than the exact rank-r
+    distance — an approximate index can only do worse-or-equal than the
+    exhaustive scan.  A violation means the rerank sorts wrong or the
+    distance is computed wrong, the two failure modes the sketch
+    actually has.  The exact side is computed in-query (same plan as
+    brute force) and the oracle asserts the invariant per query."""
+    from tweets_spark_top_10_spark.functions.pq import l2_sq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    lsh = lsh_knn(queries, cands, k=5).select(
+        "query_id", "rank", F.col("l2_dist").alias("lsh_dist")
+    )
+    d = F.sqrt(l2_sq(F.col("__qv"), F.col("__cv")))
+    exact = (
+        cands.select(F.col("neighbor_id"), F.col("embedding").alias("__cv"))
+        .crossJoin(
+            F.broadcast(
+                queries.select(
+                    F.col("query_id"), F.col("embedding").alias("__qv")
+                )
+            )
+        )
+        .select("query_id", "neighbor_id", d.alias("exact_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("exact_dist"), F.asc("neighbor_id")
+    )
+    exact_topk = (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "exact_dist")
+    )
+    joined = lsh.join(exact_topk, ["query_id", "rank"])
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_found"),
+        F.min(
+            F.col("lsh_dist") >= F.col("exact_dist") - F.lit(1e-6)
+        ).alias("dominance_ok"),
+    )
