@@ -93,3 +93,55 @@ def test_compact_parquet_preserves_content(spark, sf_dir, tmp_path):
     assert n_files <= 4
     after = sorted(map(tuple, spark.read.parquet(d).collect()))
     assert before == after
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC is the other columnar lake format Spark ships natively —
+    same scan surface (pushdown, pruning) as parquet."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    out = str(tmp_path / "supplier_orc")
+    supplier.write.mode("overwrite").orc(out)
+    back = read_batch(spark, out, fmt="orc")
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, supplier.collect())
+    )
+
+
+def test_orc_predicate_pushdown(spark, sf_dir, tmp_path):
+    """Filters must reach the ORC scan (PushedFilters), same as parquet."""
+    out = str(tmp_path / "orders_orc")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(out)
+    df = read_batch(spark, out, fmt="orc").filter(F.col("o_orderkey") == 42)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderkey" in plan, plan
+
+
+def test_binary_dir_ingest_feeds_multimodal(spark, tmp_path):
+    """binaryFile dir ingest -> payload column -> multimodal kernels:
+    the end-to-end media on-ramp.  Glob pruning happens at listing time
+    (non-matching files never become rows)."""
+    from tweets_spark_top_10_spark.functions.multimodal import (
+        attach_meta,
+        extract_image_features,
+    )
+    from tweets_spark_top_10_spark.sources.readers import read_binary_dir
+
+    media = tmp_path / "media" / "nested"
+    media.mkdir(parents=True)
+    blobs = {b"abcabcxyz": "a.img", b"\x00\x01\x02\x03" * 4: "b.img"}
+    for payload, name in blobs.items():
+        (media / name).write_bytes(payload)
+    (media / "ignore.txt").write_text("not media")
+
+    df = read_binary_dir(spark, str(tmp_path / "media"), glob="*.img")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    assert rows["a.img"].payload == b"abcabcxyz"
+    assert rows["a.img"].n_bytes == 9
+
+    with_ids = df.select(
+        F.abs(F.xxhash64("path")).alias("id"), "payload"
+    )
+    feats = extract_image_features(attach_meta(with_ids, mime="image/raw"))
+    got = feats.select("n_bytes").collect()
+    assert sorted(r.n_bytes for r in got) == [9, 16]

@@ -45,6 +45,37 @@ def read_batch(
     return reader.load(paths)
 
 
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Ingest a directory of opaque files as (path, payload, n_bytes).
+
+    The ``binaryFile`` source is the scale path for media ingestion: a
+    1000-executor job lists once and fans the file reads out, each file
+    one row — ``payload: binary`` plugs straight into the multimodal
+    surface (``functions/multimodal.attach_meta`` + the mapInPandas
+    kernels).  ``glob`` prunes at LISTING time (pathGlobFilter), so
+    "only *.jpg under this prefix" never even stats the rest.  Files
+    stream through Spark's 2 GiB-per-row binary limit applies; sharded
+    media (video) belongs in per-chunk rows upstream.
+    """
+    reader = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", str(recursive).lower())
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    return df.select(
+        F.col("path"),
+        F.col("content").alias("payload"),
+        F.col("length").cast("long").alias("n_bytes"),
+    )
+
+
 def read_hour_partition(
     spark: SparkSession,
     base_path: str,
