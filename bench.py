@@ -162,21 +162,35 @@ def _pq_recall_curve(spark, sf_dir: str) -> list[dict]:
             (r.query_id, r.neighbor_id)
             for r in brute_force_knn(q, c, k=5).collect()
         }
+        from tweets_spark_top_10_spark.functions.pq import (
+            pq_codebook,
+            pq_codebook_refine,
+        )
+
+        lloyd_cb = pq_codebook_refine(c, pq_codebook(c))
         curve = []
-        for m, sub_dim in [(4, 16), (8, 8), (16, 4)]:
+        for m, sub_dim, cb in [
+            (4, 16, None),
+            (8, 8, None),
+            (16, 4, None),
+            (16, 4, lloyd_cb),
+        ]:
             start = time.perf_counter()
             approx = {
                 (r.query_id, r.neighbor_id)
-                for r in pq_adc_topk(q, c, k=5, m=m, sub_dim=sub_dim).collect()
+                for r in pq_adc_topk(
+                    q, c, k=5, m=m, sub_dim=sub_dim, codebook=cb
+                ).collect()
             }
-            curve.append(
-                {
-                    "m": m,
-                    "sub_dim": sub_dim,
-                    "recall_at5": round(len(exact & approx) / len(exact), 3),
-                    "sec": round(time.perf_counter() - start, 3),
-                }
-            )
+            point = {
+                "m": m,
+                "sub_dim": sub_dim,
+                "recall_at5": round(len(exact & approx) / len(exact), 3),
+                "sec": round(time.perf_counter() - start, 3),
+            }
+            if cb is not None:
+                point["lloyd_iters"] = 1
+            curve.append(point)
         spark.catalog.clearCache()
         return curve
     except Exception as exc:  # the curve is telemetry, never a bench failure

