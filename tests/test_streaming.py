@@ -722,3 +722,66 @@ def test_stream_over_hour_partitioned_dirs(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_streaming_minhash_index_matches_batch(spark, sf_dir, tmp_path):
+    """Incremental signature upsert == batch signatures of the final
+    corpus state.
+
+    Three micro-batches: first half of the docs, second half, then one
+    doc RE-SENT with mutated text.  The maintained table must equal
+    minhash_signatures() computed directly on the final corpus (mutated
+    doc included), bucket column and all — exact, because the whole
+    path is deterministic."""
+    import pandas as pd
+
+    from tweets_spark_top_10_spark.functions.dedup import minhash_signatures
+    from tweets_spark_top_10_spark.functions.sampling import hash_bucket
+    from tweets_spark_top_10_spark.streaming.sketch import maintain_minhash_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    half = len(pdf) // 2
+    mutated_id = int(pdf.doc_id.iloc[0])
+    mutated_text = "entirely new text for the resent document"
+
+    src = tmp_path / "doc_stream"
+    src.mkdir()
+    pdf.iloc[:half].to_parquet(src / "b1.parquet", index=False)
+    pdf.iloc[half:].to_parquet(src / "b2.parquet", index=False)
+    pd.DataFrame({"doc_id": [mutated_id], "text": [mutated_text]}).to_parquet(
+        src / "b3.parquet", index=False
+    )
+
+    stream = file_stream(
+        spark,
+        str(src),
+        docs.schema,
+        max_files_per_trigger=1,
+    )
+    table = str(tmp_path / "sig_table")
+    q = maintain_minhash_index(
+        stream, table, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    got = sorted(map(tuple, spark.read.parquet(table).collect()))
+    final_corpus = spark.createDataFrame(
+        pd.concat(
+            [
+                pdf[pdf.doc_id != mutated_id],
+                pd.DataFrame(
+                    {"doc_id": [mutated_id], "text": [mutated_text]}
+                ),
+            ]
+        )
+    )
+    want_df = minhash_signatures(final_corpus).withColumn(
+        "bucket", hash_bucket("doc_id", 16)
+    )
+    # align column order with the parquet table (partition col lands last)
+    want = sorted(
+        map(tuple, want_df.select(*spark.read.parquet(table).columns).collect())
+    )
+    assert len(got) == len(pdf)
+    assert got == want

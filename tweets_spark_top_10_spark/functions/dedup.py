@@ -202,15 +202,11 @@ def minhash_band_pairs(
     across tables.  Callers compute exact similarity on candidates via
     :func:`lsh_exact_rerank`.
     """
-    sh = shingles if shingles is not None else shingle_table(df, text_col, id_col, n)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"mh{i}")
-        for i in range(num_tables)
-    ]
+    wide = minhash_signatures(
+        df, text_col, id_col, n, num_tables, seed, shingles
+    )
     sig = (
-        sh.groupBy(id_col)
-        .agg(*mins)
-        .select(
+        wide.select(
             F.col(id_col),
             F.explode(
                 F.array(
@@ -234,6 +230,33 @@ def minhash_band_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_tables: int = 8,
+    seed: int = 42,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Wide per-document MinHash signature: (id, mh0..mh{t-1}).
+
+    ONE hash aggregate over the exploded shingle table — this is the
+    persistable/streamable signature artifact (8 longs = 64 bytes/doc):
+    banding (:func:`minhash_band_pairs`) and incremental index
+    maintenance (``streaming/sketch.py``) both consume it.  A document's
+    signature depends only on its own text, so signatures are
+    incrementally maintainable: new/changed docs re-sketch, everything
+    else is untouched.
+    """
+    sh = shingles if shingles is not None else shingle_table(df, text_col, id_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"mh{i}")
+        for i in range(num_tables)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
 
 
 def lsh_exact_rerank(

@@ -16,6 +16,7 @@ from tweets_spark_top_10_spark.streaming.windows import (
     windowed_top_k,
 )
 from tweets_spark_top_10_spark.streaming.dedup import dedup_stream
+from tweets_spark_top_10_spark.streaming.sketch import maintain_minhash_index
 from tweets_spark_top_10_spark.streaming.sinks import foreach_batch_overwrite, run_to_memory
 from tweets_spark_top_10_spark.streaming.stateful import (
     sessionize_transform_with_state,
@@ -30,6 +31,7 @@ __all__ = [
     "sessionize_transform_with_state",
     "sessionize_with_state",
     "dedup_stream",
+    "maintain_minhash_index",
     "foreach_batch_overwrite",
     "run_to_memory",
 ]
