@@ -65,3 +65,13 @@ def test_hour_partition_pruning(spark, tmp_path):
     plan = _plan(got)
     # Partition filters present and scan restricted to 1 of 4 hour dirs.
     assert "PartitionFilters" in plan and "hour" in plan, plan
+
+
+def test_pq_encode_joins_are_broadcast(spark, sf_dir):
+    """The PQ encode/ADC joins must broadcast the codebook/LUT side —
+    a SortMergeJoin here would shuffle the full candidate subvector
+    table against a few-KB codebook."""
+    for name in ("pq_codes", "pq_adc_top5"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, f"{name}:\n{plan}"
+        assert "SortMergeJoin" not in plan, f"{name} shuffled the codebook:\n{plan}"

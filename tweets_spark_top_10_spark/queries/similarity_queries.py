@@ -551,8 +551,13 @@ def pq_adc_lloyd_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = _normed(emb, "query_id", 0, 10)
-    cands = _normed(emb, "neighbor_id", 10, None).repartition(
-        spark.sparkContext.defaultParallelism
+    # The normalized candidates feed the seed codebook, the refine
+    # step's encode+means, and the final encode — persist so the
+    # scan+normalize runs once, not four times.
+    cands = (
+        _normed(emb, "neighbor_id", 10, None)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
     )
     seed = pq_codebook(cands)
     refined = pq_codebook_refine(cands, seed).persist()
