@@ -33,34 +33,46 @@ from tweets_spark_top_10_spark.queries import (  # noqa: F401
 )
 from tweets_spark_top_10_spark.queries.registry import ORACLE, QUERIES
 
-# Tier 1: no driver row in round 1 (cheap -> expensive at sf0.01).
+# Tier 1: never driver-checked — no round-1 row, or registered new in
+# round 2 (cheap -> expensive at sf0.01, so any budget fits the
+# maximum number of first-ever verdicts).
 _NEVER_CHECKED = [
     "doc_fingerprints",
+    "doc_normalize",
     "sliding_event_windows",
     "hourly_event_windows",
     "event_value_udaf",
+    "doc_pii_redact",
     "salted_token_count_top20",
+    "stratified_sample_docs",
     "top_bigrams",
     "label_centroids_pandas",
     "user_sessions",
     "doc_quality",
     "langid_heuristic",
+    "lsh_knn_invariants",
     "doc_tfidf_top3",
+    "pq_codes",
     "doc_sentences_udtf",
+    "pq_adc_top5",
     "ngram_jaccard_dup_pairs",
     "simhash_near_dups",
     "simhash_invariants",
     "minhash_lsh_candidates",
+    "dedup_canonical_docs",
+    "pq_adc_lloyd_top5",
     "dedup_components",
 ]
 
-# Tier 2: errored/mismatched in round 1, fixed since.
+# Tier 2: errored/mismatched/no_oracle in round 1, fixed or upgraded
+# since (green rows prove the fixes).
 _FIXED_SINCE_R1 = [
     "segment_priority_sets",
     "customer_priority_lists",
     "embedding_quantize_int8",
     "media_image_features",
     "orders_profile",
+    "approx_distinct_users",
 ]
 
 
