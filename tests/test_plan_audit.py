@@ -28,6 +28,7 @@ CROSS_JOIN_OK = {
     "doc_tfidf_top3",  # broadcast 1-row N (total doc count) into the scorer
     "simhash_invariants",  # final assembly of four 1-row invariant counts
     "lsh_knn_invariants",  # exact side: 10 broadcast query vectors x candidates
+    "ivfpq_adc_top5",  # broadcast centroid assignment (<=16 rows), as ivf_knn_top5
 }
 
 

@@ -136,3 +136,39 @@ def test_pq_lloyd_refinement_improves_recall(spark, sf_dir):
     lloyd_recall = len(exact & lloyd_got) / len(exact)
     assert lloyd_recall >= seed_recall, (seed_recall, lloyd_recall)
     assert lloyd_recall >= 0.4, f"refined recall collapsed: {lloyd_recall:.2f}"
+
+
+def test_ivfpq_recall_and_cell_restriction(spark, sf_dir):
+    """IVFADC recall floor (cell pruning x quantization on near-random
+    fixtures: measured ~0.24-0.34), and the structural guarantee that
+    every returned neighbor lives in one of its query's probed cells."""
+    from tweets_spark_top_10_spark.functions.pq import ivfpq_adc_topk
+    from tweets_spark_top_10_spark.functions.similarity import (
+        ivf_assign_cells,
+        ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _normed(emb, "query_id", 0, 10)
+    c = _normed(emb, "neighbor_id", 10, None)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_knn(q, c, k=5).collect()
+    }
+    got = ivfpq_adc_topk(q, c, k=5).collect()
+    gs = {(r.query_id, r.neighbor_id) for r in got}
+    recall = len(exact & gs) / len(exact)
+    assert recall >= 0.15, f"IVFADC recall collapsed: {recall:.2f}"
+
+    cents = ivf_centroids(c)
+    cand_cell = {
+        r.neighbor_id: r.cell_id
+        for r in ivf_assign_cells(c, cents, "neighbor_id", n_probe=1).collect()
+    }
+    probed = {}
+    for r in ivf_assign_cells(q, cents, "query_id", n_probe=4).collect():
+        probed.setdefault(r.query_id, set()).add(r.cell_id)
+    for r in got:
+        assert cand_cell[r.neighbor_id] in probed[r.query_id], (
+            f"neighbor {r.neighbor_id} outside query {r.query_id}'s probed cells"
+        )

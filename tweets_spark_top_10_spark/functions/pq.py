@@ -219,3 +219,102 @@ def pq_adc_topk(
         approx.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_adc_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    cell_stride: int = 97,
+    m: int = 16,
+    sub_dim: int = 4,
+    n_codes: int = 128,
+    stride: int = 7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF+PQ (IVFADC, Jegou'11 §IV): coarse cells prune the scan, PQ
+    codes over cell RESIDUALS compress what remains.
+
+    The billion-vector composition: candidates quantize to their
+    nearest coarse cell and store only (cell_id, M codes of the
+    residual ``vec - centroid``); a query probes ``n_probe`` cells and
+    builds a per-probed-cell LUT from ITS residual against that cell,
+    so scoring stays a SUM of M lookups.  The candidate join key
+    (cell_id, m, code) restricts work to probed cells by construction —
+    cell pruning and code compression compose in one equi-join.
+
+    Deterministic end to end (strided cell + code books, rounded
+    argmins, id tie-breaks) — the whole two-level pipeline replays in
+    SQL.  Output: (query_id, cand_id, approx_d2, rank).
+    """
+    from tweets_spark_top_10_spark.functions.similarity import (
+        ivf_assign_cells,
+        ivf_centroids,
+    )
+
+    cents = ivf_centroids(candidates, cand_id, vec_col, n_cells, cell_stride)
+    cand_cells = ivf_assign_cells(
+        candidates, cents, cand_id, vec_col, n_probe=1
+    )
+    residual = F.zip_with(
+        F.col(vec_col), F.col("centroid"), lambda a, b: a.cast("double") - b.cast("double")
+    )
+    cand_res = (
+        cand_cells.join(
+            F.broadcast(cents.withColumnRenamed("cell_id", "__cc")),
+            F.col("cell_id") == F.col("__cc"),
+        )
+        .select(F.col(cand_id), F.col("cell_id"), residual.alias("res"))
+        .persist()
+    )
+    cb = pq_codebook(cand_res, cand_id, "res", m, sub_dim, n_codes, stride)
+    codes = pq_encode(cand_res, cb, cand_id, "res", m, sub_dim)
+    cand_codes = codes.join(cand_res.select(cand_id, "cell_id"), cand_id)
+
+    q_cells = ivf_assign_cells(queries, cents, query_id, vec_col, n_probe=n_probe)
+    q_res = q_cells.join(
+        F.broadcast(cents.withColumnRenamed("cell_id", "__cc")),
+        F.col("cell_id") == F.col("__cc"),
+    ).select(F.col(query_id), F.col("cell_id"), residual.alias("res"))
+    # Subvector explode keyed on (query, cell) — a query has one
+    # residual PER PROBED CELL, so the plain id-keyed helper would
+    # conflate them:
+    parts = [
+        F.struct(
+            F.lit(j).alias("m"),
+            F.slice(F.col("res"), j * sub_dim + 1, sub_dim).alias("sub_vec"),
+        )
+        for j in range(m)
+    ]
+    q_sub = q_res.select(
+        F.col(query_id), F.col("cell_id"), F.explode(F.array(*parts)).alias("e")
+    ).select(
+        F.col(query_id),
+        F.col("cell_id"),
+        F.col("e.m").alias("m"),
+        F.col("e.sub_vec").alias("sub_vec"),
+    )
+    lut = q_sub.join(F.broadcast(cb), "m").select(
+        F.col(query_id),
+        "cell_id",
+        "m",
+        "code",
+        l2_sq_unrolled(F.col("sub_vec"), F.col("sub_centroid"), sub_dim).alias(
+            "lut_d2"
+        ),
+    )
+    approx = (
+        cand_codes.join(F.broadcast(lut), ["cell_id", "m", "code"])
+        .groupBy(query_id, cand_id)
+        .agg(F.round(F.sum("lut_d2"), round_digits).alias("approx_d2"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc("approx_d2"), F.asc(cand_id))
+    return (
+        approx.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -60,6 +60,7 @@ _NEVER_CHECKED = [
     "simhash_invariants",
     "minhash_lsh_candidates",
     "dedup_canonical_docs",
+    "ivfpq_adc_top5",
     "pq_adc_lloyd_top5",
     "dedup_components",
 ]

@@ -562,3 +562,104 @@ def pq_adc_lloyd_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = pq_codebook(cands)
     refined = pq_codebook_refine(cands, seed).persist()
     return pq_adc_topk(queries, cands, k=5, codebook=refined)
+
+
+@register(
+    "ivfpq_adc_top5",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {_NORM_VEC} AS vec FROM embeddings
+    ), cand AS (
+      SELECT vec_id AS neighbor_id, vec FROM v WHERE vec_id >= 10
+    ), q AS (
+      SELECT vec_id AS query_id, vec FROM v WHERE vec_id < 10
+    ), cents AS (
+      SELECT CAST(neighbor_id // 97 AS INT) AS cell_id, vec AS centroid
+      FROM cand
+      WHERE neighbor_id % 97 = 0 AND neighbor_id // 97 BETWEEN 1 AND 16
+    ), cand_cells AS (
+      SELECT neighbor_id, vec, cell_id FROM (
+        SELECT c.neighbor_id, c.vec, ct.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.neighbor_id
+                 ORDER BY {_COS.format(a='c.vec', b='ct.centroid', d=9)} DESC,
+                          ct.cell_id ASC) AS r
+        FROM cand c CROSS JOIN cents ct
+      ) WHERE r <= 1
+    ), cand_res AS (
+      SELECT cc.neighbor_id, cc.cell_id,
+             list_transform(range(1, 65), i -> cc.vec[i] - ct.centroid[i])
+               AS res
+      FROM cand_cells cc JOIN cents ct ON cc.cell_id = ct.cell_id
+    ), ms AS (SELECT unnest(range(16)) AS m),
+    cb AS (
+      SELECT ms.m, CAST(cr.neighbor_id // 7 AS INT) AS code,
+             cr.res[ms.m * 4 + 1 : ms.m * 4 + 4] AS sub_c
+      FROM cand_res cr CROSS JOIN ms
+      WHERE cr.neighbor_id % 7 = 0 AND cr.neighbor_id // 7 BETWEEN 1 AND 128
+    ), sub AS (
+      SELECT cr.neighbor_id, cr.cell_id, ms.m,
+             cr.res[ms.m * 4 + 1 : ms.m * 4 + 4] AS sub_v
+      FROM cand_res cr CROSS JOIN ms
+    ), codes AS (
+      SELECT neighbor_id, cell_id, m, code FROM (
+        SELECT s.neighbor_id, s.cell_id, s.m, cb.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.neighbor_id, s.m
+                 ORDER BY ROUND({_L2SQ4.format(a='s.sub_v', b='cb.sub_c')}, 9) ASC,
+                          cb.code ASC) AS r
+        FROM sub s JOIN cb ON s.m = cb.m
+      ) WHERE r = 1
+    ), q_cells AS (
+      SELECT query_id, vec, cell_id FROM (
+        SELECT q.query_id, q.vec, ct.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_COS.format(a='q.vec', b='ct.centroid', d=9)} DESC,
+                          ct.cell_id ASC) AS r
+        FROM q CROSS JOIN cents ct
+      ) WHERE r <= 4
+    ), q_res AS (
+      SELECT qc.query_id, qc.cell_id,
+             list_transform(range(1, 65), i -> qc.vec[i] - ct.centroid[i])
+               AS res
+      FROM q_cells qc JOIN cents ct ON qc.cell_id = ct.cell_id
+    ), qsub AS (
+      SELECT qr.query_id, qr.cell_id, ms.m,
+             qr.res[ms.m * 4 + 1 : ms.m * 4 + 4] AS sub_v
+      FROM q_res qr CROSS JOIN ms
+    ), lut AS (
+      SELECT qs.query_id, qs.cell_id, qs.m, cb.code,
+             {_L2SQ4.format(a='qs.sub_v', b='cb.sub_c')} AS lut_d2
+      FROM qsub qs JOIN cb ON qs.m = cb.m
+    ), approx AS (
+      SELECT l.query_id, c.neighbor_id, ROUND(SUM(l.lut_d2), 6) AS approx_d2
+      FROM codes c
+      JOIN lut l ON l.cell_id = c.cell_id AND l.m = c.m AND l.code = c.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, approx_d2, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id ASC
+      ) AS BIGINT) AS rank
+      FROM approx
+    ) WHERE rank <= 5
+    """,
+)
+def ivfpq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composition (IVFADC, Jegou'11 §IV): coarse cells prune
+    the scan, PQ codes over cell RESIDUALS compress what remains, and
+    the candidate join key (cell_id, subspace, code) applies both at
+    once.  A query probes 4 of 16 cells and builds a per-probed-cell
+    LUT from its residual; candidates never leave code form.  The
+    entire two-level pipeline — cosine cell argmax, residual
+    subtraction, residual codebook, argmin encode, per-cell LUT, ADC
+    ranking — replays in the DuckDB oracle."""
+    from tweets_spark_top_10_spark.functions.pq import ivfpq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _normed(emb, "query_id", 0, 10)
+    cands = _normed(emb, "neighbor_id", 10, None).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return ivfpq_adc_topk(queries, cands, k=5)
