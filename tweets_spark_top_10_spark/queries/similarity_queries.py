@@ -560,7 +560,12 @@ def pq_adc_lloyd_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     seed = pq_codebook(cands)
-    refined = pq_codebook_refine(cands, seed).persist()
+    # localCheckpoint (eager) materializes the ~2k-row refined book AND
+    # truncates its lineage: without it the final plan embeds the whole
+    # two-phase codebook DAG and Catalyst re-analyzes it per execution
+    # (measured: several seconds of driver time on this 16-subspace
+    # unrolled plan).  At scale the refined book is a written artifact.
+    refined = pq_codebook_refine(cands, seed).localCheckpoint(eager=True)
     return pq_adc_topk(queries, cands, k=5, codebook=refined)
 
 
