@@ -73,9 +73,14 @@ def main() -> None:
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 t = round(time.perf_counter() - start, 3)
-                timings[name] = min(timings.get(name, t), t)
+                prev_t = timings.get(name)
+                # min over SUCCESSFUL passes only: a failure marker from
+                # pass 1 must not beat a clean pass-2 time.
+                timings[name] = t if prev_t in (None, -1.0) else min(prev_t, t)
             except Exception as exc:  # keep the bench line parseable on failure
-                timings[name] = -1.0
+                # ... and a transient pass-2 failure must not erase a
+                # valid pass-1 measurement.
+                timings.setdefault(name, -1.0)
                 print(f"# bench failure {name}: {exc}", file=sys.stderr)
             finally:
                 # Queries that persist() intermediates (dedup sketches,

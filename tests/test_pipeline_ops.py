@@ -60,6 +60,16 @@ def test_redact_pii_scrubs_every_pattern(spark):
     assert rows[1][0] == "mail <EMAIL> call <PHONE> ssn <SSN> ip <IP>"
     assert rows[1][1] == 4
     assert rows[2] == ("no pii here, just 12345 and v1.2", 0)
+    # Overlap: a phone-shaped local part inside an email is ONE literal —
+    # the email rule consumes it and the sequential count must agree
+    # with the number of replacements actually performed.
+    overlap = spark.createDataFrame(
+        [(1, "reach 555-123-4567@relay.example.com now")],
+        "id: long, text: string",
+    ).select(redact_pii("text").alias("clean"), pii_count("text").alias("n"))
+    row = overlap.collect()[0]
+    assert row.clean == "reach <EMAIL> now"
+    assert row.n == 1
     # nothing a second pass would still match
     leftover = (
         df.select(redact_pii("text").alias("clean"))

@@ -16,6 +16,13 @@ Scale design (100 TB of documents):
 - **SimHash**: 64-bit sketch via a vectorized Pandas UDF (Arrow
   batches); near-dup = small Hamming distance, banded by 16-bit chunks
   for candidate generation.
+
+Session-cache note: several operators ``persist()`` multiply-referenced
+intermediates (shingle tables, long-format signatures).  The handles
+are plan-internal, so a long-lived session that runs these repeatedly
+should drop leftovers with ``spark.catalog.clearCache()`` between
+workloads (the bench does exactly that); at scale these intermediates
+are written artifacts, not session caches.
 """
 
 from __future__ import annotations

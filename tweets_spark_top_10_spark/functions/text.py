@@ -169,10 +169,16 @@ def redact_pii(text: Column | str) -> Column:
 
 
 def pii_count(text: Column | str) -> Column:
-    """How many PII literals :func:`redact_pii` would replace (the
-    audit metric a scrub job reports per document)."""
-    col = F.col(text) if isinstance(text, str) else text
+    """How many replacements :func:`redact_pii` actually performs.
+
+    Counts SEQUENTIALLY on the progressively-redacted text, exactly
+    mirroring the replace chain: counting every pattern independently
+    on the original would over-count when one PII literal embeds
+    another (e.g. a phone-shaped local part inside an email — the email
+    rule consumes it first, so the phone rule never fires)."""
+    cur = F.col(text) if isinstance(text, str) else text
     n = F.lit(0)
-    for pat, _ in PII_PATTERNS:
-        n = n + F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+    for pat, tag in PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        cur = F.regexp_replace(cur, pat, tag)
     return n.cast("long")

@@ -479,8 +479,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seeds AS (
       SELECT COUNT(*) AS n FROM documents WHERE doc_id % 10 = 0
     ), norm AS (
-      SELECT doc_id,
-             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+      SELECT doc_id, md5(text) AS h
       FROM documents
     ), dup_pairs AS (
       SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS n
@@ -506,9 +505,12 @@ def simhash_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
       function of the token multiset, so each (original, reversed) pair
       has Hamming distance 0 and the 4x16-bit banding MUST surface it.
       ``n_seeded_found`` == ``n_seeded`` or the gate fails.
-    - **Exact-dup pairs**: documents with identical normalized text
-      (the ``content_hash`` fingerprint) also hash identically;
-      ``n_exact_dups_missed`` must be 0.
+    - **Exact-dup pairs**: BYTE-identical documents (raw md5 — not the
+      case-folding ``content_hash``, whose normalized groups could
+      contain case variants with different token hashes and thus
+      different signatures; that would make the gate fixture-dependent
+      rather than a guarantee) tokenize identically, so they must hash
+      to the same signature; ``n_exact_dups_missed`` must be 0.
 
     The gate catches order-dependence bugs in the signature, banding
     that drops d=0 pairs, and any partitioning nondeterminism — the
@@ -521,7 +523,6 @@ def simhash_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     and banding work than sketching the full corpus.
     """
     from tweets_spark_top_10_spark.functions.dedup import (
-        content_hash,
         simhash64,
         simhash_near_pairs,
     )
@@ -533,11 +534,12 @@ def simhash_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + offset).alias("doc_id"),
         F.array_join(F.reverse(tokenize(F.col("text"))), " ").alias("text"),
     )
+    # Raw-byte md5, NOT the case-folding content_hash: the invariant
+    # "same text => same signature" only holds for byte-identical docs
+    # (case variants tokenize to different xxhash64 inputs).
     # h is referenced three times (dup-hash agg, corpus build, dup-pair
     # self-join) — persist so the scan+md5 runs once, not three times.
-    h = docs.select(
-        content_hash(F.col("text")).alias("h"), "doc_id", "text"
-    ).persist()
+    h = docs.select(F.md5("text").alias("h"), "doc_id", "text").persist()
     dup_hashes = (
         h.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -646,23 +648,36 @@ def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                || CAST(doc_id % 256 AS VARCHAR) || '.1 end' AS text
       FROM documents
     )
+    , s1 AS (
+      SELECT doc_id, text AS t0,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1
+      FROM seeded
+    ), s2 AS (
+      SELECT *, regexp_replace(t1, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t2
+      FROM s1
+    ), s3 AS (
+      SELECT *, regexp_replace(t2, '\b\d{3}[-.]\d{3}[-.]\d{4}\b',
+                               '<PHONE>', 'g') AS t3
+      FROM s2
+    ), s4 AS (
+      SELECT *, regexp_replace(t3, '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g')
+                  AS t4
+      FROM s3
+    )
+    -- counts run SEQUENTIALLY on the progressively-redacted text,
+    -- mirroring pii_count: a PII literal consumed by an earlier rule
+    -- (phone-shaped email local part) must not be counted twice
     SELECT doc_id,
-           CAST(len(regexp_extract_all(text,
+           CAST(len(regexp_extract_all(t0,
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-              + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
-              + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
-              + len(regexp_extract_all(text, '\b\d{1,3}(\.\d{1,3}){3}\b'))
+              + len(regexp_extract_all(t1, '\b\d{3}-\d{2}-\d{4}\b'))
+              + len(regexp_extract_all(t2, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+              + len(regexp_extract_all(t3, '\b\d{1,3}(\.\d{1,3}){3}\b'))
              AS BIGINT) AS n_pii,
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(text,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                   '<EMAIL>', 'g'),
-                 '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
-               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
-             '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS redacted
-    FROM seeded
+           t4 AS redacted
+    FROM s4
     """,
 )
 def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:

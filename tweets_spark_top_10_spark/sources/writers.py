@@ -47,8 +47,15 @@ def compact_parquet(
     import os
     import shutil
 
-    before = spark.read.parquet(path).count()
     tmp = path.rstrip("/") + tmp_suffix
+    old = path.rstrip("/") + "__compact_old"
+    # Re-entrancy: a prior crash between the two renames leaves a stale
+    # aside/tmp dir; clearing them first keeps every later compaction
+    # runnable (os.rename onto a non-empty dir raises ENOTEMPTY).
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    before = spark.read.parquet(path).count()
     spark.read.parquet(path).coalesce(target_files).write.mode(
         "overwrite"
     ).parquet(tmp)
@@ -56,7 +63,6 @@ def compact_parquet(
     if compacted != before:
         shutil.rmtree(tmp)
         raise AssertionError(f"compaction lost rows: {before} -> {compacted}")
-    old = path.rstrip("/") + "__compact_old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

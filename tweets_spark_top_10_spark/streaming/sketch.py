@@ -28,6 +28,7 @@ signatures of the final corpus state.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -65,6 +66,20 @@ def upsert_signature_batch(
         .withColumn("bucket", hash_bucket(id_col, n_buckets))
         .persist()
     )
+    # Stage-then-swap, never read-your-own-overwrite: the merge plan
+    # reads the live table, so dynamically overwriting the same path in
+    # one job would delete old partition files while the job still needs
+    # them, and a crash mid-commit could lose unchanged rows for good.
+    # Instead the merged content lands in a staging dir, and only then
+    # do the touched bucket directories swap in (rename aside -> move
+    # in -> drop aside): a crash at any point leaves each bucket with
+    # either its old or its new content, and replaying the micro-batch
+    # regenerates the identical merge from either state.
+    staging = table_path.rstrip("/") + "__stage"
+    aside = table_path.rstrip("/") + "__old"
+    for leftover in (staging, aside):
+        if os.path.exists(leftover):  # stale from a prior crash
+            shutil.rmtree(leftover)
     if os.path.exists(table_path):
         touched = sigs.select("bucket").distinct()
         old = (
@@ -75,7 +90,18 @@ def upsert_signature_batch(
         merged = old.unionByName(sigs)
     else:
         merged = sigs
-    write_partitioned(merged, table_path, ["bucket"])
+    write_partitioned(merged, staging, ["bucket"])
+    os.makedirs(table_path, exist_ok=True)
+    os.makedirs(aside, exist_ok=True)
+    for bucket_dir in sorted(os.listdir(staging)):
+        if not bucket_dir.startswith("bucket="):
+            continue
+        live = os.path.join(table_path, bucket_dir)
+        if os.path.exists(live):
+            os.rename(live, os.path.join(aside, bucket_dir))
+        os.rename(os.path.join(staging, bucket_dir), live)
+    shutil.rmtree(aside)
+    shutil.rmtree(staging)
     sigs.unpersist()
 
 
