@@ -56,3 +56,41 @@ def test_content_hash_stable_and_injective_on_sample(spark, texts):
     b = [r[0] for r in df.select(content_hash(F.col("text"))).collect()]
     assert a == b
     assert all(len(h) == 32 for h in a)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=40))
+def test_normalize_text_idempotent_and_shape(spark, texts):
+    """normalize(normalize(x)) == normalize(x); output never contains
+    control chars, leading/trailing space, doubled spaces, or uppercase."""
+    from tweets_spark_top_10_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        normalize_text(F.col("text")).alias("once"),
+        normalize_text(normalize_text(F.col("text"))).alias("twice"),
+    ).collect()
+    for r in rows:
+        assert r.once == r.twice
+        assert r.once == r.once.strip()
+        assert "  " not in r.once
+        assert not any(ord(ch) < 0x20 or ord(ch) == 0x7F for ch in r.once)
+        assert r.once == r.once.lower()
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=40))
+def test_redact_pii_fixed_point_and_count_consistency(spark, texts):
+    """After one redact pass nothing is left for a second pass to find
+    (pii_count(redacted) == 0), and redact never raises on arbitrary
+    unicode."""
+    from tweets_spark_top_10_spark.functions.text import pii_count, redact_pii
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    leftover = (
+        df.select(redact_pii("text").alias("clean"))
+        .select(pii_count("clean").alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert leftover == 0

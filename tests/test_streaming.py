@@ -785,3 +785,38 @@ def test_streaming_minhash_index_matches_batch(spark, sf_dir, tmp_path):
     )
     assert len(got) == len(pdf)
     assert got == want
+
+
+def test_signature_upsert_recovers_from_stale_swap_dirs(spark, sf_dir, tmp_path):
+    """Crash re-entrancy: leftover staging/aside dirs from an
+    interrupted swap must not break (or contaminate) the next upsert."""
+    from tweets_spark_top_10_spark.functions.dedup import minhash_signatures
+    from tweets_spark_top_10_spark.functions.sampling import hash_bucket
+    from tweets_spark_top_10_spark.streaming.sketch import upsert_signature_batch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    table = str(tmp_path / "sigs")
+
+    # Simulate a prior crash: stale staging dir with garbage content.
+    stale = tmp_path / "sigs__stage" / "bucket=3"
+    stale.mkdir(parents=True)
+    (stale / "junk.parquet").write_bytes(b"not parquet")
+    (tmp_path / "sigs__old").mkdir()
+
+    upsert_signature_batch(spark, docs, table)
+    got = sorted(map(tuple, spark.read.parquet(table).collect()))
+    cols = spark.read.parquet(table).columns
+    want = sorted(
+        map(
+            tuple,
+            minhash_signatures(docs)
+            .withColumn("bucket", hash_bucket("doc_id", 16))
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert got == want
+    import os
+
+    assert not os.path.exists(str(tmp_path / "sigs__stage"))
+    assert not os.path.exists(str(tmp_path / "sigs__old"))
