@@ -38,6 +38,7 @@ from tweets_spark_top_10_spark.queries.registry import ORACLE, QUERIES
 # maximum number of first-ever verdicts).
 _NEVER_CHECKED = [
     "doc_fingerprints",
+    "doc_split_assignment",
     "doc_normalize",
     "sliding_event_windows",
     "hourly_event_windows",

@@ -835,3 +835,38 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_canonical"),
         )
     )
+
+
+@register(
+    "doc_split_assignment",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 10000) AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment from md5(doc_id)
+    buckets (functions/sampling.hash_bucket) — a pure function of the
+    data, so the split survives reruns, repartitioning, engine changes,
+    and corpus growth (existing docs never migrate between splits when
+    new docs arrive — the property random splits lack).  Replayed
+    exactly by the oracle."""
+    from tweets_spark_top_10_spark.functions.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket("doc_id", 10_000)
+    split = (
+        F.when(bucket < 9000, "train")
+        .when(bucket < 9500, "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split"))
