@@ -410,3 +410,45 @@ def customer_priority_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "urgent_vs_customer_avg_sql",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(o_totalprice * (SELECT COUNT(*) FROM orders o2
+                                 WHERE o2.o_custkey = o.o_custkey)
+                 - (SELECT SUM(o3.o_totalprice) FROM orders o3
+                    WHERE o3.o_custkey = o.o_custkey), 2)
+             AS scaled_diff_vs_cust_avg
+    FROM orders o
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def urgent_vs_customer_avg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``spark.sql`` entrypoint with two CORRELATED SCALAR
+    SUBQUERIES — the one SQL shape the rest of the catalog expresses
+    via windows or joins.  Catalyst decorrelates them into aggregates +
+    joins (no per-row re-execution — RewriteCorrelatedScalarSubquery),
+    so the declarative form costs the same as the hand-written one at
+    any scale.  Every other catalog query uses the DataFrame API; this
+    one pins the SQL surface itself, oracle = the identical statement.
+
+    The emitted value is ``price*n - sum`` (same sign as price - avg)
+    rather than price - AVG: with 2-decimal prices the scaled diff is
+    an exact multiple of 0.01, while price - avg lands on .xxx5
+    half-way points whose rounding direction differs between engines
+    (observed: thousands of one-ulp mismatches at round 4)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               ROUND(o_totalprice * (SELECT COUNT(*) FROM orders o2
+                                     WHERE o2.o_custkey = o.o_custkey)
+                     - (SELECT SUM(o3.o_totalprice) FROM orders o3
+                        WHERE o3.o_custkey = o.o_custkey), 2)
+                 AS scaled_diff_vs_cust_avg
+        FROM orders o
+        WHERE o_orderpriority = '1-URGENT'
+        """
+    )
