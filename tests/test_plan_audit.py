@@ -41,3 +41,20 @@ def test_plan_invariants(name, spark, sf_dir):
     if name not in CROSS_JOIN_OK:
         for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
             assert op not in plan, f"{name}: unintended {op}\n{plan}"
+
+
+def test_catalog_priority_tiers_are_valid():
+    """Every name in the priority tiers must exist in the registry
+    (the reorder silently skips unknown names — a typo would quietly
+    demote a query out of the driver's row budget) and appear once."""
+    from tweets_spark_top_10_spark.queries.catalog import (
+        _FIXED_SINCE_R1,
+        _NEVER_CHECKED,
+    )
+
+    tiers = _NEVER_CHECKED + _FIXED_SINCE_R1
+    unknown = [n for n in tiers if n not in QUERIES]
+    assert not unknown, f"priority tier names not in registry: {unknown}"
+    assert len(tiers) == len(set(tiers)), "duplicate names across tiers"
+    # and the reorder actually took effect: tier names occupy the prefix
+    assert list(QUERIES)[: len(tiers)] == tiers
