@@ -820,3 +820,37 @@ def test_signature_upsert_recovers_from_stale_swap_dirs(spark, sf_dir, tmp_path)
 
     assert not os.path.exists(str(tmp_path / "sigs__stage"))
     assert not os.path.exists(str(tmp_path / "sigs__old"))
+
+
+def test_signature_upsert_restores_bucket_stranded_mid_swap(
+    spark, sf_dir, tmp_path
+):
+    """Crash BETWEEN a bucket's rename pair strands its only copy in the
+    aside dir; the next upsert must move it back in — not delete it —
+    so rows of docs absent from the new batch survive."""
+    import os
+    import shutil
+
+    from tweets_spark_top_10_spark.streaming.sketch import upsert_signature_batch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    first = docs.limit(60)
+    table = str(tmp_path / "sigs")
+    upsert_signature_batch(spark, first, table)
+    before = sorted(map(tuple, spark.read.parquet(table).collect()))
+
+    # Simulate the torn swap: one live bucket dir moved to the aside.
+    buckets = [d for d in os.listdir(table) if d.startswith("bucket=")]
+    victim = sorted(buckets)[0]
+    aside = tmp_path / "sigs__old"
+    aside.mkdir()
+    shutil.move(os.path.join(table, victim), str(aside / victim))
+
+    # Next batch touches only OTHER docs (disjoint ids): the stranded
+    # bucket's rows can come back only via the aside-restore path.
+    second = docs.filter(~docs.doc_id.isin([r.doc_id for r in first.collect()])).limit(20)
+    upsert_signature_batch(spark, second, table)
+    after = {t for t in map(tuple, spark.read.parquet(table).collect())}
+    missing = set(before) - after
+    assert not missing, f"{len(missing)} stranded rows lost (e.g. {sorted(missing)[:2]})"
+    assert not os.path.exists(str(aside))

@@ -59,10 +59,20 @@ def l2_sq_unrolled(a: Column, b: Column, dim: int) -> Column:
 
 
 def _explode_subvectors(
-    df: DataFrame, id_col: str, vec_col: str, m: int, sub_dim: int
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    sub_dim: int,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, m, sub_vec): the vector split into ``m`` contiguous
-    ``sub_dim``-wide subvectors, long format (one explode, no shuffle)."""
+    """(*keys, m, sub_vec): the vector split into ``m`` contiguous
+    ``sub_dim``-wide subvectors, long format (one explode, no shuffle).
+
+    ``key_cols`` carries extra identity columns through (IVFADC needs
+    (query, probed_cell) — one residual per pair, so keying on the id
+    alone would conflate a query's per-cell residuals)."""
+    keys = [id_col] + (key_cols or [])
     parts = [
         F.struct(
             F.lit(j).alias("m"),
@@ -71,8 +81,12 @@ def _explode_subvectors(
         for j in range(m)
     ]
     return df.select(
-        F.col(id_col), F.explode(F.array(*parts)).alias("e")
-    ).select(F.col(id_col), F.col("e.m").alias("m"), F.col("e.sub_vec").alias("sub_vec"))
+        *[F.col(k) for k in keys], F.explode(F.array(*parts)).alias("e")
+    ).select(
+        *[F.col(k) for k in keys],
+        F.col("e.m").alias("m"),
+        F.col("e.sub_vec").alias("sub_vec"),
+    )
 
 
 def pq_codebook(
@@ -281,23 +295,9 @@ def ivfpq_adc_topk(
         F.broadcast(cents.withColumnRenamed("cell_id", "__cc")),
         F.col("cell_id") == F.col("__cc"),
     ).select(F.col(query_id), F.col("cell_id"), residual.alias("res"))
-    # Subvector explode keyed on (query, cell) — a query has one
-    # residual PER PROBED CELL, so the plain id-keyed helper would
-    # conflate them:
-    parts = [
-        F.struct(
-            F.lit(j).alias("m"),
-            F.slice(F.col("res"), j * sub_dim + 1, sub_dim).alias("sub_vec"),
-        )
-        for j in range(m)
-    ]
-    q_sub = q_res.select(
-        F.col(query_id), F.col("cell_id"), F.explode(F.array(*parts)).alias("e")
-    ).select(
-        F.col(query_id),
-        F.col("cell_id"),
-        F.col("e.m").alias("m"),
-        F.col("e.sub_vec").alias("sub_vec"),
+    # One residual PER PROBED CELL, so (query, cell) both key the explode.
+    q_sub = _explode_subvectors(
+        q_res, query_id, "res", m, sub_dim, key_cols=["cell_id"]
     )
     lut = q_sub.join(F.broadcast(cb), "m").select(
         F.col(query_id),

@@ -560,12 +560,16 @@ def pq_adc_lloyd_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     seed = pq_codebook(cands)
-    # localCheckpoint (eager) materializes the ~2k-row refined book AND
-    # truncates its lineage: without it the final plan embeds the whole
-    # two-phase codebook DAG and Catalyst re-analyzes it per execution
-    # (measured: several seconds of driver time on this 16-subspace
-    # unrolled plan).  At scale the refined book is a written artifact.
-    refined = pq_codebook_refine(cands, seed).localCheckpoint(eager=True)
+    # LAZY localCheckpoint: on first action the ~2k-row refined book
+    # materializes and its lineage truncates (without it the final plan
+    # embeds the whole two-phase codebook DAG and Catalyst re-analyzes
+    # it on every reuse — several seconds of driver time on this
+    # 16-subspace unrolled plan).  Lazy, not eager: constructing the
+    # query must stay job-free, and plan inspection before execution
+    # (tests/test_plan_audit.py) must still see the refine pipeline's
+    # operators rather than a bare checkpoint scan.  At scale the
+    # refined book is a written artifact.
+    refined = pq_codebook_refine(cands, seed).localCheckpoint(eager=False)
     return pq_adc_topk(queries, cands, k=5, codebook=refined)
 
 

@@ -49,12 +49,21 @@ def compact_parquet(
 
     tmp = path.rstrip("/") + tmp_suffix
     old = path.rstrip("/") + "__compact_old"
-    # Re-entrancy: a prior crash between the two renames leaves a stale
-    # aside/tmp dir; clearing them first keeps every later compaction
-    # runnable (os.rename onto a non-empty dir raises ENOTEMPTY).
-    for leftover in (tmp, old):
-        if os.path.exists(leftover):
-            shutil.rmtree(leftover)
+    # Re-entrancy with RECOVERY: a crash between the two renames leaves
+    # `path` missing and the data alive only in the aside (original) or
+    # tmp (count-checked compacted copy) — restore before any cleanup,
+    # never delete a directory that is the table's only copy.  Only
+    # once `path` exists are leftovers safe to clear (os.rename onto a
+    # non-empty dir raises ENOTEMPTY otherwise).
+    if not os.path.exists(path):
+        if os.path.exists(old):
+            os.rename(old, path)
+        elif os.path.exists(tmp):
+            os.rename(tmp, path)
+    if os.path.exists(path):
+        for leftover in (tmp, old):
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
     before = spark.read.parquet(path).count()
     spark.read.parquet(path).coalesce(target_files).write.mode(
         "overwrite"

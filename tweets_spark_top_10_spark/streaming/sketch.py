@@ -77,9 +77,21 @@ def upsert_signature_batch(
     # regenerates the identical merge from either state.
     staging = table_path.rstrip("/") + "__stage"
     aside = table_path.rstrip("/") + "__old"
-    for leftover in (staging, aside):
-        if os.path.exists(leftover):  # stale from a prior crash
-            shutil.rmtree(leftover)
+    # Recovery before cleanup: a crash between a bucket's rename pair
+    # leaves that bucket absent from the live table with its only old
+    # copy in the aside dir — move any such bucket back in FIRST, so
+    # previously-indexed rows are never dropped; buckets whose swap
+    # completed keep their live (new) content and their aside copy is
+    # redundant.  The staging dir is always safe to discard (the merge
+    # below regenerates it from live + batch).
+    if os.path.exists(aside):
+        for bucket_dir in os.listdir(aside):
+            live_b = os.path.join(table_path, bucket_dir)
+            if bucket_dir.startswith("bucket=") and not os.path.exists(live_b):
+                os.rename(os.path.join(aside, bucket_dir), live_b)
+        shutil.rmtree(aside)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
     if os.path.exists(table_path):
         touched = sigs.select("bucket").distinct()
         old = (
