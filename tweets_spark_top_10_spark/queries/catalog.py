@@ -61,6 +61,7 @@ _NEVER_CHECKED = [
     "simhash_invariants",
     "minhash_lsh_candidates",
     "urgent_vs_customer_avg_sql",
+    "customer_balance_distribution",
     "dedup_canonical_docs",
     "ivfpq_adc_top5",
     "pq_adc_lloyd_top5",

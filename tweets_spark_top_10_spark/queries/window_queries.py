@@ -116,3 +116,32 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@register(
+    "customer_balance_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND(PERCENT_RANK() OVER (
+             PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS pr,
+           ROUND(CUME_DIST() OVER (
+             PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS cd
+    FROM customer
+    """,
+)
+def customer_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per segment — the distribution-position
+    window functions (the remaining gap in the rank family after
+    rank/dense_rank/ntile/row_number).  Both are tie-stable: equal
+    balances share a value, so no tie-break column is needed for
+    determinism, unlike row_number."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
