@@ -62,6 +62,7 @@ _NEVER_CHECKED = [
     "minhash_lsh_candidates",
     "urgent_vs_customer_avg_sql",
     "customer_balance_distribution",
+    "approx_quantile_gate",
     "dedup_canonical_docs",
     "ivfpq_adc_top5",
     "pq_adc_lloyd_top5",

@@ -452,3 +452,42 @@ def urgent_vs_customer_avg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderpriority = '1-URGENT'
         """
     )
+
+
+@register(
+    "approx_quantile_gate",
+    oracle="""
+    SELECT ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50_exact,
+           TRUE AS p50_in_band,
+           ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90_exact,
+           TRUE AS p90_in_band
+    FROM lineitem
+    """,
+)
+def approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile_approx`` (KLL-style sketch) under an invariant gate —
+    the cardinality-sketch pattern (``approx_distinct_users``) applied
+    to quantiles.  Exact percentiles need a full sort/shuffle of the
+    column; the sketch is the 100 TB path, but its value is
+    engine-specific, so the driver-checkable claim is its CONTRACT: at
+    accuracy=10000 the rank error is <=1e-4, far inside the
+    [q-0.01, q+0.01] exact-quantile band checked here.  The query emits
+    the exact percentiles (which DuckDB replays) plus the in-band
+    booleans the oracle asserts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.expr("percentile_approx(l_extendedprice, 0.50, 10000)").alias("a50"),
+        F.expr("percentile_approx(l_extendedprice, 0.90, 10000)").alias("a90"),
+        F.expr("percentile(l_extendedprice, array(0.49, 0.50, 0.51))").alias("e50"),
+        F.expr("percentile(l_extendedprice, array(0.89, 0.90, 0.91))").alias("e90"),
+    )
+    return agg.select(
+        F.round(F.col("e50")[1], 4).alias("p50_exact"),
+        (
+            (F.col("a50") >= F.col("e50")[0]) & (F.col("a50") <= F.col("e50")[2])
+        ).alias("p50_in_band"),
+        F.round(F.col("e90")[1], 4).alias("p90_exact"),
+        (
+            (F.col("a90") >= F.col("e90")[0]) & (F.col("a90") <= F.col("e90")[2])
+        ).alias("p90_in_band"),
+    )
