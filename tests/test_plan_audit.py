@@ -44,17 +44,21 @@ def test_plan_invariants(name, spark, sf_dir):
 
 
 def test_catalog_priority_tiers_are_valid():
-    """Every name in the priority tiers must exist in the registry
-    (the reorder silently skips unknown names — a typo would quietly
-    demote a query out of the driver's row budget) and appear once."""
-    from tweets_spark_top_10_spark.queries.catalog import (
-        _FIXED_SINCE_R1,
-        _NEVER_CHECKED,
-    )
+    """The stale-first rotation must be sound: every name in
+    ``_LAST_CHECKED`` exists in the registry (a typo would silently
+    mis-tier a query), and the registry iterates in monotone ascending
+    last-checked-round order so the driver's ~50-row budget always
+    lands on the stalest rows first."""
+    from tweets_spark_top_10_spark.queries.catalog import _LAST_CHECKED
 
-    tiers = _NEVER_CHECKED + _FIXED_SINCE_R1
-    unknown = [n for n in tiers if n not in QUERIES]
-    assert not unknown, f"priority tier names not in registry: {unknown}"
-    assert len(tiers) == len(set(tiers)), "duplicate names across tiers"
-    # and the reorder actually took effect: tier names occupy the prefix
-    assert list(QUERIES)[: len(tiers)] == tiers
+    unknown = [n for n in _LAST_CHECKED if n not in QUERIES]
+    assert not unknown, f"_LAST_CHECKED names not in registry: {unknown}"
+    rounds = [_LAST_CHECKED.get(n, 0) for n in QUERIES]
+    assert rounds == sorted(rounds), (
+        "registry not in stale-first order: "
+        f"{[(n, _LAST_CHECKED.get(n, 0)) for n in QUERIES]}"
+    )
+    # never-checked queries (round 0) must occupy the prefix
+    n_new = sum(1 for r in rounds if r == 0)
+    prefix = list(QUERIES)[:n_new]
+    assert all(_LAST_CHECKED.get(n, 0) == 0 for n in prefix)

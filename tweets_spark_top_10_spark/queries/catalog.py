@@ -1,21 +1,25 @@
 """Aggregate the query registry: importing the modules populates it.
 
-After registration the catalog is reordered by information value for
-the correctness harness.  The round-1 driver emitted CORRECTNESS rows
-for exactly the first 50 of 66 registered queries (a truncation at the
-registration-order prefix — the cut fell right before cheap queries, so
-a hard row cap is likelier than a time budget, but both are handled the
-same way): whatever the harness's budget, the queries whose verdicts
-carry the most NEW information must come first.
+After registration the catalog is reordered for the correctness
+harness.  The driver emits CORRECTNESS rows for roughly the first 50
+registered queries per round (r1: 50 of 66, r2: 50 of 80), so
+whatever the harness's budget, the queries whose verdicts carry the
+most NEW information must come first.
 
-Priority tiers:
-1. Queries with no round-1 CORRECTNESS row at all (locally oracle-green
-   but never driver-checked), cheapest first so a time budget fits the
-   maximum number of them.
-2. Queries whose round-1 row errored or mismatched and have since been
-   fixed (array-output stringification, oracle type casts) — their
-   green rows prove the fixes.
-3. Everything else (green in round 1) in original registration order.
+Rotation policy (round-2 verdict item 1): **stale-first**.  Every
+query is keyed by the last round in which the driver recorded a row
+for it (``_LAST_CHECKED``; absent = never checked = round 0).  The
+catalog orders ascending by that round, so
+
+1. never-driver-checked queries (new this round) run first,
+2. then the queries whose only green row is oldest,
+3. then progressively fresher tiers,
+
+and within a tier the original registration order is preserved.  Under
+a ~50-row budget this guarantees no query's driver row ages more than
+~2 rounds.  After each round, fold that round's CORRECTNESS_r{N}.json
+keys into ``_LAST_CHECKED`` (see ``tools/update_check_history.py``).
+``tests/test_plan_audit.py`` asserts the rotation is monotone.
 """
 
 from __future__ import annotations
@@ -33,58 +37,103 @@ from tweets_spark_top_10_spark.queries import (  # noqa: F401
 )
 from tweets_spark_top_10_spark.queries.registry import ORACLE, QUERIES
 
-# Tier 1: never driver-checked — no round-1 row, or registered new in
-# round 2 (cheap -> expensive at sf0.01, so any budget fits the
-# maximum number of first-ever verdicts).
-_NEVER_CHECKED = [
-    "doc_fingerprints",
-    "doc_split_assignment",
-    "doc_normalize",
-    "sliding_event_windows",
-    "hourly_event_windows",
-    "event_value_udaf",
-    "doc_pii_redact",
-    "salted_token_count_top20",
-    "stratified_sample_docs",
-    "top_bigrams",
-    "label_centroids_pandas",
-    "user_sessions",
-    "doc_quality",
-    "langid_heuristic",
-    "lsh_knn_invariants",
-    "doc_tfidf_top3",
-    "pq_codes",
-    "doc_sentences_udtf",
-    "pq_adc_top5",
-    "ngram_jaccard_dup_pairs",
-    "simhash_near_dups",
-    "simhash_invariants",
-    "minhash_lsh_candidates",
-    "urgent_vs_customer_avg_sql",
-    "customer_balance_distribution",
-    "approx_quantile_gate",
-    "dedup_canonical_docs",
-    "ivfpq_adc_top5",
-    "pq_adc_lloyd_top5",
-    "dedup_components",
-]
-
-# Tier 2: errored/mismatched/no_oracle in round 1, fixed or upgraded
-# since (green rows prove the fixes).
-_FIXED_SINCE_R1 = [
-    "segment_priority_sets",
-    "customer_priority_lists",
-    "embedding_quantize_int8",
-    "media_image_features",
-    "orders_profile",
-    "approx_distinct_users",
-]
+# Last round in which the driver's CORRECTNESS_r{N}.json contained a
+# row for the query.  Maintained from the driver artifacts (the keys of
+# CORRECTNESS_r01/r02): a query absent here has never been checked and
+# sorts first.  Every row listed below was green in its round (r2 had
+# zero fails; the r1 rows listed here are the 30 not re-checked in r2,
+# all green in r1).
+_LAST_CHECKED: dict[str, int] = {
+    # --- last driver row: round 1 ---
+    "monthly_revenue": 1,
+    "segment_order_stats": 1,
+    "supplier_distinct_parts": 1,
+    "part_predicates": 1,
+    "event_props_k": 1,
+    "customer_balance_ranks": 1,
+    "order_status_cube": 1,
+    "part_string_funcs": 1,
+    "props_map_access": 1,
+    "props_key_counts": 1,
+    "nation_activity_full_outer": 1,
+    "customer_order_counts_right": 1,
+    "part_lineitem_left": 1,
+    "quantity_bucket_ranges": 1,
+    "purchase_last_view_asof": 1,
+    "event_lag_lead": 1,
+    "priority_status_pivot": 1,
+    "status_priority_grouping_sets": 1,
+    "quantity_percentiles": 1,
+    "user_trailing_hour_value": 1,
+    "deterministic_sample_stats": 1,
+    "embedding_norms": 1,
+    "knn_cosine_top5": 1,
+    "label_centroids": 1,
+    "embedding_near_dup_pairs": 1,
+    "ivf_knn_top5": 1,
+    "lsh_knn_top5": 1,
+    "dedup_exact_docs": 1,
+    "doc_token_stats": 1,
+    "doc_stopword_ratio": 1,
+    # --- last driver row: round 2 ---
+    "media_frame_counts": 2,
+    "media_resize_stats": 2,
+    "media_image_features": 2,
+    "ref_top10_tokens": 2,
+    "top_event_types": 2,
+    "q1_pricing_summary": 2,
+    "top_revenue_orders": 2,
+    "regional_customer_revenue": 2,
+    "top_orders_per_customer": 2,
+    "user_running_value": 2,
+    "customers_without_big_orders": 2,
+    "late_shipping_priority": 2,
+    "nations_cust_and_supp": 2,
+    "urgent_only_customers": 2,
+    "lineitem_rollup": 2,
+    "segment_priority_sets": 2,
+    "approx_distinct_users": 2,
+    "orders_profile": 2,
+    "customer_priority_lists": 2,
+    "embedding_quantize_int8": 2,
+    "doc_fingerprints": 2,
+    "doc_split_assignment": 2,
+    "doc_normalize": 2,
+    "sliding_event_windows": 2,
+    "hourly_event_windows": 2,
+    "event_value_udaf": 2,
+    "doc_pii_redact": 2,
+    "salted_token_count_top20": 2,
+    "stratified_sample_docs": 2,
+    "top_bigrams": 2,
+    "label_centroids_pandas": 2,
+    "user_sessions": 2,
+    "doc_quality": 2,
+    "langid_heuristic": 2,
+    "lsh_knn_invariants": 2,
+    "doc_tfidf_top3": 2,
+    "pq_codes": 2,
+    "doc_sentences_udtf": 2,
+    "pq_adc_top5": 2,
+    "ngram_jaccard_dup_pairs": 2,
+    "simhash_near_dups": 2,
+    "simhash_invariants": 2,
+    "minhash_lsh_candidates": 2,
+    "urgent_vs_customer_avg_sql": 2,
+    "customer_balance_distribution": 2,
+    "approx_quantile_gate": 2,
+    "dedup_canonical_docs": 2,
+    "ivfpq_adc_top5": 2,
+    "pq_adc_lloyd_top5": 2,
+    "dedup_components": 2,
+}
 
 
 def _reorder() -> None:
-    priority = [n for n in _NEVER_CHECKED + _FIXED_SINCE_R1 if n in QUERIES]
-    ordered = {n: QUERIES[n] for n in priority}
-    ordered.update((n, f) for n, f in QUERIES.items() if n not in ordered)
+    """Stable sort of the registry: ascending last-checked round,
+    registration order preserved within a round."""
+    names = sorted(QUERIES, key=lambda n: _LAST_CHECKED.get(n, 0))
+    ordered = {n: QUERIES[n] for n in names}
     QUERIES.clear()
     QUERIES.update(ordered)
     # Keep ORACLE iteration aligned with QUERIES.
