@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tweets_spark_top_10_spark.functions.cachectl import persist_tracked
 from tweets_spark_top_10_spark.functions.text import fingerprint, shingles, tokenize
 
 
@@ -95,7 +96,7 @@ def ngram_jaccard_pairs(
     # and both sides of the candidate self-join — persist it so the
     # tokenize/explode/distinct subplan runs once, not 4-5x.  (At scale
     # this is a materialized per-corpus intermediate.)
-    sh = shingle_table(df, text_col, id_col, n).persist()
+    sh = shingle_table(df, text_col, id_col, n).transform(persist_tracked)
     if max_shingle_df is not None:
         keep = (
             sh.groupBy("shingle")
@@ -227,7 +228,7 @@ def minhash_band_pairs(
             ).alias("e"),
         )
         .select(F.col(id_col), F.col("e.t").alias("t"), F.col("e.mh").alias("mh"))
-        .persist()
+        .transform(persist_tracked)
     )
     a = sig.select(F.col(id_col).alias("id_a"), "t", "mh")
     b = sig.select(F.col(id_col).alias("id_b"), "t", "mh")
@@ -485,7 +486,7 @@ def simhash_near_pairs(
         F.col(simhash_col),
         F.col("e.t").alias("t"),
         F.col("e.band").alias("band"),
-    ).persist()
+    ).transform(persist_tracked)
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     a = sig.select(
         F.col(id_col).alias("id_a"), F.col(simhash_col).alias("sh_a"), "t", "band"

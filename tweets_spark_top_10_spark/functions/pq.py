@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from tweets_spark_top_10_spark.functions.cachectl import persist_tracked
 from tweets_spark_top_10_spark.functions.similarity import dot
 
 
@@ -284,7 +285,7 @@ def ivfpq_adc_topk(
             F.col("cell_id") == F.col("__cc"),
         )
         .select(F.col(cand_id), F.col("cell_id"), residual.alias("res"))
-        .persist()
+        .transform(persist_tracked)
     )
     cb = pq_codebook(cand_res, cand_id, "res", m, sub_dim, n_codes, stride)
     codes = pq_encode(cand_res, cb, cand_id, "res", m, sub_dim)

@@ -147,13 +147,18 @@ PII_PATTERNS: list[tuple[str, str]] = [
 
 def normalize_text(text: Column | str) -> Column:
     """Training-corpus text normalization, fully JVM-side:
-    control characters -> space, whitespace runs collapsed to one
-    space, trimmed, lowercased.  (The C4/RefinedWeb-style cheap cleanup
-    that runs before any expensive scoring; explicit ``\\x`` ranges so
-    the regex means the same thing under Java regex and RE2.)"""
+    control characters (incl. U+0085 NEL) -> space, whitespace runs —
+    ASCII ``\\s`` plus the Unicode separator category ``\\p{Z}``
+    (NBSP, en/em spaces U+2000-200A, line/para separators, ideographic
+    space) — collapsed to one space, trimmed, lowercased.  (The
+    C4/RefinedWeb-style cheap cleanup that runs before any expensive
+    scoring; explicit ``\\x`` ranges and the one-letter ``\\p{Z}``
+    class mean the same thing under Java regex and RE2, so the DuckDB
+    oracle replays it verbatim.  Plain ``\\s`` alone is ASCII-only in
+    both engines and would leave U+2000-style spaces untouched.)"""
     col = F.col(text) if isinstance(text, str) else text
-    no_ctrl = F.regexp_replace(col, r"[\x00-\x1F\x7F]", " ")
-    collapsed = F.regexp_replace(no_ctrl, r"\s+", " ")
+    no_ctrl = F.regexp_replace(col, r"[\x00-\x1F\x7F\x85]", " ")
+    collapsed = F.regexp_replace(no_ctrl, r"[\s\p{Z}]+", " ")
     return F.lower(F.trim(collapsed))
 
 

@@ -2,9 +2,12 @@
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from tweets_spark_top_10_spark.functions.cachectl import release_persisted
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -19,9 +22,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = fn
+
+        # Release the previous query's tracked persists before building
+        # this one, so a long-lived session running the whole catalog
+        # (the correctness driver) never accumulates cached blocks.
+        # Still-held earlier results stay valid — they just recompute.
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_persisted(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE[name] = oracle
-        return fn
+        return wrapped
 
     return deco

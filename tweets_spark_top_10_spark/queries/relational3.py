@@ -20,6 +20,8 @@ capability envelope in SURVEY.md §2.2.  Scale notes per query:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -439,19 +441,28 @@ def urgent_vs_customer_avg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact multiple of 0.01, while price - avg lands on .xxx5
     half-way points whose rounding direction differs between engines
     (observed: thousands of one-ulp mismatches at round 4)."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_custkey,
-               ROUND(o_totalprice * (SELECT COUNT(*) FROM orders o2
-                                     WHERE o2.o_custkey = o.o_custkey)
-                     - (SELECT SUM(o3.o_totalprice) FROM orders o3
-                        WHERE o3.o_custkey = o.o_custkey), 2)
-                 AS scaled_diff_vs_cust_avg
-        FROM orders o
-        WHERE o_orderpriority = '1-URGENT'
-        """
-    )
+    # A uniquely-named view, dropped once the plan is analyzed: naming
+    # it plain 'orders' would mutate shared session catalog state, and
+    # any later spark.sql in the same session would silently resolve
+    # 'orders' to this sf_dir's table.  spark.sql analyzes eagerly, so
+    # the returned DataFrame keeps its resolved plan after the drop.
+    view = "orders_q_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            SELECT o_orderkey, o_custkey,
+                   ROUND(o_totalprice * (SELECT COUNT(*) FROM {view} o2
+                                         WHERE o2.o_custkey = o.o_custkey)
+                         - (SELECT SUM(o3.o_totalprice) FROM {view} o3
+                            WHERE o3.o_custkey = o.o_custkey), 2)
+                     AS scaled_diff_vs_cust_avg
+            FROM {view} o
+            WHERE o_orderpriority = '1-URGENT'
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 @register(

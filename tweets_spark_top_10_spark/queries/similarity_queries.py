@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tweets_spark_top_10_spark.functions.cachectl import persist_tracked
 from tweets_spark_top_10_spark.functions.similarity import (
     brute_force_knn,
     ivf_knn,
@@ -557,7 +558,7 @@ def pq_adc_lloyd_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (
         _normed(emb, "neighbor_id", 10, None)
         .repartition(spark.sparkContext.defaultParallelism)
-        .persist()
+        .transform(persist_tracked)
     )
     seed = pq_codebook(cands)
     # LAZY localCheckpoint: on first action the ~2k-row refined book

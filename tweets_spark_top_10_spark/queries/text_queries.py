@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tweets_spark_top_10_spark.functions.cachectl import persist_tracked
 from tweets_spark_top_10_spark.functions.dedup import (
     exact_dedup,
     lsh_exact_rerank,
@@ -456,9 +457,17 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever drops a true >=0.5 pair, the row set mismatches.  (Retention
     is also pytest-gated across fixtures; 8 OR-ed tables give miss
     probability (1-s)^8 <= 0.4% per s=0.5 pair, and the fixed seed
-    makes the achieved full recall deterministic.)  At 100 TB the
-    oracle side is the thing you can no longer afford — the registered
-    plan (banding + candidate-restricted rerank) is the scale path.
+    makes the achieved full recall deterministic.)  CAVEAT (round-2
+    advice): full recall is a property of THIS fixture under the fixed
+    seed, not a guarantee of the algorithm — a regenerated fixture or
+    new SF could legitimately produce a borderline pair the banding
+    drops (~0.4% per pair), i.e. a driver mismatch with fully correct
+    code.  If that ever fires, the fix is to demote this oracle to an
+    invariant gate (retained-fraction >= 1-(1-s)^8 band, exact-dup
+    recall == 1) in the style of ``simhash_near_dups``, not to patch
+    the banding.  At 100 TB the oracle side is the thing you can no
+    longer afford — the registered plan (banding +
+    candidate-restricted rerank) is the scale path.
     """
     from tweets_spark_top_10_spark.functions.dedup import shingle_table
 
@@ -466,7 +475,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One shingle table shared by banding and rerank (it is referenced
     # four times across the two phases) — at scale, a materialized
     # per-corpus intermediate; in-session, persist.
-    sh = shingle_table(docs, "text", "doc_id", n=3).persist()
+    sh = shingle_table(docs, "text", "doc_id", n=3).transform(persist_tracked)
     cands = minhash_band_pairs(docs, "text", "doc_id", n=3, shingles=sh)
     return lsh_exact_rerank(
         docs, cands, "text", "doc_id", n=3, threshold=0.5, shingles=sh
@@ -539,7 +548,7 @@ def simhash_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (case variants tokenize to different xxhash64 inputs).
     # h is referenced three times (dup-hash agg, corpus build, dup-pair
     # self-join) — persist so the scan+md5 runs once, not three times.
-    h = docs.select(F.md5("text").alias("h"), "doc_id", "text").persist()
+    h = docs.select(F.md5("text").alias("h"), "doc_id", "text").transform(persist_tracked)
     dup_hashes = (
         h.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -555,7 +564,7 @@ def simhash_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     pairs = simhash_near_pairs(
         simhash64(corpus.repartition(par)), max_hamming=3
-    ).persist()
+    ).transform(persist_tracked)
 
     n_seeded = seeds.agg(F.count(F.lit(1)).alias("n_seeded"))
     seeded_found = pairs.filter(
@@ -610,8 +619,8 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
              regexp_replace(
                chr(9) || ' ' || upper(substr(text, 1, 30)) || '  ' || text
                  || ' ' || chr(13) || chr(10),
-               '[\x00-\x1F\x7F]', ' ', 'g'),
-             '\s+', ' ', 'g'))) AS norm_text
+               '[\x00-\x1F\x7F\x85]', ' ', 'g'),
+             '[\s\p{Z}]+', ' ', 'g'))) AS norm_text
     FROM documents
     """,
 )

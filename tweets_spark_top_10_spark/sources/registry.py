@@ -13,6 +13,8 @@ materialize or cache eagerly here.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -113,12 +115,16 @@ SCHEMAS: dict[str, T.StructType] = {
 
 TABLES: tuple[str, ...] = tuple(SCHEMAS)
 
-# (session id, sf_dir, table) -> analyzed DataFrame. DataFrames are
+# session -> {(sf_dir, table) -> analyzed DataFrame}. DataFrames are
 # immutable plans, so handing the same object to every query is safe and
 # skips re-listing the directory + re-reading parquet footers on each of
-# the catalog's ~130 load calls. Keyed by session id so a new session
-# (fresh driver process, restarted test fixture) never sees stale plans.
-_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# the catalog's ~130 load calls. Held in a WeakKeyDictionary so entries
+# die with their session — id(spark) keying would let CPython reuse the
+# id of a collected session and hand a new session a plan bound to a
+# stopped one, and would grow without bound across sf_dirs.
+_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -141,8 +147,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "spark.sql.shuffle.partitions",
             str(spark.sparkContext.defaultParallelism),
         )
-    key = (id(spark), sf_dir, name)
-    cached = _DF_CACHE.get(key)
+    session_cache = _DF_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = session_cache.get(key)
     if cached is not None:
         return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -158,7 +165,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
             )
-    _DF_CACHE[key] = df
+    session_cache[key] = df
     return df
 
 
