@@ -104,7 +104,11 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") <= max_shingle_df)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(keep), "shingle")
+        # The capped table is referenced three times below (per-doc
+        # counts + both join sides); persist it too, or each reference
+        # re-runs the broadcast semi-join over the pre-cap table
+        # (measured ~+20% on the whole query at sf0.1).
+        sh = sh.join(F.broadcast(keep), "shingle").transform(persist_tracked)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
