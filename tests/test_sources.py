@@ -145,3 +145,59 @@ def test_binary_dir_ingest_feeds_multimodal(spark, tmp_path):
     feats = extract_image_features(attach_meta(with_ids, mime="image/raw"))
     got = feats.select("n_bytes").collect()
     assert sorted(r.n_bytes for r in got) == [9, 16]
+
+
+def test_ntz_timestamp_coerced_at_load_boundary(spark, sf_dir, tmp_path):
+    """Parquet ``timestamp[us]`` without UTC adjustment reads as
+    TIMESTAMP_NTZ in Spark 4; the registry must re-tag it to TIMESTAMP so
+    instant functions (``unix_micros`` et al.) work, without shifting
+    wall-clock values (session zone is UTC). Guards against fixture /
+    Spark-version drift — this broke the RANGE-frame query in round 4."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tweets_spark_top_10_spark.sources import registry
+
+    t0 = datetime.datetime(2024, 3, 1, 12, 30, 45)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([t0, t0 + datetime.timedelta(hours=1)],
+                           pa.timestamp("us")),  # no tz → NTZ in Spark
+            "user_id": pa.array([7, 7], pa.int64()),
+            "event_type": pa.array(["a", "b"], pa.string()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    d = tmp_path / "ntz" / "events.parquet"
+    d.parent.mkdir(parents=True)
+    pq.write_table(tbl, str(d))
+    df = registry.load_table(spark, str(tmp_path / "ntz"), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    # instant function resolves, and the wall-clock value is preserved
+    got = df.orderBy("event_id").select(
+        F.unix_micros("ts").alias("us"), "ts"
+    ).collect()
+    epoch_us = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+    assert got[0]["us"] == epoch_us
+    assert got[0]["ts"] == t0
+
+
+def test_correctness_rotation_not_stale():
+    """The stale-first driver rotation (``_LAST_CHECKED``) must be
+    regenerated whenever a new CORRECTNESS artifact lands; rounds 3/4
+    silently re-checked the same 50 queries because it wasn't. Failing
+    here makes staleness a test failure instead of wasted driver budget."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "tools/update_check_history.py", "--check"],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr

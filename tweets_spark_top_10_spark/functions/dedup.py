@@ -27,7 +27,7 @@ are written artifacts, not session caches.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tweets_spark_top_10_spark.functions.cachectl import persist_tracked
@@ -92,23 +92,24 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
     6 digits for cross-engine determinism.
     """
-    # The shingle table feeds the DF-cap aggregate, the per-doc counts,
-    # and both sides of the candidate self-join — persist it so the
-    # tokenize/explode/distinct subplan runs once, not 4-5x.  (At scale
-    # this is a materialized per-corpus intermediate.)
-    sh = shingle_table(df, text_col, id_col, n).transform(persist_tracked)
+    sh = shingle_table(df, text_col, id_col, n)
     if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
+        # Fuse the DF cap into the shingle table with a window instead
+        # of an aggregate + broadcast semi-join: one pass, and the
+        # window's shuffle leaves the persisted result hash-partitioned
+        # on `shingle` — exactly what the candidate self-join below
+        # needs. (A/B at sf0.1: min 2.3 s vs 2.9 s for the two-persist
+        # aggregate+semi-join shape, and one fewer cached table.)
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("df", F.count(F.lit(1)).over(w))
             .filter(F.col("df") <= max_shingle_df)
-            .select("shingle")
+            .drop("df")
         )
-        # The capped table is referenced three times below (per-doc
-        # counts + both join sides); persist it too, or each reference
-        # re-runs the broadcast semi-join over the pre-cap table
-        # (measured ~+20% on the whole query at sf0.1).
-        sh = sh.join(F.broadcast(keep), "shingle").transform(persist_tracked)
+    # Referenced three times below (per-doc counts + both join sides) —
+    # persist so the tokenize/explode/distinct(+cap) subplan runs once.
+    # (At scale this is a materialized per-corpus intermediate.)
+    sh = sh.transform(persist_tracked)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")

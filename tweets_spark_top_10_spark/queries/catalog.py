@@ -44,57 +44,7 @@ from tweets_spark_top_10_spark.queries.registry import ORACLE, QUERIES
 # zero fails; the r1 rows listed here are the 30 not re-checked in r2,
 # all green in r1).
 _LAST_CHECKED: dict[str, int] = {
-    # --- last driver row: round 1 ---
-    "monthly_revenue": 1,
-    "segment_order_stats": 1,
-    "supplier_distinct_parts": 1,
-    "part_predicates": 1,
-    "event_props_k": 1,
-    "customer_balance_ranks": 1,
-    "order_status_cube": 1,
-    "part_string_funcs": 1,
-    "props_map_access": 1,
-    "props_key_counts": 1,
-    "nation_activity_full_outer": 1,
-    "customer_order_counts_right": 1,
-    "part_lineitem_left": 1,
-    "quantity_bucket_ranges": 1,
-    "purchase_last_view_asof": 1,
-    "event_lag_lead": 1,
-    "priority_status_pivot": 1,
-    "status_priority_grouping_sets": 1,
-    "quantity_percentiles": 1,
-    "user_trailing_hour_value": 1,
-    "deterministic_sample_stats": 1,
-    "embedding_norms": 1,
-    "knn_cosine_top5": 1,
-    "label_centroids": 1,
-    "embedding_near_dup_pairs": 1,
-    "ivf_knn_top5": 1,
-    "lsh_knn_top5": 1,
-    "dedup_exact_docs": 1,
-    "doc_token_stats": 1,
-    "doc_stopword_ratio": 1,
     # --- last driver row: round 2 ---
-    "media_frame_counts": 2,
-    "media_resize_stats": 2,
-    "media_image_features": 2,
-    "ref_top10_tokens": 2,
-    "top_event_types": 2,
-    "q1_pricing_summary": 2,
-    "top_revenue_orders": 2,
-    "regional_customer_revenue": 2,
-    "top_orders_per_customer": 2,
-    "user_running_value": 2,
-    "customers_without_big_orders": 2,
-    "late_shipping_priority": 2,
-    "nations_cust_and_supp": 2,
-    "urgent_only_customers": 2,
-    "lineitem_rollup": 2,
-    "segment_priority_sets": 2,
-    "approx_distinct_users": 2,
-    "orders_profile": 2,
-    "customer_priority_lists": 2,
     "embedding_quantize_int8": 2,
     "doc_fingerprints": 2,
     "doc_split_assignment": 2,
@@ -119,13 +69,63 @@ _LAST_CHECKED: dict[str, int] = {
     "simhash_near_dups": 2,
     "simhash_invariants": 2,
     "minhash_lsh_candidates": 2,
-    "urgent_vs_customer_avg_sql": 2,
     "customer_balance_distribution": 2,
     "approx_quantile_gate": 2,
     "dedup_canonical_docs": 2,
     "ivfpq_adc_top5": 2,
     "pq_adc_lloyd_top5": 2,
     "dedup_components": 2,
+    # --- last driver row: round 4 ---
+    "media_frame_counts": 4,
+    "media_resize_stats": 4,
+    "media_image_features": 4,
+    "ref_top10_tokens": 4,
+    "top_event_types": 4,
+    "q1_pricing_summary": 4,
+    "top_revenue_orders": 4,
+    "regional_customer_revenue": 4,
+    "top_orders_per_customer": 4,
+    "user_running_value": 4,
+    "customers_without_big_orders": 4,
+    "late_shipping_priority": 4,
+    "nations_cust_and_supp": 4,
+    "urgent_only_customers": 4,
+    "lineitem_rollup": 4,
+    "monthly_revenue": 4,
+    "segment_order_stats": 4,
+    "supplier_distinct_parts": 4,
+    "part_predicates": 4,
+    "event_props_k": 4,
+    "customer_balance_ranks": 4,
+    "order_status_cube": 4,
+    "segment_priority_sets": 4,
+    "part_string_funcs": 4,
+    "props_map_access": 4,
+    "props_key_counts": 4,
+    "approx_distinct_users": 4,
+    "nation_activity_full_outer": 4,
+    "customer_order_counts_right": 4,
+    "part_lineitem_left": 4,
+    "quantity_bucket_ranges": 4,
+    "purchase_last_view_asof": 4,
+    "event_lag_lead": 4,
+    "priority_status_pivot": 4,
+    "status_priority_grouping_sets": 4,
+    "quantity_percentiles": 4,
+    "user_trailing_hour_value": 4,
+    "orders_profile": 4,
+    "deterministic_sample_stats": 4,
+    "customer_priority_lists": 4,
+    "embedding_norms": 4,
+    "knn_cosine_top5": 4,
+    "label_centroids": 4,
+    "embedding_near_dup_pairs": 4,
+    "ivf_knn_top5": 4,
+    "lsh_knn_top5": 4,
+    "dedup_exact_docs": 4,
+    "doc_token_stats": 4,
+    "doc_stopword_ratio": 4,
+    "urgent_vs_customer_avg_sql": 4,
 }
 
 

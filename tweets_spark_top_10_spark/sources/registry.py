@@ -139,6 +139,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Parquet TIMESTAMP(NANOS) (e.g. events.ts, written by pandas) has no
     # Spark type; read it as nano-longs and convert below. Runtime-settable.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ→TIMESTAMP cast below is value-preserving only under a UTC
+    # session zone, which is also what the DuckDB oracle's naive
+    # timestamps assume. Pin it for driver-owned sessions too.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Right-size shuffles for sessions still on Spark's 200 default
     # (e.g. the driver harness's own session): ~1 partition per core.
     # Never overrides an explicit setting.
@@ -165,6 +169,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
             )
+        elif isinstance(dtype, T.TimestampType) and actual.get(col) == "timestamp_ntz":
+            # Parquet timestamp[us] without UTC adjustment reads as
+            # TIMESTAMP_NTZ in Spark 4, which functions like unix_micros
+            # reject. Session zone is UTC (pinned above), so this cast is
+            # a pure re-tag: wall-clock values and oracle comparisons are
+            # unchanged.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     session_cache[key] = df
     return df
 
