@@ -46,10 +46,10 @@ def test_write_csv_top_k_single_headered_file(spark, sf_dir, tmp_path):
     assert len(lines) == 11  # header + 10 rows
 
 
-def test_avro_unavailable_is_loud_not_silent(spark, sf_dir, tmp_path):
-    """Without the spark-avro package the engine must fail with a clear
-    packaging error (DATA_SOURCE_NOT_FOUND), never return wrong data.
-    If the jar IS present, the roundtrip must work."""
+def test_avro_native_write_unavailable_is_loud(spark, sf_dir, tmp_path):
+    """The native spark-avro WRITE path needs the connector jar; without
+    it the engine must fail with a clear packaging error, never write
+    wrong data. With the jar present the roundtrip must work."""
     nation = load_table(spark, sf_dir, "nation")
     out = str(tmp_path / "nation_avro")
     try:
@@ -60,6 +60,123 @@ def test_avro_unavailable_is_loud_not_silent(spark, sf_dir, tmp_path):
         pytest.skip("spark-avro not on classpath (expected in this container)")
     back = read_batch(spark, out, fmt="avro")
     assert back.count() == nation.count()
+
+
+TWEET_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "Tweet",
+    "fields": [
+        {"name": "timestamp", "type": "long"},
+        {"name": "hashtags", "type": {"type": "array", "items": "string"}},
+        {"name": "user", "type": ["null", "string"]},
+    ],
+}
+
+
+def test_avro_fallback_reference_shape_roundtrip(spark, tmp_path):
+    """The reference's input is hour-partitioned Avro of tweet records
+    (``App.java:92-94``; schema shape from the commented speed layer,
+    ``App.java:159-178``). Write container files with the pure-Python
+    encoder, read through ``read_batch(fmt='avro')`` — which falls back
+    to the distributed python decoder in this jar-less container — and
+    run the reference query end to end."""
+    from tweets_spark_top_10_spark.operators.explode_count import explode_count
+    from tweets_spark_top_10_spark.operators.topk import top_k
+    from tweets_spark_top_10_spark.sources.avro_py import write_avro_file
+
+    d = tmp_path / "tweets"
+    d.mkdir()
+    recs1 = [
+        {"timestamp": 1700000000 + i, "hashtags": ["spark", "avro"], "user": "a"}
+        for i in range(10)
+    ]
+    recs2 = [
+        {"timestamp": 1700000100 + i, "hashtags": ["spark"], "user": None}
+        for i in range(5)
+    ] + [{"timestamp": 1700000200, "hashtags": [], "user": "b"}]
+    write_avro_file(str(d / "part-0.avro"), TWEET_AVRO_SCHEMA, recs1, codec="deflate")
+    write_avro_file(str(d / "part-1.avro"), TWEET_AVRO_SCHEMA, recs2, codec="null")
+
+    df = read_batch(spark, str(d), fmt="avro")
+    assert dict(df.dtypes) == {
+        "timestamp": "bigint",
+        "hashtags": "array<string>",
+        "user": "string",
+    }
+    assert df.count() == 16
+    counted = explode_count(df, "hashtags", out_key="hashtag", out_count="n")
+    top = top_k(counted, [F.desc("n"), F.asc("hashtag")], k=10).collect()
+    assert [(r["hashtag"], r["n"]) for r in top] == [("spark", 15), ("avro", 10)]
+    assert df.filter(F.col("user").isNull()).count() == 5
+
+
+def test_avro_fallback_type_surface(spark, tmp_path):
+    """Every supported avro type + timestamp-micros logical type decode
+    to the right Spark types and values, under both codecs."""
+    import datetime
+
+    from tweets_spark_top_10_spark.sources.avro_py import write_avro_file
+
+    schema = {
+        "type": "record",
+        "name": "Wide",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "by", "type": "bytes"},
+            {"name": "s", "type": "string"},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            },
+        ],
+    }
+    rec = {
+        "b": True,
+        "i": -42,
+        "l": 1 << 40,
+        "f": 1.5,
+        "d": 2.25,
+        "by": b"\x00\xff",
+        "s": "héllo",
+        "m": {"k": 7},
+        "ts": 1_700_000_000_000_000,
+    }
+    for codec in ("deflate", "null"):
+        d = tmp_path / f"wide_{codec}"
+        d.mkdir()
+        write_avro_file(str(d / "f.avro"), schema, [rec], codec=codec)
+        got = read_batch(spark, str(d), fmt="avro").collect()[0]
+        assert got["b"] is True and got["i"] == -42 and got["l"] == 1 << 40
+        assert got["f"] == 1.5 and got["d"] == 2.25
+        assert bytes(got["by"]) == b"\x00\xff" and got["s"] == "héllo"
+        assert got["m"] == {"k": 7}
+        assert got["ts"] == datetime.datetime(2023, 11, 14, 22, 13, 20)
+
+
+def test_avro_fallback_unsupported_is_loud(spark, tmp_path):
+    """Schema features outside the supported subset must raise, never
+    silently mis-decode."""
+    from tweets_spark_top_10_spark.sources.avro_py import write_avro_file
+
+    schema = {
+        "type": "record",
+        "name": "Bad",
+        "fields": [
+            {
+                "name": "e",
+                "type": {"type": "enum", "name": "E", "symbols": ["A"]},
+            }
+        ],
+    }
+    d = tmp_path / "bad"
+    d.mkdir()
+    with pytest.raises(NotImplementedError, match="enum"):
+        write_avro_file(str(d / "f.avro"), schema, [{"e": "A"}])
 
 
 def test_unknown_format_rejected(spark):

@@ -27,13 +27,32 @@ def read_batch(
 ) -> DataFrame:
     """Read files into a DataFrame.
 
-    ``fmt='avro'`` is the reference's input format (``App.java:92-94``);
-    it needs the spark-avro package on the classpath — callers should
-    treat an ``AnalysisException`` mentioning 'avro' as a packaging
-    problem, not a data problem.
+    ``fmt='avro'`` is the reference's input format (``App.java:92-94``).
+    The native spark-avro connector is used when its jar is on the
+    classpath (the scale path: vectorized, schema-pushed); when it is
+    absent — as in this container — we fall back to the pure-Python
+    container-file decoder in ``avro_py`` (still distributed: binaryFile
+    fan-out + mapInPandas decode). Any *other* avro failure stays loud.
     """
     if fmt not in _FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; supported: {sorted(_FORMATS)}")
+    paths = path if isinstance(path, list) else [path]
+    if fmt == "avro":
+        try:
+            reader = spark.read.format("avro")
+            if schema is not None:
+                reader = reader.schema(schema)
+            for k, v in options.items():
+                reader = reader.option(k, v)
+            df = reader.load(paths)
+            df.schema  # force analysis so a missing jar surfaces here
+            return df
+        except Exception as exc:  # connector missing ≠ data problem
+            if "avro" not in str(exc).lower() or "find" not in str(exc).lower():
+                raise
+            from tweets_spark_top_10_spark.sources.avro_py import read_avro_python
+
+            return read_avro_python(spark, paths, schema=schema)
     reader = spark.read.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)
@@ -41,7 +60,6 @@ def read_batch(
         options.setdefault("header", "true")
     for k, v in options.items():
         reader = reader.option(k, v)
-    paths = path if isinstance(path, list) else [path]
     return reader.load(paths)
 
 
