@@ -113,9 +113,14 @@ def main() -> None:
     if pq_curve:
         out["pq_curve"] = pq_curve
 
-    # Regression tracking: per-query delta vs the newest BENCH_r*.json
-    # recorded by the round driver (only comparable at the same sf).
-    prev = _latest_round_timings(os.path.dirname(os.path.abspath(__file__)), float(sf))
+    # Regression tracking: per-query delta vs the newest prior run —
+    # self-recorded history first (BENCH_HISTORY.jsonl, complete and
+    # uncut), else the newest driver BENCH_r*.json (whose 2000-char tail
+    # often truncates away the timings). Only comparable at the same sf.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prev = _own_history_timings(repo_dir, float(sf)) or _latest_round_timings(
+        repo_dir, float(sf)
+    )
     if prev:
         ref_name, ref_q = prev
         out["delta_vs"] = ref_name
@@ -131,6 +136,35 @@ def main() -> None:
         out["regressed"] = regressed
 
     print(json.dumps(out))
+    try:  # append AFTER printing so a full disk can't eat the result
+        with open(os.path.join(repo_dir, "BENCH_HISTORY.jsonl"), "a") as fh:
+            fh.write(
+                json.dumps(
+                    {"sf": float(sf), "total": total, "queries": timings}
+                )
+                + "\n"
+            )
+    except OSError:
+        pass
+
+
+def _own_history_timings(repo_dir: str, sf: float):
+    """('bench history', {query: sec}) from the last BENCH_HISTORY.jsonl
+    line at this sf, or None."""
+    path = os.path.join(repo_dir, "BENCH_HISTORY.jsonl")
+    try:
+        with open(path) as fh:
+            lines = fh.read().splitlines()
+    except OSError:
+        return None
+    for line in reversed(lines):
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if float(rec.get("sf", -1)) == sf and isinstance(rec.get("queries"), dict):
+            return ("bench history", rec["queries"])
+    return None
 
 
 def _pq_recall_curve(spark, sf_dir: str) -> list[dict]:
@@ -172,19 +206,44 @@ def _pq_recall_curve(spark, sf_dir: str) -> list[dict]:
             pq_codebook_refine,
         )
 
-        lloyd_cb = pq_codebook_refine(c, pq_codebook(c))
+        seed_cb = pq_codebook(c)
+        lloyd_cb = pq_codebook_refine(c, seed_cb).localCheckpoint(eager=False)
+        # Multi-iteration Lloyd convergence: mean centroid displacement
+        # per iteration (should shrink) + the recall it buys.
+        from tweets_spark_top_10_spark.functions.pq import (
+            apply_permutation,
+            opq_permutation,
+            pq_codebook_shift,
+        )
+
+        lloyd2_cb = pq_codebook_refine(c, lloyd_cb).localCheckpoint(eager=False)
+        shifts = []
+        for before, after in [(seed_cb, lloyd_cb), (lloyd_cb, lloyd2_cb)]:
+            row = pq_codebook_shift(before, after, sub_dim=4).collect()[0]
+            shifts.append(round(float(row["mean_shift"]), 6))
+        # OPQ-style permuted space: snake variance allocation, 1 Lloyd.
+        perm = opq_permutation(c).localCheckpoint(eager=False)
+        qp = apply_permutation(q, "query_id", perm)
+        cp = apply_permutation(c, "neighbor_id", perm).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        opq_cb = pq_codebook_refine(cp, pq_codebook(cp)).localCheckpoint(
+            eager=False
+        )
         curve = []
-        for m, sub_dim, cb in [
-            (4, 16, None),
-            (8, 8, None),
-            (16, 4, None),
-            (16, 4, lloyd_cb),
+        for m, sub_dim, cb, qq, cc, label in [
+            (4, 16, None, q, c, None),
+            (8, 8, None, q, c, None),
+            (16, 4, None, q, c, None),
+            (16, 4, lloyd_cb, q, c, "lloyd1"),
+            (16, 4, lloyd2_cb, q, c, "lloyd2"),
+            (16, 4, opq_cb, qp, cp, "opq+lloyd1"),
         ]:
             start = time.perf_counter()
             approx = {
                 (r.query_id, r.neighbor_id)
                 for r in pq_adc_topk(
-                    q, c, k=5, m=m, sub_dim=sub_dim, codebook=cb
+                    qq, cc, k=5, m=m, sub_dim=sub_dim, codebook=cb
                 ).collect()
             }
             point = {
@@ -193,9 +252,10 @@ def _pq_recall_curve(spark, sf_dir: str) -> list[dict]:
                 "recall_at5": round(len(exact & approx) / len(exact), 3),
                 "sec": round(time.perf_counter() - start, 3),
             }
-            if cb is not None:
-                point["lloyd_iters"] = 1
+            if label is not None:
+                point["codebook"] = label
             curve.append(point)
+        curve.append({"lloyd_mean_shift_per_iter": shifts})
         spark.catalog.clearCache()
         return curve
     except Exception as exc:  # the curve is telemetry, never a bench failure
@@ -232,7 +292,13 @@ def _latest_round_timings(repo_dir: str, sf: float):
                 if idx >= 0:
                     brace = tail.find("{", idx)
                     if brace >= 0:
-                        q, _ = json.JSONDecoder().raw_decode(tail[brace:])
+                        try:
+                            q, _ = json.JSONDecoder().raw_decode(tail[brace:])
+                        except ValueError:
+                            q = None
+                # A tail without the '"queries"' marker is truncated
+                # from the front (it holds only the delta section, whose
+                # pairs are DELTAS, not timings) — never recover those.
             if q and (best is None or int(m.group(1)) > best[0]):
                 best = (int(m.group(1)), os.path.basename(path), q)
         except (ValueError, KeyError, OSError, IndexError):

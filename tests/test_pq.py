@@ -172,3 +172,94 @@ def test_ivfpq_recall_and_cell_restriction(spark, sf_dir):
         assert cand_cell[r.neighbor_id] in probed[r.query_id], (
             f"neighbor {r.neighbor_id} outside query {r.query_id}'s probed cells"
         )
+
+
+def test_opq_permutation_is_bijection(spark, sf_dir):
+    """The variance-snake allocation must be a true permutation of
+    1..dim (else apply_permutation silently drops/duplicates values)."""
+    from tweets_spark_top_10_spark.functions.pq import opq_permutation
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = _normed(emb, "neighbor_id", 10, None)
+    rows = opq_permutation(c).collect()
+    assert sorted(r.old_pos for r in rows) == list(range(1, 65))
+    assert sorted(r.new_pos for r in rows) == list(range(1, 65))
+
+
+def test_opq_apply_permutation_preserves_values(spark, sf_dir):
+    """Permuted vectors hold exactly the original multiset of values,
+    and position old_pos maps to new_pos."""
+    from tweets_spark_top_10_spark.functions.pq import (
+        apply_permutation,
+        opq_permutation,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = _normed(emb, "neighbor_id", 10, None)
+    perm = opq_permutation(c)
+    mapping = {r.old_pos: r.new_pos for r in perm.collect()}
+    orig = {r.neighbor_id: r.embedding for r in c.limit(20).collect()}
+    permuted = {
+        r.neighbor_id: r.embedding
+        for r in apply_permutation(c, "neighbor_id", perm)
+        .filter(F.col("neighbor_id").isin(*orig.keys()))
+        .collect()
+    }
+    for nid, vec in orig.items():
+        got = permuted[nid]
+        for old_pos, val in enumerate(vec, start=1):
+            assert got[mapping[old_pos] - 1] == val
+
+
+def test_opq_adc_recall_floor(spark, sf_dir):
+    """OPQ-permuted ADC recall: measured 0.58 at sf0.1 / above the
+    identity-Lloyd line there; the fixtures are near-random so the
+    floor is the collapse gate, same convention as the other ANN ops."""
+    from tweets_spark_top_10_spark.functions.pq import (
+        apply_permutation,
+        opq_permutation,
+        pq_codebook,
+        pq_codebook_refine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _normed(emb, "query_id", 0, 10)
+    c = _normed(emb, "neighbor_id", 10, None)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_knn(q, c, k=5).collect()
+    }
+    perm = opq_permutation(c).localCheckpoint(eager=False)
+    qp = apply_permutation(q, "query_id", perm)
+    cp = apply_permutation(c, "neighbor_id", perm)
+    cb = pq_codebook_refine(cp, pq_codebook(cp))
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_adc_topk(qp, cp, k=5, codebook=cb).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.3, f"OPQ/ADC recall collapsed: {recall:.2f}"
+
+
+def test_lloyd_iterations_converge(spark, sf_dir):
+    """Mean centroid displacement must shrink across Lloyd iterations
+    (k-means monotonicity on the codebook scale) — the convergence
+    measurement surfaced in bench pq_curve."""
+    from tweets_spark_top_10_spark.functions.pq import (
+        pq_codebook,
+        pq_codebook_refine,
+        pq_codebook_shift,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = _normed(emb, "neighbor_id", 10, None)
+    seed = pq_codebook(c)
+    cb1 = pq_codebook_refine(c, seed).localCheckpoint(eager=False)
+    cb2 = pq_codebook_refine(c, cb1).localCheckpoint(eager=False)
+    s1 = pq_codebook_shift(seed, cb1, 4).collect()[0]
+    s2 = pq_codebook_shift(cb1, cb2, 4).collect()[0]
+    assert s1["n_codes"] > 0 and s2["n_codes"] > 0
+    assert float(s2["mean_shift"]) < float(s1["mean_shift"]), (
+        s1["mean_shift"],
+        s2["mean_shift"],
+    )

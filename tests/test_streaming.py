@@ -854,3 +854,108 @@ def test_signature_upsert_restores_bucket_stranded_mid_swap(
     missing = set(before) - after
     assert not missing, f"{len(missing)} stranded rows lost (e.g. {sorted(missing)[:2]})"
     assert not os.path.exists(str(aside))
+
+
+def test_streaming_ann_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    """Incrementally-maintained IVF index + streamed query enrichment ==
+    batch ivf_knn over the final corpus state — exact.
+
+    Vector stream: first half, second half, then one vector RE-SENT
+    negated (it must move cells and replace its old row).  The
+    maintained cell table must equal the batch assignment of the final
+    corpus, and a query stream enriched against it must produce exactly
+    the batch ivf_knn top-5 (same fixed centroid book)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tweets_spark_top_10_spark.functions.similarity import (
+        ivf_assign_cells,
+        ivf_centroids,
+        ivf_knn,
+    )
+    from tweets_spark_top_10_spark.streaming.ann import (
+        enrich_stream_ann,
+        maintain_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cands = emb.filter(F.col("vec_id") >= 10)
+    qdf = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # Fixed offline coarse book (97-stride over the pre-mutation corpus)
+    cents = ivf_centroids(cands, "vec_id")
+
+    pdf = cands.toPandas().sort_values("vec_id").reset_index(drop=True)
+    pdf["embedding"] = pdf["embedding"].map(list)
+    half = len(pdf) // 2
+    mutated_id = int(pdf.vec_id.iloc[1])  # not a 97-stride centroid member
+    mutated_vec = [
+        -float(v) for v in pdf.loc[pdf.vec_id == mutated_id, "embedding"].iloc[0]
+    ]
+
+    src = tmp_path / "vec_stream"
+    src.mkdir()
+    pdf.iloc[:half].to_parquet(src / "b1.parquet", index=False)
+    pdf.iloc[half:].to_parquet(src / "b2.parquet", index=False)
+    pd.DataFrame({"vec_id": [mutated_id], "embedding": [mutated_vec]}).to_parquet(
+        src / "b3.parquet", index=False
+    )
+
+    vec_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    stream = file_stream(spark, str(src), vec_schema, max_files_per_trigger=1)
+    table = str(tmp_path / "cell_table")
+    maintain_ivf_index(
+        stream, cents, table, checkpoint=str(tmp_path / "ckpt_idx")
+    ).awaitTermination()
+
+    final_cands = cands.filter(F.col("vec_id") != mutated_id).unionByName(
+        spark.createDataFrame(
+            [(mutated_id, mutated_vec)], schema=vec_schema
+        )
+    )
+    got_idx = {
+        (r.vec_id, r.cell_id) for r in spark.read.parquet(table).collect()
+    }
+    want_idx = {
+        (r.vec_id, r.cell_id)
+        for r in ivf_assign_cells(final_cands, cents, "vec_id", n_probe=1).collect()
+    }
+    assert got_idx == want_idx
+
+    qsrc = tmp_path / "query_stream"
+    qsrc.mkdir()
+    qpdf = qdf.toPandas()
+    qpdf["embedding"] = qpdf["embedding"].map(list)
+    qpdf.to_parquet(qsrc / "q1.parquet", index=False)
+    q_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    qstream = file_stream(spark, str(qsrc), q_schema, max_files_per_trigger=1)
+    out = str(tmp_path / "ann_out")
+    enrich_stream_ann(
+        qstream, table, cents, out, checkpoint=str(tmp_path / "ckpt_q")
+    ).awaitTermination()
+
+    got = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+        for r in ivf_knn(
+            qdf, final_cands, k=5, cand_id="vec_id", centroids=cents
+        ).collect()
+    }
+    assert got and got == want

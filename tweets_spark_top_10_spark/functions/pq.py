@@ -186,6 +186,96 @@ def pq_codebook_refine(
     )
 
 
+def opq_permutation(
+    candidates: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 16,
+    sub_dim: int = 4,
+    var_digits: int = 9,
+) -> DataFrame:
+    """OPQ-style balanced-variance subspace allocation as a permutation
+    (Ge et al., "Optimized Product Quantization", CVPR 2013 — the
+    eigenvalue-allocation idea restricted to permutation matrices, which
+    keeps the whole pipeline deterministic and SQL-replayable where a
+    learned rotation would not be).
+
+    Dimensions are ranked by corpus variance (rounded before ranking so
+    cross-engine float noise can't flip the order; ties break on
+    position) and dealt to the ``m`` subspaces in boustrophedon (snake)
+    order — subspace 0..m-1 forward, then m-1..0, ... — so every
+    subspace receives one dimension from each variance tier and the
+    per-subspace variance mass is balanced.  Output: (old_pos, new_pos),
+    1-based, a tiny (dim-row) broadcastable artifact.  The variance pass
+    is one aggregate over the posexploded corpus — at scale you run it
+    on the same sample that seeds the codebook.
+    """
+    vals = candidates.select(F.posexplode(vec_col).alias("pos0", "val"))
+    var = vals.groupBy("pos0").agg(
+        F.round(
+            F.avg(F.col("val") * F.col("val")) - F.avg("val") * F.avg("val"),
+            var_digits,
+        ).alias("v")
+    )
+    # dim-count rows (64 here): the single-partition window is over a
+    # tiny aggregate output, not the corpus.
+    w = Window.orderBy(F.desc("v"), F.asc("pos0"))
+    r = F.col("r")
+    fwd = r % m
+    sub = F.when((F.floor(r / m) % 2) == 0, fwd).otherwise(m - 1 - fwd)
+    return (
+        var.withColumn("r", F.row_number().over(w) - 1)
+        .select(
+            (F.col("pos0") + 1).alias("old_pos"),
+            (sub * sub_dim + F.floor(r / m) + 1).cast("int").alias("new_pos"),
+        )
+    )
+
+
+def apply_permutation(
+    df: DataFrame,
+    id_col: str,
+    perm: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reorder every vector by a (old_pos, new_pos) permutation table.
+
+    Relational reorder: posexplode → broadcast-join the permutation →
+    regroup sorting by new_pos.  One shuffle keyed by the vector id
+    (uniform).  At 100 TB the permutation is a fixed metadata artifact
+    you would bake into the extraction expression instead; this form
+    keeps it a data-driven, oracle-replayable operator.
+    """
+    ex = df.select(
+        F.col(id_col), F.posexplode(vec_col).alias("pos0", "val")
+    ).withColumn("old_pos", F.col("pos0") + 1)
+    return (
+        ex.join(F.broadcast(perm), "old_pos")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("new_pos", "val"))),
+                lambda s: s.val,
+            ).alias(vec_col)
+        )
+    )
+
+
+def pq_codebook_shift(before: DataFrame, after: DataFrame, sub_dim: int) -> DataFrame:
+    """Mean L2 displacement of codebook entries between two Lloyd
+    iterations — the convergence measure (1 row: n_codes, mean_shift).
+    Entries that died (no members) in ``after`` are excluded."""
+    b = before.select("m", "code", F.col("sub_centroid").alias("__b"))
+    a = after.select("m", "code", F.col("sub_centroid").alias("__a"))
+    shift = F.sqrt(l2_sq_unrolled(F.col("__b"), F.col("__a"), sub_dim))
+    return (
+        b.join(a, ["m", "code"])
+        .agg(
+            F.count(F.lit(1)).alias("n_codes"),
+            F.round(F.avg(shift), 9).alias("mean_shift"),
+        )
+    )
+
+
 def pq_adc_topk(
     queries: DataFrame,
     candidates: DataFrame,

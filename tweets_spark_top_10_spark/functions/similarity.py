@@ -157,6 +157,8 @@ def ivf_knn(
     n_cells: int = 16,
     n_probe: int = 4,
     round_digits: int = 6,
+    centroids: DataFrame | None = None,
+    cand_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-K: coarse-quantize candidates into
     cells, probe each query's ``n_probe`` nearest cells, exact cosine
@@ -166,9 +168,19 @@ def ivf_knn(
     equi-join on ``cell_id`` (shuffle-partitionable, skew-salvageable by
     AQE), and each query scans ~``n_probe/n_cells`` of the candidates
     instead of all of them.
+
+    ``centroids``/``cand_cells`` override the in-query quantizer with a
+    precomputed coarse book / cell-assignment table — the maintained-
+    index path (``streaming/ann.py``) where assignments come from an
+    incrementally-upserted artifact table instead of a fresh scan.
     """
-    cents = ivf_centroids(candidates, cand_id, vec_col, n_cells)
-    cand_cells = ivf_assign_cells(candidates, cents, cand_id, vec_col, n_probe=1)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(candidates, cand_id, vec_col, n_cells)
+    )
+    if cand_cells is None:
+        cand_cells = ivf_assign_cells(candidates, cents, cand_id, vec_col, n_probe=1)
     query_cells = ivf_assign_cells(queries, cents, query_id, vec_col, n_probe=n_probe)
     q = query_cells.select(query_id, "cell_id", F.col(vec_col).alias("__qv"))
     c = cand_cells.select(cand_id, "cell_id", F.col(vec_col).alias("__cv"))

@@ -1,0 +1,145 @@
+"""Streaming ANN: incremental IVF index maintenance + stream enrichment.
+
+[EXT] surface (SURVEY.md §9 round-3 candidate list).  A billion-vector
+ANN index is not rebuilt per run: new/changed vectors arrive
+continuously and only THEIR rows change — a cell assignment depends
+only on the vector itself and the (fixed, offline-fitted) coarse
+centroid book.  This module maintains the (id, embedding, cell_id)
+assignment table incrementally from a vector stream and answers a
+query stream against it:
+
+- **Maintenance** reuses the generic bucket-partitioned upsert engine
+  (``streaming/sketch.upsert_rows_by_bucket``): per micro-batch, assign
+  cells to the batch's vectors via the broadcast centroid argmin
+  (stateless, codegen'd), then last-writer-wins merge touching only the
+  id-buckets in the batch.  Replaying a micro-batch converges to the
+  same table (the test resends a mutated vector).
+- **Enrichment** probes each streamed query's ``n_probe`` nearest cells
+  (broadcast argmin again) and reranks exactly inside the probed cells
+  via the equi-join on ``cell_id`` — the same plan shape as the batch
+  ``ivf_knn``, run per micro-batch in ``foreachBatch`` because top-K
+  needs a rank, and rank-over-stream belongs in the sink (the
+  ``foreach_batch_top_k`` convention, streaming/sinks.py).
+
+At 100 TB/day the stream side never shuffles to meet the corpus: the
+centroid book is broadcast, the index table is read pruned to probed
+cells' rows by the join, and each micro-batch's work is O(batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tweets_spark_top_10_spark.functions.sampling import hash_bucket
+from tweets_spark_top_10_spark.functions.similarity import (
+    ivf_assign_cells,
+    ivf_knn,
+)
+from tweets_spark_top_10_spark.streaming.sketch import upsert_rows_by_bucket
+
+
+def upsert_vector_cells_batch(
+    spark,
+    batch_vecs: DataFrame,
+    centroids: DataFrame,
+    table_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 16,
+) -> None:
+    """Merge one batch of vectors into the cell-assignment table."""
+    # Batch-internal dedup before assignment (one trigger can list
+    # several files carrying the same id): arrays order lexicographically
+    # in Spark, so max(vec) is the deterministic batch-internal
+    # tie-break; across batches the later batch wins via the upsert.
+    one_per_id = batch_vecs.groupBy(id_col).agg(F.max(vec_col).alias(vec_col))
+    assigned = ivf_assign_cells(
+        one_per_id, centroids, id_col, vec_col, n_probe=1
+    ).withColumn("bucket", hash_bucket(id_col, n_buckets))
+    upsert_rows_by_bucket(spark, assigned, table_path, id_col)
+
+
+def maintain_ivf_index(
+    stream_vecs: DataFrame,
+    centroids: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 16,
+):
+    """Attach the cell-assignment upsert to a vector stream.
+
+    Returns the started StreamingQuery (availableNow trigger so tests
+    and backfills drain the source then stop).
+    """
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_vector_cells_batch(
+            batch_df.sparkSession,
+            batch_df,
+            centroids,
+            table_path,
+            id_col,
+            vec_col,
+            n_buckets,
+        )
+
+    return (
+        stream_vecs.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def enrich_stream_ann(
+    stream_queries: DataFrame,
+    index_path: str,
+    centroids: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    k: int = 5,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Enrich a query-vector stream with IVF top-K neighbors from the
+    maintained index table; appends (query_id, cand_id, cos_sim, rank)
+    parquet per micro-batch.
+
+    Append (not overwrite) is correct here: each query id occurs in one
+    micro-batch, so replaying a batch after a crash rewrites only that
+    batch's rows — idempotent at the sink via checkpointed batch ids.
+    """
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        index = spark.read.parquet(index_path).select(
+            F.col(cand_id), F.col(vec_col), F.col("cell_id")
+        )
+        topk = ivf_knn(
+            batch_df,
+            candidates=None,
+            k=k,
+            query_id=query_id,
+            cand_id=cand_id,
+            vec_col=vec_col,
+            n_probe=n_probe,
+            centroids=centroids,
+            cand_cells=index,
+        )
+        topk.write.mode("append").parquet(out_path)
+
+    return (
+        stream_queries.writeStream.foreachBatch(score)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

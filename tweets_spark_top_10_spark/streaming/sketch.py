@@ -61,11 +61,25 @@ def upsert_signature_batch(
     one_per_id = batch_docs.groupBy(id_col).agg(
         F.max(text_col).alias(text_col)
     )
-    sigs = (
-        minhash_signatures(one_per_id, text_col, id_col, num_tables=num_tables)
-        .withColumn("bucket", hash_bucket(id_col, n_buckets))
-        .persist()
-    )
+    sigs = minhash_signatures(
+        one_per_id, text_col, id_col, num_tables=num_tables
+    ).withColumn("bucket", hash_bucket(id_col, n_buckets))
+    upsert_rows_by_bucket(spark, sigs, table_path, id_col)
+
+
+def upsert_rows_by_bucket(
+    spark,
+    keyed_rows: DataFrame,
+    table_path: str,
+    id_col: str,
+) -> None:
+    """Merge per-id rows (carrying a ``bucket`` partition column) into a
+    bucket-partitioned parquet table: last-writer-wins on ``id_col``,
+    untouched bucket partitions never read or written.  The generic
+    engine under every incrementally-maintained per-row artifact table
+    (MinHash signatures, ANN cell assignments, PQ codes, ...).
+    """
+    rows = keyed_rows.persist()
     # Stage-then-swap, never read-your-own-overwrite: the merge plan
     # reads the live table, so dynamically overwriting the same path in
     # one job would delete old partition files while the job still needs
@@ -93,15 +107,15 @@ def upsert_signature_batch(
     if os.path.exists(staging):
         shutil.rmtree(staging)
     if os.path.exists(table_path):
-        touched = sigs.select("bucket").distinct()
+        touched = rows.select("bucket").distinct()
         old = (
             spark.read.parquet(table_path)
             .join(F.broadcast(touched), "bucket")
-            .join(sigs.select(id_col), id_col, "left_anti")
+            .join(rows.select(id_col), id_col, "left_anti")
         )
-        merged = old.unionByName(sigs)
+        merged = old.unionByName(rows)
     else:
-        merged = sigs
+        merged = rows
     write_partitioned(merged, staging, ["bucket"])
     os.makedirs(table_path, exist_ok=True)
     os.makedirs(aside, exist_ok=True)
@@ -114,7 +128,7 @@ def upsert_signature_batch(
         os.rename(os.path.join(staging, bucket_dir), live)
     shutil.rmtree(aside)
     shutil.rmtree(staging)
-    sigs.unpersist()
+    rows.unpersist()
 
 
 def maintain_minhash_index(
