@@ -959,3 +959,70 @@ def test_streaming_ann_enrichment_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got and got == want
+
+
+def test_streaming_pq_index_matches_batch(spark, sf_dir, tmp_path):
+    """Incrementally-maintained PQ-codes table == batch pq_encode of the
+    final corpus state against the same fixed codebook — exact (the
+    argmin encode is deterministic). Includes a mutated-vector resend."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tweets_spark_top_10_spark.functions.pq import pq_codebook, pq_encode
+    from tweets_spark_top_10_spark.functions.sampling import hash_bucket
+    from tweets_spark_top_10_spark.functions.similarity import l2_norm
+    from tweets_spark_top_10_spark.streaming.ann import maintain_pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = l2_norm(F.col("embedding"))
+    cands = emb.filter(F.col("vec_id") >= 10).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / n).alias(
+            "embedding"
+        ),
+    )
+    cb = pq_codebook(cands, "vec_id").localCheckpoint(eager=False)
+
+    pdf = cands.toPandas().sort_values("vec_id").reset_index(drop=True)
+    pdf["embedding"] = pdf["embedding"].map(list)
+    half = len(pdf) // 2
+    mutated_id = int(pdf.vec_id.iloc[2])
+    mutated_vec = [
+        -float(v) for v in pdf.loc[pdf.vec_id == mutated_id, "embedding"].iloc[0]
+    ]
+
+    src = tmp_path / "pq_vec_stream"
+    src.mkdir()
+    pdf.iloc[:half].to_parquet(src / "b1.parquet", index=False)
+    pdf.iloc[half:].to_parquet(src / "b2.parquet", index=False)
+    pd.DataFrame({"vec_id": [mutated_id], "embedding": [mutated_vec]}).to_parquet(
+        src / "b3.parquet", index=False
+    )
+
+    vec_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    stream = file_stream(spark, str(src), vec_schema, max_files_per_trigger=1)
+    table = str(tmp_path / "pq_table")
+    maintain_pq_index(
+        stream, cb, table, checkpoint=str(tmp_path / "ckpt_pq")
+    ).awaitTermination()
+
+    final_cands = cands.filter(F.col("vec_id") != mutated_id).unionByName(
+        spark.createDataFrame([(mutated_id, mutated_vec)], schema=vec_schema)
+    )
+    got = sorted(
+        (r.vec_id, r.m, r.code, r.bucket)
+        for r in spark.read.parquet(table).collect()
+    )
+    want = sorted(
+        (r.vec_id, r.m, r.code, r.bucket)
+        for r in pq_encode(final_cands, cb, "vec_id")
+        .withColumn("bucket", hash_bucket("vec_id", 16))
+        .collect()
+    )
+    assert len(got) == 16 * len(pdf)
+    assert got == want

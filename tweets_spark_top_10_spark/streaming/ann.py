@@ -96,6 +96,70 @@ def maintain_ivf_index(
     )
 
 
+def upsert_pq_codes_batch(
+    spark,
+    batch_vecs: DataFrame,
+    codebook: DataFrame,
+    table_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    sub_dim: int = 4,
+    n_buckets: int = 16,
+) -> None:
+    """Merge one batch of vectors into the PQ-codes table.
+
+    A vector's M codes depend only on itself and the (fixed, offline)
+    codebook, so incremental maintenance is exact: re-encode the batch,
+    last-writer-wins on the id.  The long-format (id, m, code) rows all
+    carry the id's bucket, so an id's 16 rows always co-locate and the
+    upsert's anti-join swaps them atomically with the bucket swap.
+    """
+    from tweets_spark_top_10_spark.functions.pq import pq_encode
+
+    one_per_id = batch_vecs.groupBy(id_col).agg(F.max(vec_col).alias(vec_col))
+    codes = pq_encode(
+        one_per_id, codebook, id_col, vec_col, m, sub_dim
+    ).withColumn("bucket", hash_bucket(id_col, n_buckets))
+    upsert_rows_by_bucket(spark, codes, table_path, id_col)
+
+
+def maintain_pq_index(
+    stream_vecs: DataFrame,
+    codebook: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    sub_dim: int = 4,
+    n_buckets: int = 16,
+):
+    """Attach the PQ-code upsert to a vector stream (availableNow)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_pq_codes_batch(
+            batch_df.sparkSession,
+            batch_df,
+            codebook,
+            table_path,
+            id_col,
+            vec_col,
+            m,
+            sub_dim,
+            n_buckets,
+        )
+
+    return (
+        stream_vecs.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def enrich_stream_ann(
     stream_queries: DataFrame,
     index_path: str,
