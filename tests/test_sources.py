@@ -318,3 +318,62 @@ def test_correctness_rotation_not_stale():
         text=True,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_snapshot_write_read_time_travel(spark, sf_dir, tmp_path):
+    """Snapshot-versioned table: latest read tracks the newest publish,
+    pinned reads stay immutable, unknown versions fail loudly."""
+    from tweets_spark_top_10_spark.sources.readers import (
+        read_snapshot,
+        snapshot_versions,
+    )
+    from tweets_spark_top_10_spark.sources.writers import write_snapshot
+
+    base = str(tmp_path / "versioned_nation")
+    nation = load_table(spark, sf_dir, "nation")
+    write_snapshot(nation, base, 1)
+    write_snapshot(nation.filter(F.col("n_regionkey") == 0), base, 2)
+
+    assert snapshot_versions(base) == [1, 2]
+    assert read_snapshot(spark, base).count() == nation.filter(
+        F.col("n_regionkey") == 0
+    ).count()  # latest == v2
+    assert read_snapshot(spark, base, version=1).count() == nation.count()
+    with pytest.raises(FileNotFoundError, match="snapshot 9 not published"):
+        read_snapshot(spark, base, version=9)
+    with pytest.raises(FileNotFoundError, match="no snapshot"):
+        read_snapshot(spark, str(tmp_path / "missing"))
+    # published versions are immutable: re-publishing v1 must refuse
+    with pytest.raises(Exception, match="already exists"):
+        write_snapshot(nation, base, 1)
+
+
+def test_hour_partition_schema_evolution(spark, tmp_path):
+    """A producer adding a column mid-day: mergeSchema surfaces it as
+    NULL for old hours, and partition pruning still reaches the scan."""
+    from tweets_spark_top_10_spark.sources.readers import read_hour_partition
+
+    base = str(tmp_path / "hours")
+    old = spark.range(5).select(
+        F.col("id").alias("event_id"), F.lit("a").alias("etype")
+    )
+    new = spark.range(5, 9).select(
+        F.col("id").alias("event_id"),
+        F.lit("b").alias("etype"),
+        F.lit(1.5).alias("score"),  # column added in the newer hour
+    )
+    old.write.parquet(f"{base}/year=2024/month=3/day=1/hour=0")
+    new.write.parquet(f"{base}/year=2024/month=3/day=1/hour=1")
+
+    h0 = read_hour_partition(
+        spark, base, 2024, 3, 1, 0, mergeSchema="true"
+    )
+    assert "score" in h0.columns
+    rows0 = h0.select("event_id", "score").collect()
+    assert len(rows0) == 5 and all(r.score is None for r in rows0)
+
+    h1 = read_hour_partition(spark, base, 2024, 3, 1, 1, mergeSchema="true")
+    assert [r.score for r in h1.select("score").collect()] == [1.5] * 4
+
+    plan = h1._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "hour" in plan

@@ -1026,3 +1026,42 @@ def test_streaming_pq_index_matches_batch(spark, sf_dir, tmp_path):
     )
     assert len(got) == 16 * len(pdf)
     assert got == want
+
+    # ADC enrichment against the maintained codes table == batch
+    # pq_adc_topk over the final corpus with the same codebook, exact.
+    from tweets_spark_top_10_spark.functions.pq import pq_adc_topk
+    from tweets_spark_top_10_spark.streaming.ann import enrich_stream_adc
+
+    qdf = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double") / n).alias(
+            "embedding"
+        ),
+    )
+    qsrc = tmp_path / "pq_query_stream"
+    qsrc.mkdir()
+    qpdf = qdf.toPandas()
+    qpdf["embedding"] = qpdf["embedding"].map(list)
+    qpdf.to_parquet(qsrc / "q1.parquet", index=False)
+    q_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    qstream = file_stream(spark, str(qsrc), q_schema, max_files_per_trigger=1)
+    out = str(tmp_path / "adc_out")
+    enrich_stream_adc(
+        qstream, table, cb, out, checkpoint=str(tmp_path / "ckpt_adc")
+    ).awaitTermination()
+    got_adc = {
+        (r.query_id, r.vec_id, r.approx_d2, r.rank)
+        for r in spark.read.parquet(out).collect()
+    }
+    want_adc = {
+        (r.query_id, r.vec_id, r.approx_d2, r.rank)
+        for r in pq_adc_topk(
+            qdf, final_cands, k=5, cand_id="vec_id", codebook=cb
+        ).collect()
+    }
+    assert got_adc and got_adc == want_adc

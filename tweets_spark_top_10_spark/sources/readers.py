@@ -103,6 +103,7 @@ def read_hour_partition(
     hour: int,
     fmt: str = "parquet",
     schema: T.StructType | None = None,
+    **options: str,
 ) -> DataFrame:
     """Read exactly one hour of an hour-partitioned table.
 
@@ -111,11 +112,56 @@ def read_hour_partition(
     Loading ``base_path`` and filtering on the partition columns lets
     Spark prune to that one directory — verify with
     ``.explain()`` showing ``PartitionFilters``.
+
+    Schema evolution across hours (a producer adding a column mid-day)
+    is handled the Spark-native way: pass ``mergeSchema="true"`` and
+    old hours surface the new column as NULL; pass an explicit
+    ``schema`` to pin the contract instead.
     """
-    df = read_batch(spark, base_path, fmt=fmt, schema=schema, basePath=base_path)
+    df = read_batch(
+        spark, base_path, fmt=fmt, schema=schema, basePath=base_path, **options
+    )
     return df.filter(
         (F.col("year") == year)
         & (F.col("month") == month)
         & (F.col("day") == day)
         & (F.col("hour") == hour)
     )
+
+
+def snapshot_versions(base_path: str) -> list[int]:
+    """Published snapshot versions under ``base_path``, ascending."""
+    import os
+
+    try:
+        names = os.listdir(base_path)
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in names:
+        if n.startswith("snapshot=") and n.removeprefix("snapshot=").isdigit():
+            out.append(int(n.removeprefix("snapshot=")))
+    return sorted(out)
+
+
+def read_snapshot(
+    spark: SparkSession,
+    base_path: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Read one table snapshot (``version=None`` → latest).
+
+    The snapshot dir is read DIRECTLY (not via partition discovery on
+    ``base_path``) so the scan lists only the pinned version's files —
+    a reader never pays for, or races with, other versions.
+    """
+    versions = snapshot_versions(base_path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot=N dirs under {base_path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise FileNotFoundError(
+            f"snapshot {version} not published under {base_path}; have {versions}"
+        )
+    return spark.read.parquet(f"{base_path.rstrip('/')}/snapshot={version}")

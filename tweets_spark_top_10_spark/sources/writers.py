@@ -98,3 +98,22 @@ def write_partitioned(
     if dynamic:
         writer = writer.option("partitionOverwriteMode", "dynamic")
     writer.save(path)
+
+
+def write_snapshot(df: DataFrame, base_path: str, version: int) -> None:
+    """Write one immutable table snapshot under ``base/snapshot=V/``.
+
+    Time-travel-style reads over plain partitioned dirs (the public
+    file-lake pattern that predates Delta/Iceberg manifests): every
+    version is a self-contained directory, so a reader pinned to
+    ``snapshot=3`` is immune to concurrent writers publishing v4 —
+    publication is the atomic-enough dir rename of the final file
+    commit, and old versions stay readable until retired.  At 100 TB
+    each snapshot would hold partition dirs underneath; nothing here
+    precludes that (the snapshot level is just the outermost dir).
+    """
+    if version < 0:
+        raise ValueError(f"snapshot version must be >= 0, got {version}")
+    df.write.mode("errorifexists").parquet(
+        f"{base_path.rstrip('/')}/snapshot={version}"
+    )

@@ -207,3 +207,54 @@ def enrich_stream_ann(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_stream_adc(
+    stream_queries: DataFrame,
+    codes_path: str,
+    codebook: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    k: int = 5,
+    query_id: str = "query_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    sub_dim: int = 4,
+):
+    """Enrich a query-vector stream with PQ/ADC top-K from the
+    maintained codes table (``maintain_pq_index``): per micro-batch the
+    queries build broadcast LUTs against the fixed codebook, and the
+    scan side is the M-byte codes table — no candidate vector is ever
+    read.  The compressed twin of :func:`enrich_stream_ann`; same
+    append-sink idempotence argument.
+    """
+    from tweets_spark_top_10_spark.functions.pq import pq_adc_topk
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        codes = spark.read.parquet(codes_path).select(
+            F.col(cand_id), F.col("m"), F.col("code")
+        )
+        topk = pq_adc_topk(
+            batch_df,
+            candidates=None,
+            k=k,
+            query_id=query_id,
+            cand_id=cand_id,
+            vec_col=vec_col,
+            m=m,
+            sub_dim=sub_dim,
+            codebook=codebook,
+            codes=codes,
+        )
+        topk.write.mode("append").parquet(out_path)
+
+    return (
+        stream_queries.writeStream.foreachBatch(score)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
