@@ -377,3 +377,48 @@ def test_hour_partition_schema_evolution(spark, tmp_path):
 
     plan = h1._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "hour" in plan
+
+
+def test_avro_python_write_roundtrip(spark, sf_dir, tmp_path):
+    """Distributed fallback Avro WRITE (one container file per
+    partition, executor-side) → fallback read: values, nulls, arrays
+    and timestamps all survive the roundtrip."""
+    from tweets_spark_top_10_spark.sources.avro_py import write_avro_python
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+        .limit(200)
+        .repartition(4)
+    )
+    out = str(tmp_path / "orders_avro")
+    n_files = write_avro_python(orders, out)
+    assert 1 <= n_files <= 4
+    assert len(glob.glob(f"{out}/part-*.avro")) == n_files
+    back = read_batch(spark, out, fmt="avro")
+    assert dict(back.dtypes) == dict(orders.dtypes)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, orders.collect())
+    )
+
+
+def test_avro_python_write_nulls_and_arrays(spark, tmp_path):
+    """Null scalars and array columns through the distributed writer."""
+    from pyspark.sql import types as T
+
+    from tweets_spark_top_10_spark.sources.avro_py import write_avro_python
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], None), (2, [], "x"), (3, None, "y")], schema=schema
+    )
+    out = str(tmp_path / "nullable_avro")
+    write_avro_python(df, out)
+    back = sorted(map(tuple, read_batch(spark, out, fmt="avro").collect()))
+    assert back == [(1, ["a", "b"], None), (2, [], "x"), (3, None, "y")]
