@@ -94,3 +94,64 @@ def test_redact_pii_fixed_point_and_count_consistency(spark, texts):
         .collect()[0][0]
     )
     assert leftover == 0
+
+
+# ---- avro codec roundtrip (pure python, no Spark session needed) ----
+
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "R",
+    "fields": [
+        {"name": "i", "type": "int"},
+        {"name": "l", "type": "long"},
+        {"name": "d", "type": "double"},
+        {"name": "s", "type": "string"},
+        {"name": "b", "type": "bytes"},
+        {"name": "ns", "type": ["null", "string"]},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "mp", "type": {"type": "map", "values": "long"}},
+    ],
+}
+
+_records = st.lists(
+    st.fixed_dictionaries(
+        {
+            "i": st.integers(-(2**31), 2**31 - 1),
+            "l": st.integers(-(2**63), 2**63 - 1),
+            "d": st.floats(allow_nan=False),
+            "s": st.text(max_size=80),
+            "b": st.binary(max_size=40),
+            "ns": st.none() | st.text(max_size=20),
+            "arr": st.lists(st.integers(-(2**63), 2**63 - 1), max_size=8),
+            "mp": st.dictionaries(st.text(max_size=10), st.integers(-1000, 1000), max_size=5),
+        }
+    ),
+    max_size=30,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(recs=_records, codec=st.sampled_from(["null", "deflate"]))
+def test_avro_codec_roundtrip_property(recs, codec):
+    """write_avro_file → parse_container is the identity on the
+    supported type subset — the zigzag varints, block framing, codecs,
+    unions, arrays and maps all survive arbitrary values (incl. full
+    64-bit integer range and unicode)."""
+    import os
+    import tempfile
+
+    from tweets_spark_top_10_spark.sources.avro_py import (
+        parse_container,
+        write_avro_file,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "f.avro")
+        write_avro_file(p, _AVRO_SCHEMA, recs, codec=codec, records_per_block=7)
+        with open(p, "rb") as fh:
+            schema, it = parse_container(fh.read())
+        got = list(it)
+    assert schema == _AVRO_SCHEMA
+    assert len(got) == len(recs)
+    for want, have in zip(recs, got):
+        assert have == want
