@@ -879,3 +879,128 @@ def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     return docs.select("doc_id", split.alias("split"))
+
+
+@register(
+    "doc_contamination",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS arr
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(arr) - 1, 1)),
+                 i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]
+               )) AS shingle
+        FROM toks
+      ) raw
+    ), ev AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+    ), shared AS (
+      SELECT s.doc_id, COUNT(*) AS n_shared
+      FROM sh s JOIN ev USING (shingle)
+      WHERE s.doc_id % 50 <> 0
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(sh2.n_shared, 0) AS BIGINT) AS n_shared,
+           COALESCE(sh2.n_shared, 0) >= 5 AS contaminated
+    FROM documents d LEFT JOIN shared sh2 USING (doc_id)
+    WHERE d.doc_id % 50 <> 0
+    """,
+)
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing >= 5
+    distinct 3-gram shingles with the eval set (here: every 50th doc
+    stands in for the benchmark).  The 100 TB shape is the decisive
+    property: the EVAL side's distinct shingles are tiny (benchmarks
+    are thousands of docs, not billions) and broadcast, so the corpus
+    side is one scan + a broadcast semi-join + one uniform groupBy —
+    contamination checking costs one pass over the corpus regardless
+    of its size.  This is the n-gram-overlap decontamination used for
+    LLM training corpora (e.g. GPT-2/3-style 8-gram checks; 3-grams
+    here only because fixture docs are short)."""
+    from tweets_spark_top_10_spark.functions.dedup import shingle_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 50 == 0
+    ev_shingles = (
+        shingle_table(docs.filter(is_eval), "text", "doc_id", 3)
+        .select("shingle")
+        .distinct()
+    )
+    train = docs.filter(~is_eval)
+    tr_shingles = shingle_table(train, "text", "doc_id", 3)
+    shared = (
+        tr_shingles.join(F.broadcast(ev_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    n_shared = F.coalesce(F.col("__n"), F.lit(0)).cast("long")
+    return (
+        train.select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_shared.alias("n_shared"),
+            (n_shared >= 5).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "doc_pack_bins",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''))
+               AS n_tokens,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 8) AS bucket
+      FROM documents
+    ), c AS (
+      SELECT doc_id, bucket, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM c
+    """,
+)
+def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: assign each document to a
+    fixed-token-budget bin (512 tokens) by greedy cumulative packing.
+
+    A global greedy pack is inherently sequential, so the scale form
+    packs WITHIN deterministic hash buckets (8 here; thousands at
+    100 TB): each bucket's docs are packed independently by a
+    running-sum window partitioned on the bucket — parallel across
+    buckets, deterministic (md5 bucket + doc_id order), and the
+    per-bin overflow is bounded by one document, the standard greedy
+    guarantee.  Output: (doc_id, bucket, bin_id, n_tokens)."""
+    from tweets_spark_top_10_spark.functions.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+        hash_bucket("doc_id", 8).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    bin_id = ((cum - F.col("n_tokens")) / F.lit(512)).cast("long")
+    return toks.select(
+        "doc_id", "bucket", bin_id.alias("bin_id"), "n_tokens"
+    )
