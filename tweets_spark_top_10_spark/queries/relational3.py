@@ -502,3 +502,77 @@ def approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a90") >= F.col("e90")[0]) & (F.col("a90") <= F.col("e90")[2])
         ).alias("p90_in_band"),
     )
+
+
+@register(
+    "lateral_top2_orders_sql",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+    ) o
+    """,
+)
+def lateral_top2_orders_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (SQL surface): top-2 orders per
+    customer, declared as a per-row subquery instead of the catalog's
+    usual window formulation (``top_orders_per_customer``).  Catalyst
+    rewrites the lateral into a join + per-group limit
+    (DecorrelateInnerQuery) — no per-customer re-execution — so the
+    declarative form scales like the window one; the oracle runs the
+    identical statement shape on DuckDB's native LATERAL."""
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    cview, oview = f"customer_l_{suffix}", f"orders_l_{suffix}"
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(cview)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(oview)
+    try:
+        return spark.sql(
+            f"""
+            SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+            FROM {cview} c,
+            LATERAL (
+              SELECT o_orderkey, o_totalprice FROM {oview}
+              WHERE o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+            ) o
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(cview)
+        spark.catalog.dropTempView(oview)
+
+
+@register(
+    "event_props_variant",
+    oracle="""
+    SELECT CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+             AS k_mod,
+           COUNT(*) AS n,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): ``parse_json`` once
+    into a variant column, typed extraction via ``variant_get`` —
+    the open-schema path for JSON event payloads (vs the closed
+    ``from_json`` map in ``props_map_access``).  At scale variant
+    columns store shredded binary (no per-query re-parse) and the
+    extraction is a codegen'd path access.  Oracle: DuckDB JSON
+    extraction of the same field."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        events.withColumn("__k", k)
+        .filter(F.col("__k").isNotNull())
+        .groupBy((F.col("__k") % 10).cast("long").alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
