@@ -1004,3 +1004,45 @@ def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.select(
         "doc_id", "bucket", bin_id.alias("bin_id"), "n_tokens"
     )
+
+
+@register(
+    "part_name_fuzzy_pairs",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a
+    JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching (edit distance) under a blocking key —
+    the record-linkage primitive next to the token-set dedup family.
+    Candidates come from a brand equi-join, never all pairs:
+    at 100 TB the blocking key is whatever partitions the entity space
+    (brand here), and levenshtein — a codegen'd JVM builtin — runs
+    only inside blocks.  Edit distance is engine-independent, so the
+    pair list carries a full value oracle (DuckDB ``levenshtein``)."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("__na"),
+    )
+    b = part.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("__nb"),
+    )
+    dist = F.levenshtein(F.col("__na"), F.col("__nb"), 2)
+    return (
+        a.join(b, ["p_brand"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.length("__na") - F.length("__nb")) <= 2)
+        )
+        .withColumn("edit_dist", dist.cast("long"))
+        .filter(F.col("edit_dist") >= 0)
+        .select("id_a", "id_b", "edit_dist")
+    )
