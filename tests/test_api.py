@@ -91,3 +91,54 @@ def test_hourly_top_k_matches_direct(spark, sf_dir, tweets_dir, tmp_path):
     lines = open(csv[0]).read().strip().splitlines()
     assert lines[0] == "hashtag,NumberOfHashtags"
     assert len(lines) == len(got) + 1
+
+
+def test_hourly_top_k_over_avro_hour_partition(spark, tmp_path):
+    """The LITERAL reference user journey: hour-partitioned Avro tweet
+    data (App.java:60-94) -> hourly_top_k(fmt='avro') -> deterministic
+    top-10 + single headered CSV — end to end in this jar-less
+    container via the python container decoder."""
+    import glob
+
+    from tweets_spark_top_10_spark.api import hourly_top_k
+    from tweets_spark_top_10_spark.sources.avro_py import write_avro_file
+
+    schema = {
+        "type": "record",
+        "name": "Tweet",
+        "fields": [
+            {"name": "timestamp", "type": "long"},
+            {"name": "hashtags", "type": {"type": "array", "items": "string"}},
+        ],
+    }
+    base = tmp_path / "topics" / "tweets"
+    hour_dir = base / "year=2024" / "month=03" / "day=01" / "hour=07"
+    other_dir = base / "year=2024" / "month=03" / "day=01" / "hour=08"
+    hour_dir.mkdir(parents=True)
+    other_dir.mkdir(parents=True)
+    recs = (
+        [{"timestamp": 1, "hashtags": ["spark", "data"]}] * 6
+        + [{"timestamp": 2, "hashtags": ["spark"]}] * 3
+        + [{"timestamp": 3, "hashtags": []}]
+    )
+    write_avro_file(str(hour_dir / "part-0.avro"), schema, recs)
+    # a different hour that must NOT leak into the result
+    write_avro_file(
+        str(other_dir / "part-0.avro"),
+        schema,
+        [{"timestamp": 9, "hashtags": ["leak"]}] * 50,
+    )
+
+    out = str(tmp_path / "Top10-2024-03-01-07")
+    result = hourly_top_k(
+        spark, str(base), 2024, 3, 1, 7, out_path=out, fmt="avro"
+    ).collect()
+    assert [(r["hashtag"], r["NumberOfHashtags"]) for r in result] == [
+        ("spark", 9),
+        ("data", 6),
+    ]
+    files = glob.glob(f"{out}/part-*.csv")
+    assert len(files) == 1
+    lines = open(files[0]).read().strip().splitlines()
+    assert lines[0] == "hashtag,NumberOfHashtags"
+    assert lines[1:] == ["spark,9", "data,6"]

@@ -51,12 +51,19 @@ def hourly_top_k(
     out_path: str | None = None,
     out_key: str = "hashtag",
     out_count: str = "NumberOfHashtags",
+    fmt: str = "parquet",
 ) -> DataFrame:
     """One hour of an hour-partitioned table → explode ``array_col`` →
     count → top-K (count desc, key asc tie-break — the determinism the
     reference lacked, SURVEY.md §1.2) → optional single-file headered
-    CSV, overwriting (``App.java:133-134``)."""
-    hour_df = read_hour_partition(spark, base_path, year, month, day, hour)
+    CSV, overwriting (``App.java:133-134``).
+
+    ``fmt="avro"`` runs the reference's ACTUAL input format
+    (``App.java:92-94``) — via the native connector when its jar is
+    present, else the pure-Python container decoder."""
+    hour_df = read_hour_partition(
+        spark, base_path, year, month, day, hour, fmt=fmt
+    )
     counted = explode_count(hour_df, array_col, out_key=out_key, out_count=out_count)
     result = top_k(counted, [F.desc(out_count), F.asc(out_key)], k=k)
     if out_path is not None:

@@ -117,7 +117,25 @@ def read_hour_partition(
     is handled the Spark-native way: pass ``mergeSchema="true"`` and
     old hours surface the new column as NULL; pass an explicit
     ``schema`` to pin the contract instead.
+
+    ``fmt="avro"`` reads the explicit hour directory instead — the
+    reference's own strategy (``App.java:60-84``), and the python
+    fallback decoder has no Hive partition-column discovery — then
+    attaches the partition values as literal columns so the output
+    shape matches the partition-discovered path exactly.
     """
+    if fmt == "avro":
+        hour_path = (
+            f"{base_path.rstrip('/')}/year={year:04d}/month={month:02d}"
+            f"/day={day:02d}/hour={hour:02d}"
+        )
+        df = read_batch(spark, hour_path, fmt=fmt, schema=schema, **options)
+        return (
+            df.withColumn("year", F.lit(year))
+            .withColumn("month", F.lit(month))
+            .withColumn("day", F.lit(day))
+            .withColumn("hour", F.lit(hour))
+        )
     df = read_batch(
         spark, base_path, fmt=fmt, schema=schema, basePath=base_path, **options
     )
