@@ -129,3 +129,29 @@ def test_dedup_canonical_is_consistent_with_components(spark, sf_dir):
         assert r.canonical_id <= r.doc_id
         assert r.canonical_id in canon
         assert r.is_canonical == (r.canonical_id == r.doc_id)
+
+
+def test_hll_sketch_blobs_survive_parquet_roundtrip(spark, sf_dir, tmp_path):
+    """Mergeability ACROSS RUNS: HLL sketch blobs written to parquet in
+    one job and re-unioned in another must estimate the same global
+    cardinality — the property that lets each hour sketch once and any
+    later job merge the <=4 KB blobs without rescanning."""
+    from pyspark.sql import functions as F
+
+    from tweets_spark_top_10_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    direct = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("est")
+    ).collect()[0]["est"]
+    path = str(tmp_path / "sketches")
+    sk.write.parquet(path)
+    replayed = (
+        spark.read.parquet(path)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("est"))
+        .collect()[0]["est"]
+    )
+    assert replayed == direct
+    exact = ev.agg(F.count_distinct("user_id")).collect()[0][0]
+    assert abs(replayed - exact) <= 0.05 * exact
