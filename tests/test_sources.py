@@ -422,3 +422,39 @@ def test_avro_python_write_nulls_and_arrays(spark, tmp_path):
     write_avro_python(df, out)
     back = sorted(map(tuple, read_batch(spark, out, fmt="avro").collect()))
     assert back == [(1, ["a", "b"], None), (2, [], "x"), (3, None, "y")]
+
+
+def test_write_clustered_files_have_disjoint_ranges(spark, sf_dir, tmp_path):
+    """Range-clustered write: per-file min/max of the cluster key are
+    pairwise disjoint (so footer stats prune), content is preserved,
+    and the cluster-key filter is pushed to the scan."""
+    import pyarrow.parquet as pq
+
+    from tweets_spark_top_10_spark.sources.writers import write_clustered
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "clustered")
+    write_clustered(events, out, ["ts"], num_files=6)
+
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert 2 <= len(files) <= 6
+    import pyarrow.compute as pc
+
+    ranges = []
+    for f in files:
+        ts = pq.read_table(f, columns=["ts"])["ts"]
+        ranges.append((pc.min(ts).as_py(), pc.max(ts).as_py()))
+    ranges.sort()
+    for (_lo, prev_hi), (next_lo, _hi) in zip(ranges, ranges[1:]):
+        assert prev_hi <= next_lo, f"overlapping file ranges: {ranges}"
+
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    mid = events.agg(F.expr("percentile(CAST(ts AS DOUBLE), 0.5)")).collect()[0][0]
+    import datetime
+    cutoff = datetime.datetime.utcfromtimestamp(mid)
+    plan = (
+        back.filter(F.col("ts") > F.lit(cutoff))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(ts), GreaterThan(ts" in plan

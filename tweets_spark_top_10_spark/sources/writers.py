@@ -117,3 +117,31 @@ def write_snapshot(df: DataFrame, base_path: str, version: int) -> None:
     df.write.mode("errorifexists").parquet(
         f"{base_path.rstrip('/')}/snapshot={version}"
     )
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int = 8,
+    fmt: str = "parquet",
+) -> None:
+    """Write with range-clustered layout: rows range-partitioned and
+    sorted on ``cluster_cols``, one file per range.
+
+    Partition pruning handles the DIRECTORY level; this handles the
+    FILE level: each file covers a disjoint range of the cluster key,
+    so its parquet footer min/max excludes it from scans filtering on
+    that key (the poor-man's Z-order — exact for one column, prefix-
+    effective for several).  At 100 TB the difference is reading ~1/N
+    of the files for a point/range query instead of every footer's
+    row groups.  Sorting within files also helps row-group pruning and
+    run-length encoding.
+    """
+    (
+        df.repartitionByRange(num_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
