@@ -663,3 +663,44 @@ def mergeable_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return per.unionByName(all_row).unionByName(inter_row)
+
+
+@register(
+    "user_latest_event",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, ROUND(value, 6) AS value
+    FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS r
+      FROM events
+    ) WHERE r = 1
+    """,
+)
+def user_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state compaction (SCD-type-1): one row per user — the
+    newest event by (ts, event_id).  Implemented as a single
+    ``max_by``-shaped hash aggregate (MAX of an ordering-prefixed
+    struct), NOT a row_number window: the aggregate combines map-side,
+    so each partition sends at most one row per user to the shuffle —
+    at 100 TB that is the difference between shuffling the corpus and
+    shuffling ~|users| rows.  The oracle states the same semantics in
+    its natural SQL form (row_number = 1)."""
+    ev = load_table(spark, sf_dir, "events")
+    best = F.max(
+        F.struct(
+            F.col("ts"), F.col("event_id"), F.col("event_type"), F.col("value")
+        )
+    ).alias("b")
+    return (
+        ev.groupBy("user_id")
+        .agg(best)
+        .select(
+            "user_id",
+            F.col("b.event_id").alias("event_id"),
+            F.col("b.ts").alias("ts"),
+            F.col("b.event_type").alias("event_type"),
+            F.round(F.col("b.value"), 6).alias("value"),
+        )
+    )
