@@ -44,50 +44,7 @@ from tweets_spark_top_10_spark.queries.registry import ORACLE, QUERIES
 # zero fails; the r1 rows listed here are the 30 not re-checked in r2,
 # all green in r1).
 _LAST_CHECKED: dict[str, int] = {
-    # --- last driver row: round 2 ---
-    "embedding_quantize_int8": 2,
-    "doc_fingerprints": 2,
-    "doc_split_assignment": 2,
-    "doc_normalize": 2,
-    "sliding_event_windows": 2,
-    "hourly_event_windows": 2,
-    "event_value_udaf": 2,
-    "doc_pii_redact": 2,
-    "salted_token_count_top20": 2,
-    "stratified_sample_docs": 2,
-    "top_bigrams": 2,
-    "label_centroids_pandas": 2,
-    "user_sessions": 2,
-    "doc_quality": 2,
-    "langid_heuristic": 2,
-    "lsh_knn_invariants": 2,
-    "doc_tfidf_top3": 2,
-    "pq_codes": 2,
-    "doc_sentences_udtf": 2,
-    "pq_adc_top5": 2,
-    "ngram_jaccard_dup_pairs": 2,
-    "simhash_near_dups": 2,
-    "simhash_invariants": 2,
-    "minhash_lsh_candidates": 2,
-    "customer_balance_distribution": 2,
-    "approx_quantile_gate": 2,
-    "dedup_canonical_docs": 2,
-    "ivfpq_adc_top5": 2,
-    "pq_adc_lloyd_top5": 2,
-    "dedup_components": 2,
     # --- last driver row: round 4 ---
-    "media_frame_counts": 4,
-    "media_resize_stats": 4,
-    "media_image_features": 4,
-    "ref_top10_tokens": 4,
-    "top_event_types": 4,
-    "q1_pricing_summary": 4,
-    "top_revenue_orders": 4,
-    "regional_customer_revenue": 4,
-    "top_orders_per_customer": 4,
-    "user_running_value": 4,
-    "customers_without_big_orders": 4,
-    "late_shipping_priority": 4,
     "nations_cust_and_supp": 4,
     "urgent_only_customers": 4,
     "lineitem_rollup": 4,
@@ -126,6 +83,57 @@ _LAST_CHECKED: dict[str, int] = {
     "doc_token_stats": 4,
     "doc_stopword_ratio": 4,
     "urgent_vs_customer_avg_sql": 4,
+    # --- last driver row: round 5 ---
+    "media_frame_counts": 5,
+    "media_resize_stats": 5,
+    "media_image_features": 5,
+    "ref_top10_tokens": 5,
+    "top_event_types": 5,
+    "q1_pricing_summary": 5,
+    "top_revenue_orders": 5,
+    "regional_customer_revenue": 5,
+    "top_orders_per_customer": 5,
+    "user_running_value": 5,
+    "customers_without_big_orders": 5,
+    "late_shipping_priority": 5,
+    "embedding_quantize_int8": 5,
+    "doc_fingerprints": 5,
+    "doc_split_assignment": 5,
+    "doc_normalize": 5,
+    "sliding_event_windows": 5,
+    "hourly_event_windows": 5,
+    "event_value_udaf": 5,
+    "doc_pii_redact": 5,
+    "salted_token_count_top20": 5,
+    "stratified_sample_docs": 5,
+    "top_bigrams": 5,
+    "label_centroids_pandas": 5,
+    "user_sessions": 5,
+    "doc_quality": 5,
+    "langid_heuristic": 5,
+    "lsh_knn_invariants": 5,
+    "doc_tfidf_top3": 5,
+    "pq_codes": 5,
+    "doc_sentences_udtf": 5,
+    "pq_adc_top5": 5,
+    "ngram_jaccard_dup_pairs": 5,
+    "simhash_near_dups": 5,
+    "simhash_invariants": 5,
+    "minhash_lsh_candidates": 5,
+    "customer_balance_distribution": 5,
+    "approx_quantile_gate": 5,
+    "dedup_canonical_docs": 5,
+    "ivfpq_adc_top5": 5,
+    "pq_adc_lloyd_top5": 5,
+    "dedup_components": 5,
+    "lateral_top2_orders_sql": 5,
+    "event_props_variant": 5,
+    "mergeable_user_sketches": 5,
+    "user_latest_event": 5,
+    "pq_adc_opq_top5": 5,
+    "doc_contamination": 5,
+    "doc_pack_bins": 5,
+    "part_name_fuzzy_pairs": 5,
 }
 
 
