@@ -75,3 +75,17 @@ def test_pq_encode_joins_are_broadcast(spark, sf_dir):
         plan = _plan(QUERIES[name](spark, sf_dir))
         assert "BroadcastHashJoin" in plan, f"{name}:\n{plan}"
         assert "SortMergeJoin" not in plan, f"{name} shuffled the codebook:\n{plan}"
+
+
+def test_shingle_df_cap_is_skew_safe(spark, sf_dir):
+    """The max_shingle_df cap must come from a partial-aggregated
+    groupBy + broadcast anti-join, never `count(*) over (partition by
+    shingle)` — a window partitioned by shingle funnels every row of a
+    hot shingle through one task, stragglering on exactly the keys the
+    cap removes (VERDICT r5 #2)."""
+    from tweets_spark_top_10_spark.queries import QUERIES
+
+    df = QUERIES["ngram_jaccard_dup_pairs"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan

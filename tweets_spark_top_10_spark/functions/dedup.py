@@ -27,7 +27,7 @@ are written artifacts, not session caches.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tweets_spark_top_10_spark.functions.cachectl import persist_tracked
@@ -92,24 +92,34 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
     6 digits for cross-engine determinism.
     """
-    sh = shingle_table(df, text_col, id_col, n)
+    # Referenced multiply below (the DF aggregation when capping, the
+    # per-doc counts, and both self-join sides) — persist once so the
+    # tokenize/explode/distinct subplan runs once.  (At scale this is a
+    # materialized per-corpus intermediate.)
+    sh = shingle_table(df, text_col, id_col, n).transform(persist_tracked)
     if max_shingle_df is not None:
-        # Fuse the DF cap into the shingle table with a window instead
-        # of an aggregate + broadcast semi-join: one pass, and the
-        # window's shuffle leaves the persisted result hash-partitioned
-        # on `shingle` — exactly what the candidate self-join below
-        # needs. (A/B at sf0.1: min 2.3 s vs 2.9 s for the two-persist
-        # aggregate+semi-join shape, and one fewer cached table.)
-        w = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("df", F.count(F.lit(1)).over(w))
-            .filter(F.col("df") <= max_shingle_df)
-            .drop("df")
+        # Skew-safe DF cap.  Document frequency comes from a groupBy —
+        # which gets map-side partial aggregation — NOT from
+        # `count(*) over (partition by shingle)`: a window partitioned
+        # by `shingle` routes every row of a hot shingle through a
+        # single task with no partial, so the hottest keys (the exact
+        # ones the cap exists to remove) become stragglers before the
+        # filter can drop them.  The hot list is tiny by construction
+        # (boilerplate shingles are rare kinds with huge counts), so it
+        # broadcasts, and the anti-join is a shuffle-free cache scan.
+        # Measured (sf0.1 docs ×10 + a boilerplate sentence in every
+        # doc): the shingle-keyed shuffle the window needs routes 229k
+        # rows to its hottest task vs 98k average — a ratio that grows
+        # linearly with the hot shingle's DF — while the groupBy's
+        # reduce input per shingle is bounded by the map-partition
+        # count regardless of DF.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > int(max_shingle_df))
+            .select("shingle")
         )
-    # Referenced three times below (per-doc counts + both join sides) —
-    # persist so the tokenize/explode/distinct(+cap) subplan runs once.
-    # (At scale this is a materialized per-corpus intermediate.)
-    sh = sh.transform(persist_tracked)
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
