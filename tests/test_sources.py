@@ -458,3 +458,90 @@ def test_write_clustered_files_have_disjoint_ranges(spark, sf_dir, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [IsNotNull(ts), GreaterThan(ts" in plan
+
+
+def test_avro_fallback_mixed_schemas_fail_loud(spark, tmp_path):
+    """Heterogeneous writer schemas under one read must fail loudly in
+    the decoder, not get silently projected by whichever file the
+    driver-side schema probe happened to sample (VERDICT r5 #4). An
+    explicit schema= opts back in to projection."""
+    from tweets_spark_top_10_spark.sources.avro_py import (
+        read_avro_python,
+        write_avro_file,
+    )
+
+    other_schema = {
+        "type": "record",
+        "name": "Other",
+        "fields": [
+            {"name": "timestamp", "type": "long"},
+            {"name": "hashtags", "type": {"type": "array", "items": "string"}},
+            {"name": "score", "type": "double"},
+        ],
+    }
+    d = tmp_path / "mixed"
+    d.mkdir()
+    write_avro_file(
+        str(d / "a.avro"),
+        TWEET_AVRO_SCHEMA,
+        [{"timestamp": 1, "hashtags": ["x"], "user": "u"}],
+    )
+    write_avro_file(
+        str(d / "b.avro"),
+        other_schema,
+        [{"timestamp": 2, "hashtags": ["y"], "score": 0.5}],
+    )
+    with pytest.raises(Exception) as exc_info:
+        read_avro_python(spark, [str(d)]).collect()
+    assert "heterogeneous avro writer schemas" in str(exc_info.value)
+
+    from pyspark.sql import types as T
+
+    explicit = T.StructType(
+        [
+            T.StructField("timestamp", T.LongType()),
+            T.StructField("hashtags", T.ArrayType(T.StringType())),
+        ]
+    )
+    rows = read_avro_python(spark, [str(d)], schema=explicit).collect()
+    assert sorted(r["timestamp"] for r in rows) == [1, 2]
+
+
+def test_avro_fallback_timestamps_respect_session_zone(spark, tmp_path):
+    """The decoder emits naive pandas timestamps, which Spark's Arrow
+    path reads as SESSION-zone wall clocks — so decode must convert
+    epoch micros into the session zone, not UTC, or a non-UTC session
+    shifts every instant by the zone offset (ADVICE r5). unix_micros
+    is zone-independent, so it observes the stored instant directly."""
+    from tweets_spark_top_10_spark.sources.avro_py import (
+        read_avro_python,
+        write_avro_file,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "E",
+        "fields": [
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            }
+        ],
+    }
+    d = tmp_path / "tz"
+    d.mkdir()
+    instant = 1_700_000_000_000_000  # epoch micros
+    write_avro_file(str(d / "f.avro"), schema, [{"ts": instant}])
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = (
+                read_avro_python(spark, [str(d)])
+                .select(F.unix_micros("ts").alias("m"))
+                .collect()[0]["m"]
+            )
+            assert got == instant, (tz, got)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -223,7 +223,11 @@ def read_avro_python(
 ) -> DataFrame:
     """Distributed fallback Avro scan: binaryFile listing + mapInPandas
     decode.  Schema comes from the first file's writer schema when not
-    given (one tiny driver-side read, like the connector's footer probe).
+    given (one tiny driver-side read, like the connector's footer probe);
+    every other file's header must then map to the SAME Spark schema —
+    heterogeneous writer schemas across a partition fail loudly inside
+    the decoder instead of being silently projected by the first file's
+    shape (the module's contract: loud, never lossy).
     """
     import pandas as pd  # local import: executors ship the closure
 
@@ -232,7 +236,7 @@ def read_avro_python(
         .option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.avro")
         .load(paths)
-        .select("content")
+        .select("path", "content")
     )
     if schema is None:
         first = files.limit(1).collect()
@@ -242,14 +246,30 @@ def read_avro_python(
         if writer_schema.get("type") != "record":
             raise NotImplementedError("top-level avro schema must be a record")
         spark_schema = to_spark_type(writer_schema)
+        enforce_equality = True
     else:
         spark_schema = schema
+        enforce_equality = False  # caller asserted the projection
     names = [f.name for f in spark_schema.fields]
+    # Spark's Arrow path reads naive pandas timestamps as session-zone
+    # wall clocks, so decode epoch-micros into THAT zone — not UTC —
+    # or a non-UTC session (one built outside session.py/load_table,
+    # which pin UTC) would read instants shifted by the zone offset.
+    session_tz = spark.conf.get("spark.sql.session.timeZone")
 
     def decode_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for blob in pdf["content"]:
+            for path, blob in zip(pdf["path"], pdf["content"]):
                 ws, recs = parse_container(bytes(blob))
+                if enforce_equality:
+                    file_schema = to_spark_type(ws)
+                    if file_schema != spark_schema:
+                        raise ValueError(
+                            "heterogeneous avro writer schemas: "
+                            f"{path} maps to {file_schema.simpleString()}, "
+                            f"expected {spark_schema.simpleString()}; pass "
+                            "an explicit schema= to project instead"
+                        )
                 ts_units = _timestamp_cols(ws)
                 rows = list(recs)
                 out = pd.DataFrame(
@@ -257,9 +277,11 @@ def read_avro_python(
                 )
                 for col, unit in ts_units.items():
                     if col in out:
-                        out[col] = pd.to_datetime(
-                            out[col] * unit, unit="us", utc=True
-                        ).dt.tz_localize(None)
+                        out[col] = (
+                            pd.to_datetime(out[col] * unit, unit="us", utc=True)
+                            .dt.tz_convert(session_tz)
+                            .dt.tz_localize(None)
+                        )
                 yield out
 
     return files.mapInPandas(decode_files, schema=spark_schema)
