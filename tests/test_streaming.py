@@ -1065,3 +1065,140 @@ def test_streaming_pq_index_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got_adc and got_adc == want_adc
+
+
+def test_streaming_opq_adc_matches_batch(spark, sf_dir, tmp_path):
+    """OPQ-composed streaming: codes maintained in the PERMUTED space
+    (maintain_pq_index(perm=...)) + query-stream ADC enrichment through
+    the same permutation == the batch pq_adc_opq pipeline over the
+    final corpus state, exact. Includes a mutated-vector resend, and a
+    checkpoint-wiped re-run to prove the batch_id-keyed overwrite sink
+    is idempotent (not just at-least-once)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tweets_spark_top_10_spark.functions.pq import (
+        apply_permutation,
+        opq_permutation,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+    from tweets_spark_top_10_spark.functions.sampling import hash_bucket
+    from tweets_spark_top_10_spark.functions.similarity import l2_norm
+    from tweets_spark_top_10_spark.streaming.ann import (
+        enrich_stream_adc,
+        maintain_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = l2_norm(F.col("embedding"))
+    cands = emb.filter(F.col("vec_id") >= 10).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / n).alias(
+            "embedding"
+        ),
+    )
+    perm = opq_permutation(cands).localCheckpoint(eager=False)
+    cands_p = apply_permutation(cands, "vec_id", perm)
+    cb = pq_codebook(cands_p, "vec_id").localCheckpoint(eager=False)
+
+    pdf = cands.toPandas().sort_values("vec_id").reset_index(drop=True)
+    pdf["embedding"] = pdf["embedding"].map(list)
+    half = len(pdf) // 2
+    mutated_id = int(pdf.vec_id.iloc[4])
+    mutated_vec = [
+        -float(v) for v in pdf.loc[pdf.vec_id == mutated_id, "embedding"].iloc[0]
+    ]
+    src = tmp_path / "opq_vec_stream"
+    src.mkdir()
+    pdf.iloc[:half].to_parquet(src / "b1.parquet", index=False)
+    pdf.iloc[half:].to_parquet(src / "b2.parquet", index=False)
+    pd.DataFrame({"vec_id": [mutated_id], "embedding": [mutated_vec]}).to_parquet(
+        src / "b3.parquet", index=False
+    )
+
+    vec_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    stream = file_stream(spark, str(src), vec_schema, max_files_per_trigger=1)
+    table = str(tmp_path / "opq_table")
+    maintain_pq_index(
+        stream, cb, table, checkpoint=str(tmp_path / "ckpt_opq"), perm=perm
+    ).awaitTermination()
+
+    final_cands = cands.filter(F.col("vec_id") != mutated_id).unionByName(
+        spark.createDataFrame([(mutated_id, mutated_vec)], schema=vec_schema)
+    )
+    final_p = apply_permutation(final_cands, "vec_id", perm)
+    got = sorted(
+        (r.vec_id, r.m, r.code, r.bucket)
+        for r in spark.read.parquet(table).collect()
+    )
+    want = sorted(
+        (r.vec_id, r.m, r.code, r.bucket)
+        for r in pq_encode(final_p, cb, "vec_id")
+        .withColumn("bucket", hash_bucket("vec_id", 16))
+        .collect()
+    )
+    assert len(got) == 16 * len(pdf)
+    assert got == want
+
+    qdf = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double") / n).alias(
+            "embedding"
+        ),
+    )
+    qsrc = tmp_path / "opq_query_stream"
+    qsrc.mkdir()
+    qpdf = qdf.toPandas()
+    qpdf["embedding"] = qpdf["embedding"].map(list)
+    qpdf.to_parquet(qsrc / "q1.parquet", index=False)
+    q_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    out = str(tmp_path / "opq_adc_out")
+    enrich_stream_adc(
+        file_stream(spark, str(qsrc), q_schema, max_files_per_trigger=1),
+        table,
+        cb,
+        out,
+        checkpoint=str(tmp_path / "ckpt_opq_adc"),
+        perm=perm,
+    ).awaitTermination()
+    got_adc = {
+        (r.query_id, r.vec_id, r.approx_d2, r.rank)
+        for r in spark.read.parquet(out).collect()
+    }
+    want_adc = {
+        (r.query_id, r.vec_id, r.approx_d2, r.rank)
+        for r in pq_adc_topk(
+            apply_permutation(qdf, "query_id", perm),
+            final_p,
+            k=5,
+            cand_id="vec_id",
+            codebook=cb,
+        ).collect()
+    }
+    assert got_adc and got_adc == want_adc
+
+    # Replay with a wiped checkpoint: the same micro-batches regenerate
+    # and OVERWRITE their batch_id subdirs — total row count unchanged
+    # (an append sink would double it).
+    n_rows = spark.read.parquet(out).count()
+    enrich_stream_adc(
+        file_stream(spark, str(qsrc), q_schema, max_files_per_trigger=1),
+        table,
+        cb,
+        out,
+        checkpoint=str(tmp_path / "ckpt_opq_adc_replay"),
+        perm=perm,
+    ).awaitTermination()
+    assert spark.read.parquet(out).count() == n_rows

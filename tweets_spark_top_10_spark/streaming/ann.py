@@ -39,6 +39,28 @@ from tweets_spark_top_10_spark.functions.similarity import (
 from tweets_spark_top_10_spark.streaming.sketch import upsert_rows_by_bucket
 
 
+def _one_per_id(
+    batch_vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Batch-internal dedup (one trigger can drain several files
+    carrying the same id).  With ``seq_col`` (an event-time/sequence
+    column carried through the stream) the LATEST row wins via
+    ``max_by`` — arrival-order semantics that hold even when a backfill
+    batches files differently than the live stream did.  Without it the
+    tie-break is ``max(vec)`` (arrays order lexicographically in
+    Spark): deterministic, but within-trigger ordering is otherwise
+    UNDEFINED — last-writer-wins is only guaranteed ACROSS triggers,
+    via the upsert."""
+    if seq_col is not None:
+        return batch_vecs.groupBy(id_col).agg(
+            F.max_by(vec_col, seq_col).alias(vec_col)
+        )
+    return batch_vecs.groupBy(id_col).agg(F.max(vec_col).alias(vec_col))
+
+
 def upsert_vector_cells_batch(
     spark,
     batch_vecs: DataFrame,
@@ -47,13 +69,10 @@ def upsert_vector_cells_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_buckets: int = 16,
+    seq_col: str | None = None,
 ) -> None:
     """Merge one batch of vectors into the cell-assignment table."""
-    # Batch-internal dedup before assignment (one trigger can list
-    # several files carrying the same id): arrays order lexicographically
-    # in Spark, so max(vec) is the deterministic batch-internal
-    # tie-break; across batches the later batch wins via the upsert.
-    one_per_id = batch_vecs.groupBy(id_col).agg(F.max(vec_col).alias(vec_col))
+    one_per_id = _one_per_id(batch_vecs, id_col, vec_col, seq_col)
     assigned = ivf_assign_cells(
         one_per_id, centroids, id_col, vec_col, n_probe=1
     ).withColumn("bucket", hash_bucket(id_col, n_buckets))
@@ -68,6 +87,7 @@ def maintain_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_buckets: int = 16,
+    seq_col: str | None = None,
 ):
     """Attach the cell-assignment upsert to a vector stream.
 
@@ -86,6 +106,7 @@ def maintain_ivf_index(
             id_col,
             vec_col,
             n_buckets,
+            seq_col,
         )
 
     return (
@@ -106,6 +127,8 @@ def upsert_pq_codes_batch(
     m: int = 16,
     sub_dim: int = 4,
     n_buckets: int = 16,
+    seq_col: str | None = None,
+    perm: DataFrame | None = None,
 ) -> None:
     """Merge one batch of vectors into the PQ-codes table.
 
@@ -114,10 +137,20 @@ def upsert_pq_codes_batch(
     last-writer-wins on the id.  The long-format (id, m, code) rows all
     carry the id's bucket, so an id's 16 rows always co-locate and the
     upsert's anti-join swaps them atomically with the bucket swap.
-    """
-    from tweets_spark_top_10_spark.functions.pq import pq_encode
 
-    one_per_id = batch_vecs.groupBy(id_col).agg(F.max(vec_col).alias(vec_col))
+    With ``perm`` (an OPQ-style (old_pos, new_pos) table,
+    ``functions/pq.opq_permutation``) each deduped vector is reordered
+    through the broadcast permutation before encoding, so the table
+    holds codes in the permuted space — the streaming twin of
+    ``pq_adc_opq_top5``'s offline encode.  The permutation, like the
+    codebook, is a fixed offline artifact: refitting either means
+    re-encoding the corpus, which is a batch job, not maintenance.
+    """
+    from tweets_spark_top_10_spark.functions.pq import apply_permutation, pq_encode
+
+    one_per_id = _one_per_id(batch_vecs, id_col, vec_col, seq_col)
+    if perm is not None:
+        one_per_id = apply_permutation(one_per_id, id_col, perm, vec_col)
     codes = pq_encode(
         one_per_id, codebook, id_col, vec_col, m, sub_dim
     ).withColumn("bucket", hash_bucket(id_col, n_buckets))
@@ -134,8 +167,13 @@ def maintain_pq_index(
     m: int = 16,
     sub_dim: int = 4,
     n_buckets: int = 16,
+    seq_col: str | None = None,
+    perm: DataFrame | None = None,
 ):
-    """Attach the PQ-code upsert to a vector stream (availableNow)."""
+    """Attach the PQ-code upsert to a vector stream (availableNow).
+
+    Pass ``perm`` to maintain codes in the OPQ-permuted space; the
+    codebook must then be fitted in that space too."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -150,6 +188,8 @@ def maintain_pq_index(
             m,
             sub_dim,
             n_buckets,
+            seq_col,
+            perm,
         )
 
     return (
@@ -173,12 +213,15 @@ def enrich_stream_ann(
     vec_col: str = "embedding",
 ):
     """Enrich a query-vector stream with IVF top-K neighbors from the
-    maintained index table; appends (query_id, cand_id, cos_sim, rank)
-    parquet per micro-batch.
+    maintained index table; writes (query_id, cand_id, cos_sim, rank)
+    parquet per micro-batch under ``out_path/batch_id=N``.
 
-    Append (not overwrite) is correct here: each query id occurs in one
-    micro-batch, so replaying a batch after a crash rewrites only that
-    batch's rows — idempotent at the sink via checkpointed batch ids.
+    The batch_id-keyed subdirectory + overwrite makes the sink
+    idempotent, not just at-least-once: a crash after the write but
+    before the checkpoint commit replays the batch, and the replay
+    OVERWRITES the same subdirectory instead of appending duplicate
+    rows.  Readers get ``batch_id`` as a partition column (provenance
+    for free).
     """
 
     def score(batch_df: DataFrame, batch_id: int) -> None:
@@ -199,7 +242,7 @@ def enrich_stream_ann(
             centroids=centroids,
             cand_cells=index,
         )
-        topk.write.mode("append").parquet(out_path)
+        topk.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
 
     return (
         stream_queries.writeStream.foreachBatch(score)
@@ -221,25 +264,35 @@ def enrich_stream_adc(
     vec_col: str = "embedding",
     m: int = 16,
     sub_dim: int = 4,
+    perm: DataFrame | None = None,
 ):
     """Enrich a query-vector stream with PQ/ADC top-K from the
     maintained codes table (``maintain_pq_index``): per micro-batch the
     queries build broadcast LUTs against the fixed codebook, and the
     scan side is the M-byte codes table — no candidate vector is ever
     read.  The compressed twin of :func:`enrich_stream_ann`; same
-    append-sink idempotence argument.
+    batch_id-keyed overwrite sink, so replays are idempotent.
+
+    With ``perm`` each query batch is reordered through the OPQ
+    permutation before building its LUTs — required when the codes
+    table is maintained in the permuted space
+    (``maintain_pq_index(perm=...)``); LUT distances are only
+    meaningful when query and code subspaces line up.
     """
-    from tweets_spark_top_10_spark.functions.pq import pq_adc_topk
+    from tweets_spark_top_10_spark.functions.pq import apply_permutation, pq_adc_topk
 
     def score(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        queries = batch_df
+        if perm is not None:
+            queries = apply_permutation(queries, query_id, perm, vec_col)
         codes = spark.read.parquet(codes_path).select(
             F.col(cand_id), F.col("m"), F.col("code")
         )
         topk = pq_adc_topk(
-            batch_df,
+            queries,
             candidates=None,
             k=k,
             query_id=query_id,
@@ -250,7 +303,7 @@ def enrich_stream_adc(
             codebook=codebook,
             codes=codes,
         )
-        topk.write.mode("append").parquet(out_path)
+        topk.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
 
     return (
         stream_queries.writeStream.foreachBatch(score)
