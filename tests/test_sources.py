@@ -545,3 +545,19 @@ def test_avro_fallback_timestamps_respect_session_zone(spark, tmp_path):
             assert got == instant, (tz, got)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_load_table_rejects_non_utc_session_zone(spark, sf_dir):
+    """load_table's NTZ re-tag is value-preserving only under UTC; a
+    session explicitly configured to another zone must fail loudly
+    instead of being silently re-pinned (ADVICE r5)."""
+    from tweets_spark_top_10_spark.sources.registry import load_table
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="UTC session time zone"):
+            load_table(spark, sf_dir, "nation")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert load_table(spark, sf_dir, "nation").count() == 25

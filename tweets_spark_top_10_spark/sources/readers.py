@@ -38,6 +38,20 @@ def read_batch(
         raise ValueError(f"unsupported format {fmt!r}; supported: {sorted(_FORMATS)}")
     paths = path if isinstance(path, list) else [path]
     if fmt == "avro":
+        from pyspark.errors import AnalysisException
+
+        # Only a MISSING-CONNECTOR analysis error reroutes to the python
+        # decoder; matching the structured error condition (not message
+        # substrings) keeps genuine data/analysis errors — whose wording
+        # might mention both "avro" and "find" — loud, and survives
+        # message rewording across Spark versions. Spark 4 still reports
+        # the missing avro source under the legacy temp class; the named
+        # successors are matched for forward-compat.
+        _MISSING_SOURCE = {
+            "_LEGACY_ERROR_TEMP_1139",  # "Failed to find data source: avro"
+            "FAILED_FIND_AVRO_SOURCE",
+            "DATA_SOURCE_NOT_FOUND",
+        }
         try:
             reader = spark.read.format("avro")
             if schema is not None:
@@ -47,8 +61,8 @@ def read_batch(
             df = reader.load(paths)
             df.schema  # force analysis so a missing jar surfaces here
             return df
-        except Exception as exc:  # connector missing ≠ data problem
-            if "avro" not in str(exc).lower() or "find" not in str(exc).lower():
+        except AnalysisException as exc:  # connector missing ≠ data problem
+            if exc.getCondition() not in _MISSING_SOURCE:
                 raise
             from tweets_spark_top_10_spark.sources.avro_py import read_avro_python
 

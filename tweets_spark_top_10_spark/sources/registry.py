@@ -141,7 +141,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The NTZ→TIMESTAMP cast below is value-preserving only under a UTC
     # session zone, which is also what the DuckDB oracle's naive
-    # timestamps assume. Pin it for driver-owned sessions too.
+    # timestamps assume. Normalize UTC-equivalent zones (the JVM default
+    # here is Etc/UTC) to "UTC", but never silently override a session
+    # explicitly configured to a real non-UTC zone — that would change
+    # the semantics of the caller's unrelated timestamp queries. Raise
+    # loudly instead: under a non-UTC zone the cast shifts instants.
+    _UTC_ALIASES = {
+        "UTC", "Etc/UTC", "GMT", "Etc/GMT", "GMT0", "Etc/GMT0", "Etc/GMT+0",
+        "Etc/GMT-0", "Z", "Zulu", "Etc/Zulu", "UCT", "Etc/UCT", "Universal",
+        "Etc/Universal", "Greenwich", "Etc/Greenwich", "+00:00",
+    }
+    session_tz = spark.conf.get("spark.sql.session.timeZone")
+    if session_tz not in _UTC_ALIASES:
+        raise ValueError(
+            f"load_table requires a UTC session time zone, got {session_tz!r}: "
+            "the TIMESTAMP_NTZ re-tag and the DuckDB oracle's naive "
+            "timestamps are only value-preserving under UTC. Set "
+            "spark.sql.session.timeZone to 'UTC' (session.get_spark does), "
+            "or read the parquet directly if you need another zone."
+        )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Right-size shuffles for sessions still on Spark's 200 default
     # (e.g. the driver harness's own session): ~1 partition per core.
