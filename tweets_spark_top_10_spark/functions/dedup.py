@@ -462,18 +462,64 @@ def simhash64(
     return voted.select(F.col(id_col), sig.alias(out_col))
 
 
+def simhash_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "simhash",
+    bits: int = 60,
+) -> DataFrame:
+    """Engine-portable SimHash: token hash = first 15 hex chars of md5
+    (60 bits, so the value stays inside a signed 64-bit long in every
+    engine), per-bit majority vote — the same single-aggregate plan
+    shape as :func:`simhash64`, which remains the production path
+    (xxhash64 is ~2-3x cheaper than md5).  The point of this variant is
+    that md5 is a cross-engine builtin, so the banded near-dup PAIR
+    LIST itself can carry a full DuckDB value oracle
+    (``simhash_near_dups``) instead of a rows-only gate.
+
+    Documents with zero tokens produce no signature row (explode of an
+    empty array), mirroring SQL ``unnest`` semantics on both sides.
+    """
+    toks = tokenize(F.col(text_col))
+    exploded = df.select(
+        F.col(id_col), F.explode(toks).alias("__tok")
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("__tok"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("__th"),
+    )
+    votes = [
+        F.sum(F.shiftrightunsigned(F.col("__th"), j).bitwiseAND(F.lit(1))).alias(
+            f"v{j}"
+        )
+        for j in range(bits)
+    ]
+    voted = exploded.groupBy(id_col).agg(F.count("__th").alias("__c"), *votes)
+    sig = None
+    for j in range(bits):
+        bit = F.shiftleft((F.col(f"v{j}") * 2 > F.col("__c")).cast("long"), j)
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return voted.select(F.col(id_col), sig.alias(out_col))
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     simhash_col: str = "simhash",
     max_hamming: int = 3,
+    n_bands: int = 4,
+    band_bits: int = 16,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded for scale.
 
-    Pigeonhole: two 64-bit signatures within Hamming distance d <= 3
-    agree exactly on at least one of 4 16-bit bands. Candidates come
-    from ONE self-equi-join on (band_index, band_value) over the
-    long-format signature table (4 rows/doc) — a single shuffle, never
+    Pigeonhole: two signatures within Hamming distance d <= n_bands-1
+    agree exactly on at least one of the ``n_bands`` ``band_bits``-wide
+    bands (defaults fit the 64-bit :func:`simhash64`; the 60-bit
+    :func:`simhash_md5` uses 4x15). Candidates come from ONE
+    self-equi-join on (band_index, band_value) over the long-format
+    signature table (``n_bands`` rows/doc) — a single shuffle, never
     a cross join — then the exact popcount filter runs on candidates.
     """
     # Materialize long-format signatures once: both join sides reference
@@ -488,11 +534,11 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("t"),
-                        F.shiftrightunsigned(F.col(simhash_col), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col(simhash_col), band_bits * i)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
                         .alias("band"),
                     )
-                    for i in range(4)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("e"),
@@ -515,6 +561,6 @@ def simhash_near_pairs(
         a.join(b, ["t", "band"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(hamming <= max_hamming)
-        .select("id_a", "id_b", hamming.alias("hamming"))
+        .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
         .distinct()
     )

@@ -193,6 +193,138 @@ def ivf_knn(
     )
 
 
+def srp_signatures(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic sign-random-projection (SRP) band table:
+    (id, t, band), one row per (vector, hash table).
+
+    The "random" hyperplanes are ±1 vectors derived from md5 parity of
+    the string "t_j_p" — md5 is a cross-engine builtin, so a SQL oracle
+    replays the exact banding.  Vectors are first int8-quantized per
+    row (``floor(x * 127 / maxabs)``, the ``embedding_quantize_int8``
+    contract, itself oracle-proven), so every per-bit dot product is
+    INTEGER arithmetic: no float summation-order difference between
+    engines can flip a sign bit.  Quantization does not move the
+    hyperplane sign except for vectors essentially ON a hyperplane —
+    and both engines then make the SAME deterministic call.
+
+    Plan shape for a billion vectors: quantize = per-row expressions;
+    posexplode = linear fan-out (dim rows/vector); the hyperplane table
+    (n_tables*n_bits*dim rows — 4096 here) broadcasts; two
+    map-side-combined aggregates assemble bits then bands.  No Python,
+    no cross join, shuffles keyed by the uniform vector id.
+    """
+    spark = vectors.sparkSession
+    hp = spark.range(n_tables * n_bits * dim).select(
+        F.expr(f"CAST(id div {n_bits * dim} AS INT)").alias("t"),
+        F.expr(f"CAST((id div {dim}) % {n_bits} AS INT)").alias("j"),
+        F.expr(f"CAST(id % {dim} AS INT)").alias("p"),
+    )
+    parity = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("_", "t", "j", "p")), 1, 1), 16, 10
+        ).cast("int")
+        % 2
+    )
+    hp = hp.select("t", "j", "p", (parity * 2 - 1).alias("s"))
+
+    v = (
+        vectors.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "__v"
+            ),
+        )
+        .select(
+            id_col,
+            "__v",
+            F.array_max(F.transform("__v", F.abs)).alias("__mx"),
+        )
+        .filter(F.col("__mx") > 0)
+    )
+    codes = v.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                "__v",
+                lambda x: F.floor(x * F.lit(127.0) / F.col("__mx")).cast(
+                    "int"
+                ),
+            )
+        ).alias("p", "c"),
+    )
+    bits = (
+        codes.join(F.broadcast(hp), "p")
+        .groupBy(id_col, "t", "j")
+        .agg(F.sum(F.col("c") * F.col("s")).alias("__dot"))
+    )
+    return bits.groupBy(id_col, "t").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN __dot > 0 THEN CAST(shiftleft(1, j) AS BIGINT) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("band")
+    )
+
+
+def srp_knn(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_bits: int = 8,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """LSH ANN with every stage deterministic and SQL-replayable:
+    :func:`srp_signatures` banding on both sides, candidate pairs from
+    the (t, band) equi-join — sub-quadratic, never a cross join — then
+    exact cosine rerank restricted to candidates, with the
+    :func:`brute_force_knn` ranking contract (rounded similarity +
+    id tie-break).  This is the full-value-oracle twin of the seeded
+    ``pyspark.ml`` :func:`lsh_knn`, which stays gated by its
+    rank-dominance invariants (``lsh_knn_invariants``)."""
+    qb = srp_signatures(queries, query_id, vec_col, n_tables, n_bits, dim)
+    cb = srp_signatures(candidates, cand_id, vec_col, n_tables, n_bits, dim)
+    cand_pairs = (
+        qb.join(cb, ["t", "band"]).select(query_id, cand_id).distinct()
+    )
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    c = candidates.select(
+        F.col(cand_id),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    sim = F.round(
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        round_digits,
+    )
+    scored = (
+        cand_pairs.join(F.broadcast(q), query_id)
+        .join(c, cand_id)
+        .select(query_id, cand_id, sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(cand_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_knn(
     queries: DataFrame,
     candidates: DataFrame,

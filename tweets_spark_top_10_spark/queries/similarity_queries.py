@@ -16,6 +16,7 @@ from tweets_spark_top_10_spark.functions.similarity import (
     ivf_knn,
     l2_norm,
     lsh_knn,
+    srp_knn,
 )
 from tweets_spark_top_10_spark.queries.registry import register
 from tweets_spark_top_10_spark.sources.registry import load_table
@@ -267,9 +268,74 @@ def ivf_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn(queries, cands, k=5, n_cells=16, n_probe=4)
 
 
-@register("lsh_knn_top5", oracle=None)  # approximate-by-design — rows-only gate
+@register(
+    "lsh_knn_top5",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {_DOUBLE_VEC} AS vec FROM embeddings
+    ), q8 AS (
+      SELECT vec_id,
+             list_transform(vec, x -> CAST(floor(x * 127.0 / mx) AS INT))
+               AS codes
+      FROM (
+        SELECT vec_id, vec,
+               list_max(list_transform(vec, x -> abs(x))) AS mx
+        FROM v
+      ) s
+      WHERE mx > 0
+    ), hp AS (
+      SELECT CAST(i // 512 AS INT) AS t,
+             CAST((i // 64) % 8 AS INT) AS j,
+             CAST(i % 64 AS INT) AS p,
+             CASE WHEN (('0x' || substr(md5(
+                    (i // 512) || '_' || ((i // 64) % 8) || '_' || (i % 64)
+                  ), 1, 1))::INT & 1) = 1
+                  THEN 1 ELSE -1 END AS s
+      FROM (SELECT unnest(range(4096)) AS i)
+    ), ex AS (
+      SELECT vec_id, CAST(pp.p AS INT) AS p, codes[CAST(pp.p AS INT) + 1] AS c
+      FROM q8 CROSS JOIN (SELECT unnest(range(64)) AS p) pp
+    ), bits AS (
+      SELECT ex.vec_id, hp.t, hp.j, SUM(ex.c * hp.s) AS dot
+      FROM ex JOIN hp ON hp.p = ex.p
+      GROUP BY ex.vec_id, hp.t, hp.j
+    ), bands AS (
+      SELECT vec_id, t,
+             SUM(CASE WHEN dot > 0 THEN CAST(1 << j AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END) AS band
+      FROM bits GROUP BY vec_id, t
+    ), pairs AS (
+      SELECT DISTINCT qa.vec_id AS query_id, ca.vec_id AS neighbor_id
+      FROM bands qa JOIN bands ca ON qa.t = ca.t AND qa.band = ca.band
+      WHERE qa.vec_id < 10 AND ca.vec_id >= 10
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT p.query_id, p.neighbor_id,
+             {_COS.format(a="qv.vec", b="cv.vec", d=6)} AS cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY p.query_id
+               ORDER BY {_COS.format(a="qv.vec", b="cv.vec", d=6)} DESC,
+                        p.neighbor_id
+             ) AS BIGINT) AS rank
+      FROM pairs p
+      JOIN v qv ON qv.vec_id = p.query_id
+      JOIN v cv ON cv.vec_id = p.neighbor_id
+    ) t WHERE rank <= 5
+    """,
+)
 def lsh_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-projection LSH ANN with exact rerank - the sub-linear candidate path when the query set is huge."""
+    """LSH ANN under a FULL value oracle (was rows-only — r5 verdict
+    #7): deterministic sign-random-projection banding + exact cosine
+    rerank (``functions/similarity.srp_knn``).
+
+    The "random" hyperplanes are ±1 vectors from md5 parity of
+    "t_j_p", and the banded bits are signs of INTEGER dot products
+    over per-row int8-quantized codes (the ``embedding_quantize_int8``
+    contract) — so DuckDB replays quantization, hyperplanes, banding,
+    candidate generation, and the rounded-cosine rerank exactly.  The
+    seeded ``pyspark.ml`` BucketedRandomProjectionLSH path remains
+    available as ``functions/similarity.lsh_knn`` under the
+    ``lsh_knn_invariants`` rank-dominance value gate."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -277,7 +343,7 @@ def lsh_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = emb.filter(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("neighbor_id"), "embedding"
     )
-    return lsh_knn(queries, cands, k=5)
+    return srp_knn(queries, cands, k=5)
 
 
 # L2-normalized double vectors: PQ approximates squared L2, and on unit

@@ -589,26 +589,73 @@ def simhash_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_seeded.crossJoin(seeded_found).crossJoin(n_dups).crossJoin(missed)
 
 
-@register("simhash_near_dups", oracle=None)  # bit-sketch — rows-only gate
+@register(
+    "simhash_near_dups",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(text, '\s+'), t -> t <> '')) AS token
+      FROM documents
+    ), th AS (
+      SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+      FROM toks
+    ), bits AS (
+      SELECT doc_id, b.j,
+             SUM((h >> CAST(b.j AS INT)) & 1) AS s, COUNT(*) AS c
+      FROM th CROSS JOIN (SELECT unnest(range(60)) AS j) b
+      GROUP BY doc_id, b.j
+    ), sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN 2 * s > c
+                           THEN (1::BIGINT << CAST(j AS INT))
+                           ELSE 0 END) AS BIGINT) AS sh
+      FROM bits GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, sh, CAST(t.t AS INT) AS t,
+             (sh >> (15 * CAST(t.t AS INT))) & 32767 AS band
+      FROM sig CROSS JOIN (SELECT unnest(range(4)) AS t) t
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM bands a
+    JOIN bands b ON a.t = b.t AND a.band = b.band AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-banded near-dup pairs: 64-bit JVM-side sketches,
-    candidates from 16-bit-band equi-joins, exact popcount filter.
-    Pair values are ``xxhash64``-specific (rows-only here); the sketch's
-    guarantees are value-gated by ``simhash_invariants``."""
+    """SimHash-banded near-dup pairs under a FULL value oracle (was the
+    catalog's last rows-only entry — r5 verdict #7).
+
+    The signature here is :func:`simhash_md5` — token hash = first 60
+    bits of md5, a cross-engine builtin — so DuckDB replays the ENTIRE
+    pipeline: tokenize → per-token hash → per-bit majority vote →
+    4x15-bit banding → pigeonhole candidates → exact popcount filter.
+    Any pair the banding surfaces or drops differently than the oracle
+    is a driver mismatch, which upgrades the sketch's gate from
+    "row count looks right" to value equality on the pair list itself.
+    The xxhash64 :func:`simhash64` stays the production path (~2-3x
+    cheaper per token) under the ``simhash_invariants`` value gate —
+    same plan shape, different token hash.
+    """
     from tweets_spark_top_10_spark.functions.dedup import (
-        simhash64,
+        simhash_md5,
         simhash_near_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     # Single-file local parquet → 1 partition; spread rows so the
-    # Arrow-batched UDF runs on all cores (at scale the source is
-    # many-partitioned already and this repartition is a no-op cost).
+    # 60-sum signature aggregate runs on all cores (at scale the source
+    # is many-partitioned already and this repartition is a no-op cost).
     par = spark.sparkContext.defaultParallelism
-    # max_hamming=3 is what the 4x16-bit banding GUARANTEES to find
+    # max_hamming=3 is what 4-band banding GUARANTEES to find
     # (pigeonhole); looser thresholds both lose the guarantee and blow
-    # up the output (d<=16 emits 213k pairs at sf0.1 vs 525 at d<=3).
-    return simhash_near_pairs(simhash64(docs.repartition(par)), max_hamming=3)
+    # up the output.
+    return simhash_near_pairs(
+        simhash_md5(docs.repartition(par)),
+        max_hamming=3,
+        n_bands=4,
+        band_bits=15,
+    )
 
 
 @register(
