@@ -1202,3 +1202,83 @@ def test_streaming_opq_adc_matches_batch(spark, sf_dir, tmp_path):
         perm=perm,
     ).awaitTermination()
     assert spark.read.parquet(out).count() == n_rows
+
+
+def test_foreach_batch_kv_upsert_matches_batch(spark, sf_dir, tmp_path):
+    """The R12 analog (ES bulk index, App.java:159-178): streamed keyed
+    upserts converge to the batch latest-state of the same rows —
+    last-writer-wins on the key across micro-batches, max-seq within a
+    batch — and replaying with a wiped checkpoint is idempotent."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tweets_spark_top_10_spark.streaming.sinks import foreach_batch_kv_upsert
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "value")
+        .limit(60)
+    )
+    pdf = ev.toPandas().sort_values("event_id").reset_index(drop=True)
+    # pandas defaults to ns parquet timestamps, which Spark's schema'd
+    # stream reader rejects; the fixtures' own nanos handling lives in
+    # load_table, not here.
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "kv_stream"
+    src.mkdir()
+    pdf.iloc[:30].to_parquet(src / "b1.parquet", index=False)
+    pdf.iloc[30:].to_parquet(src / "b2.parquet", index=False)
+    # Resend two keys with mutated values and later timestamps — the
+    # upsert must replace their rows.
+    mut = pdf.iloc[:2].copy()
+    mut["value"] = [111.0, 222.0]
+    mut["ts"] = (mut["ts"] + pd.Timedelta(hours=1)).astype("datetime64[us]")
+    mut.to_parquet(src / "b3.parquet", index=False)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = str(tmp_path / "kv_table")
+    foreach_batch_kv_upsert(
+        file_stream(spark, str(src), schema, max_files_per_trigger=1),
+        table,
+        key_col="event_id",
+        checkpoint=str(tmp_path / "ckpt_kv"),
+        seq_col="ts",
+    ).awaitTermination()
+
+    got = {
+        (r.event_id, r.ts, r.user_id, r.value)
+        for r in spark.read.parquet(table).drop("bucket").collect()
+    }
+    all_rows = spark.createDataFrame(pd.concat([pdf, mut]), schema=schema)
+    want = {
+        tuple(r)
+        for r in all_rows.groupBy("event_id")
+        .agg(
+            F.max_by(F.struct("ts", "user_id", "value"), F.col("ts")).alias("r")
+        )
+        .select("event_id", "r.ts", "r.user_id", "r.value")
+        .collect()
+    }
+    assert len(got) == 60
+    assert got == want
+
+    # Idempotent replay: wiped checkpoint, same source -> same table.
+    foreach_batch_kv_upsert(
+        file_stream(spark, str(src), schema, max_files_per_trigger=1),
+        table,
+        key_col="event_id",
+        checkpoint=str(tmp_path / "ckpt_kv2"),
+        seq_col="ts",
+    ).awaitTermination()
+    got2 = {
+        (r.event_id, r.ts, r.user_id, r.value)
+        for r in spark.read.parquet(table).drop("bucket").collect()
+    }
+    assert got2 == want
