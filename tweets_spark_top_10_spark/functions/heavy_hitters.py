@@ -1,0 +1,159 @@
+"""Exact distributed top-K without a full-cardinality shuffle.
+
+The reference computes its top-10 hashtags with a plain
+groupBy-count over every distinct token (``App.java:97-99``) — fine
+while the distinct-key cardinality fits a shuffle, but at 100 TB the
+group-by materializes billions of distinct keys to answer a question
+about 10 of them.  This module is the scale shape of that same query:
+
+phase 1  ONE pass over the data.  Each partition summarizes its
+         tokens with a capacity-``C`` Misra-Gries sketch
+         (``mapInPandas``; sketch state lives across Arrow batches
+         within the partition, per-batch counts folded in vectorized
+         via ``value_counts``) and emits at most ``C`` (token, est)
+         rows plus one ``(NULL, n_p)`` row carrying the partition's
+         total token count.  Output size is C x partitions — KBs,
+         independent of data volume.
+phase 2  The union of summaries is aggregated per token.  The
+         Misra-Gries merge bound (Agarwal et al., "Mergeable
+         Summaries", PODS'12) gives ``sum(est)(x) >= freq(x) -
+         N/(C+1)`` for every token x, so the candidate cut
+
+             est(x) + N/(C+1) >= (K-th largest est)
+
+         provably keeps every token whose true frequency ties or
+         beats the true K-th frequency:  est(x) >= freq(x) - slack >=
+         freq_K - slack >= (K-th largest est) - slack, because est is
+         an underestimate.  Candidates are therefore a SUPERSET of
+         the exact top-K, unconditionally — no distributional
+         assumption.
+phase 3  Second pass: exact counts restricted to the candidate set
+         (broadcast semi-join, map-side partial aggregation — the
+         shuffle now carries only candidate tokens) -> exact top-K.
+
+The final answer is bit-identical to the exhaustive groupBy-count
+top-K (which is exactly what the full-value oracle checks), while the
+only unbounded shuffle in the plan is keyed by a list provably capped
+at ~C·P + false-positive candidates.
+
+Two driver-side ``collect``s occur in phase 2 — both metadata-size
+(one scalar N, one scalar K-th-largest-est), not data-size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tweets_spark_top_10_spark.functions.cachectl import persist_tracked
+
+
+def mg_partition_summaries(
+    tokens: DataFrame, token_col: str, capacity: int
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries of ``tokens[token_col]``.
+
+    Returns ``(token_col string, est long)`` rows: <= ``capacity``
+    token rows per partition (est underestimates the partition
+    frequency by at most ``n_p/(capacity+1)``) plus one row with
+    ``token_col = NULL`` and ``est = n_p`` (the partition's total item
+    count, needed for the global error bound).
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        n = 0
+        for pdf in batches:
+            col = pdf[token_col].dropna()
+            n += len(col)
+            # Fold the batch's exact counts into the sketch (weighted
+            # Misra-Gries update), then prune back to `capacity` by
+            # subtracting the (capacity+1)-th largest counter from all
+            # — the mergeable-summaries reduction, which preserves the
+            # n_p/(capacity+1) undercount bound.
+            for tok, cnt in col.value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > capacity:
+                kth = sorted(counters.values(), reverse=True)[capacity]
+                counters = {t: c - kth for t, c in counters.items() if c > kth}
+        out = pd.DataFrame(
+            {
+                token_col: list(counters) + [None],
+                "est": list(counters.values()) + [n],
+            }
+        )
+        out["est"] = out["est"].astype("int64")
+        yield out
+
+    return tokens.select(token_col).mapInPandas(
+        summarize, schema=f"{token_col} string, est long"
+    )
+
+
+def mg_candidate_tokens(
+    tokens: DataFrame, token_col: str, k: int, capacity: int
+) -> DataFrame | None:
+    """Provable top-``k`` candidate superset from per-partition MG
+    sketches, or ``None`` when the sketch can't certify one.
+
+    A token absent from every partition sketch has true frequency
+    <= slack = N/(capacity+1).  When slack < (k-th largest merged
+    est), absent tokens therefore cannot reach (or tie) the true
+    k-th frequency, so filtering the merged sketch with
+
+        est + slack >= k-th largest est
+
+    yields a certified superset of the exact top-k.  When slack >=
+    k-th largest est the sketch is too coarse to rule out dropped
+    tokens — the caller must fall back to the exhaustive count
+    (capacity was undersized for this distribution).
+    """
+    summaries = persist_tracked(mg_partition_summaries(tokens, token_col, capacity))
+    merged = persist_tracked(
+        summaries.where(F.col(token_col).isNotNull())
+        .groupBy(token_col)
+        .agg(F.sum("est").alias("est"))
+    )
+    # Two metadata-size collects: one scalar each.
+    n_total = int(
+        summaries.where(F.col(token_col).isNull())
+        .agg(F.sum("est").alias("n"))
+        .collect()[0]["n"]
+        or 0
+    )
+    kth_rows = (
+        merged.orderBy(F.desc("est")).limit(k).agg(F.min("est").alias("kth")).collect()
+    )
+    kth_est = int(kth_rows[0]["kth"] or 0)
+    slack = n_total / (capacity + 1)
+    if slack >= kth_est:
+        return None
+    return merged.where(F.col("est") + F.lit(slack) >= F.lit(kth_est)).select(
+        token_col
+    )
+
+
+def exact_top_k_two_pass(
+    tokens: DataFrame, token_col: str, k: int, capacity: int = 4096
+) -> DataFrame:
+    """Exact global top-``k`` of ``token_col`` by count, two-pass.
+
+    Pass 1 builds Misra-Gries candidates (see module docstring for the
+    superset proof); pass 2 re-counts only the candidates exactly.
+    Result: ``(token_col, n)`` ordered by ``n`` desc, ``token_col``
+    asc — identical to the exhaustive groupBy-count top-K.  If the
+    sketch can't certify a candidate set (capacity too small for the
+    distribution), falls back to the exhaustive count — exactness is
+    unconditional either way.
+    """
+    candidates = mg_candidate_tokens(tokens, token_col, k, capacity)
+    counted = tokens
+    if candidates is not None:
+        counted = tokens.join(F.broadcast(candidates), token_col, "left_semi")
+    exact = counted.groupBy(token_col).agg(F.count(F.lit(1)).alias("n"))
+    return exact.orderBy(F.desc("n"), F.asc(token_col)).limit(k)

@@ -173,3 +173,35 @@ def doc_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return out.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sentences"))
+
+
+@register(
+    "heavy_hitters_top10",
+    oracle=r"""
+    SELECT token, COUNT(*) AS n FROM (
+      SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents
+    ) t
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 10
+    """,
+)
+def heavy_hitters_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 tokens WITHOUT a full-cardinality shuffle: the 100 TB
+    shape of the reference's flagship query (``App.java:97-99``).
+
+    Per-partition Misra-Gries sketches (one data pass, KB-size output)
+    produce a provable superset of the top-10; a second pass re-counts
+    only those candidates exactly (broadcast semi-join, map-side
+    combine).  The oracle is the exhaustive groupBy-count top-10 — the
+    two-pass result is bit-identical by the Misra-Gries merge bound
+    (see ``functions/heavy_hitters.py``).
+    """
+    from tweets_spark_top_10_spark.functions.heavy_hitters import (
+        exact_top_k_two_pass,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+    return exact_top_k_two_pass(toks, "token", k=10, capacity=512)
