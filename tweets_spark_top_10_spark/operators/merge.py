@@ -1,0 +1,62 @@
+"""Batch CDC apply: MERGE a keyed change log onto a base snapshot.
+
+The reference has no mutation surface at all (its output is an
+overwritten CSV per hour, ``App.java:133-134``); a training-data
+pipeline needs one — corpora are maintained as base snapshot + change
+feeds (new crawls, takedown deletes, metadata fixes).  This is the
+batch twin of the streaming ``upsert_rows_by_bucket`` sink
+(``streaming/sinks.py``): same last-writer-wins contract, expressed
+as one declarative plan instead of a stateful sink.
+
+Semantics (Delta/Iceberg ``MERGE`` shape):
+
+- ``changes`` rows carry the base schema plus ``op_col`` in
+  {'I','U','D'} and a monotonically increasing ``seq_col``.
+- Per key, only the LATEST change applies (ties broken by op desc so
+  an equal-seq U/D pair resolves deterministically).
+- 'I'/'U' replace the whole row (upsert — an 'I' on an existing key
+  behaves as 'U'); 'D' removes the key; unmentioned keys pass through.
+
+Scale shape: latest-change compaction is a ``row_number`` window
+keyed by the merge key (one shuffle of the — typically small — change
+feed, never of the base), then a single full-outer join keyed the
+same way; AQE broadcasts the compacted feed when it fits.  No
+collects, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply ``changes`` onto ``base`` (schema: base columns + op/seq);
+    returns the merged snapshot with exactly the base columns."""
+    payload = base.columns
+    missing = [c for c in payload + [seq_col, op_col] if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing columns: {missing}")
+
+    w = Window.partitionBy(key).orderBy(F.desc(seq_col), F.desc(op_col))
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select([F.col(c).alias(f"__c_{c}") for c in payload] + [F.col(op_col).alias("__op")])
+    )
+    joined = base.join(latest, base[key] == latest[f"__c_{key}"], "full_outer")
+    merged = joined.where(F.col("__op").isNull() | (F.col("__op") != F.lit("D")))
+    return merged.select(
+        [
+            F.when(F.col("__op").isNotNull(), F.col(f"__c_{c}"))
+            .otherwise(base[c])
+            .alias(c)
+            for c in payload
+        ]
+    )

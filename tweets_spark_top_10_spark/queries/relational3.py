@@ -704,3 +704,189 @@ def user_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("b.value"), 6).alias("value"),
         )
     )
+
+
+@register(
+    "bloom_semi_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 4) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'AUTOMOBILE'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side Bloom prefilter ahead of the exact join
+    (``functions/bloom.py``): the dimension's key set is compressed to
+    8 KB of broadcast bit-words and ~80% of fact rows are dropped
+    before the shuffle; the exact join then removes the (rare) false
+    positives, so the result — and the oracle — is the plain join.
+
+    At 100 TB this is the pattern for dimensions too big to broadcast
+    as rows but whose keys fit a Bloom filter; here the dimension is
+    small, which is what lets the oracle stay a plain SQL join."""
+    from tweets_spark_top_10_spark.functions.bloom import bloom_prefilter
+
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    filtered = bloom_prefilter(
+        orders, "o_custkey", cust.select("c_custkey"), "c_custkey"
+    )
+    return (
+        filtered.join(cust.select("c_custkey"), filtered.o_custkey == F.col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "orders_cdc_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders
+    ), changes AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+             o_orderpriority, 'U' AS op, 1 AS seq
+      FROM base WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice * CAST(2 AS DOUBLE), o_orderpriority, 'U', 0
+      FROM base WHERE o_orderkey % 10 = 7
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderpriority, 'D', 1
+      FROM base WHERE o_orderkey % 10 = 7
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, 'N',
+             CAST(999.99 AS DOUBLE), '1-URGENT', 'I', 1
+      FROM base WHERE o_orderkey % 100 = 1
+    ), latest AS (
+      SELECT * FROM (
+        SELECT c.*, ROW_NUMBER() OVER (
+          PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn
+        FROM changes c
+      ) WHERE rn = 1
+    )
+    SELECT
+      COALESCE(l.o_orderkey, b.o_orderkey) AS o_orderkey,
+      CASE WHEN l.op IS NOT NULL THEN l.o_custkey ELSE b.o_custkey END AS o_custkey,
+      CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+      ROUND(CASE WHEN l.op IS NOT NULL THEN l.o_totalprice ELSE b.o_totalprice END, 4) AS o_totalprice,
+      CASE WHEN l.op IS NOT NULL THEN l.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority
+    FROM base b FULL OUTER JOIN latest l ON b.o_orderkey = l.o_orderkey
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+)
+def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC MERGE (``operators/merge.py``): a deterministic change
+    feed — stale update (seq 0) superseded by a delete (seq 1) on the
+    same keys, an update set, and an insert set — applied onto the
+    orders snapshot with last-writer-wins.  The oracle replays the
+    same feed in SQL (row_number compaction + full-outer apply)."""
+    from tweets_spark_top_10_spark.operators.merge import apply_changes
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    upd = (
+        base.where(k % 10 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") * F.lit(1.1))
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1))
+    )
+    stale = (
+        base.where(k % 10 == 7)
+        .withColumn("o_totalprice", F.col("o_totalprice") * F.lit(2.0))
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(0))
+    )
+    dels = (
+        base.where(k % 10 == 7).withColumn("op", F.lit("D")).withColumn("seq", F.lit(1))
+    )
+    ins = (
+        base.where(k % 100 == 1)
+        .withColumn("o_orderkey", k + F.lit(100000000))
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("o_totalprice", F.lit(999.99))
+        .withColumn("o_orderpriority", F.lit("1-URGENT"))
+        .withColumn("op", F.lit("I"))
+        .withColumn("seq", F.lit(1))
+    )
+    changes = upd.unionByName(stale).unionByName(dels).unionByName(ins)
+    merged = apply_changes(base, changes, "o_orderkey")
+    return merged.withColumn("o_totalprice", F.round("o_totalprice", 4))
+
+
+@register(
+    "orders_quality_audit",
+    oracle="""
+    SELECT 'o_custkey_not_null' AS check_name,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_positive',
+           CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus_domain',
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                         OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_upper_bound',
+           CAST(SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey_references_customer', CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'o_orderkey_unique', CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    """,
+)
+def orders_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint audit (``functions/quality.py``): four
+    row-local checks fused into ONE aggregate pass, a broadcast
+    anti-join referential check, and a keyed uniqueness check — the
+    Deequ/dbt-test shape a 100 TB ingest gates on."""
+    from tweets_spark_top_10_spark.functions.quality import (
+        audit,
+        referential_violations,
+        row_local_violations,
+        uniqueness_violations,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    st = F.col("o_orderstatus")
+    row_local = row_local_violations(
+        orders,
+        {
+            "o_custkey_not_null": F.col("o_custkey").isNull(),
+            "o_totalprice_positive": F.col("o_totalprice").isNull()
+            | (F.col("o_totalprice") <= 0),
+            "o_orderstatus_domain": st.isNull() | ~st.isin("O", "F", "P"),
+            "o_totalprice_upper_bound": F.col("o_totalprice") > 300000,
+        },
+    )
+    return audit(
+        row_local,
+        referential_violations(
+            orders, "o_custkey", cust, "c_custkey", "o_custkey_references_customer"
+        ),
+        uniqueness_violations(orders, "o_orderkey", "o_orderkey_unique"),
+    )
