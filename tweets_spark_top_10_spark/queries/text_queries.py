@@ -1138,3 +1138,109 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "edit_dist",
         )
     )
+
+
+@register(
+    "doc_chunks",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS arr
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, arr, unnest(range(0, len(arr), 48)) AS start
+      FROM toks WHERE len(arr) > 0
+    )
+    SELECT doc_id,
+           CAST(start // 48 AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start,
+           CAST(least(64, len(arr) - start) AS BIGINT) AS n_tok,
+           md5(array_to_string(list_slice(arr, start + 1, start + 64), ' ')) AS chunk_hash
+    FROM starts
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the tokenize→window→pack step
+    every LLM training pipeline runs before sequence packing
+    (``doc_pack_bins`` consumes budgets like these chunks' n_tok).
+
+    Window 64 tokens, stride 48 (25% overlap).  Pure JVM: tokenize →
+    ``sequence`` of starts → ``posexplode`` → ``slice`` — one narrow
+    pass, no shuffle at all (the plan is scan→project→generate), so it
+    scales with input bytes and parallelism alone.  Chunk identity is
+    the md5 of the joined window, ready for chunk-level dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    window, stride = 64, 48
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("arr")).where(
+        F.size("arr") > 0
+    )
+    starts = toks.select(
+        "doc_id",
+        "arr",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("arr") - 1, F.lit(stride))
+        ).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice("arr", F.col("start") + 1, window)
+    return starts.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start"),
+        F.size(chunk).cast("long").alias("n_tok"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+@register(
+    "doc_token_ids",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(arr) AS token, unnest(range(0, len(arr))) AS pos
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS arr
+            FROM documents)
+    ), vocab AS (
+      SELECT token,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) - 1 AS BIGINT) AS id
+      FROM (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token HAVING COUNT(*) >= 5)
+    )
+    SELECT t.doc_id,
+           list(COALESCE(v.id, -1) ORDER BY t.pos) AS token_ids,
+           CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+    FROM toks t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding: corpus-frequency vocab (min_df=5, ids by
+    rank) broadcast-joined back onto positioned tokens, re-assembled
+    into per-document id arrays with OOV = -1 — the tokenize→ids step
+    of training-data prep.
+
+    Scale notes: the rank-id window runs on the AGGREGATED vocabulary
+    (map-side-combined groupBy first), not the corpus; the encode join
+    broadcasts the vocab; per-doc arrays reassemble via
+    array_sort(collect_list(struct(pos,id))) — one shuffle keyed by
+    doc_id.  At 100 TB vocabularies, swap the rank window for hash ids
+    and the broadcast for a bucketed join; the plan shape is otherwise
+    unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).where(
+        F.col("cnt") >= 5
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    vocab = counts.select(
+        "token", (F.row_number().over(w) - 1).cast("long").alias("id")
+    )
+    enc = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(-1)).alias("tid")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda s: s["tid"]
+        ).alias("token_ids"),
+        F.sum(F.when(F.col("tid") == -1, 1).otherwise(0)).cast("long").alias("n_oov"),
+    )
