@@ -56,3 +56,28 @@ def test_missing_columns_fail_loud(spark):
     changes = spark.createDataFrame([(1, "U", 1)], "k int, op string, seq int")
     with pytest.raises(ValueError, match="missing columns"):
         apply_changes(_base(spark), changes, "k")
+
+
+def test_snapshot_diff_inverts_apply(spark):
+    """apply_changes(old, snapshot_diff(old, new) + seq) == new, and a
+    no-churn diff is empty."""
+    from tweets_spark_top_10_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k int, v string, x double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B2", 20.0), (3, "c", 3.5), (9, "ins", None)],
+        "k int, v string, x double",
+    )
+    diff = snapshot_diff(old, new, "k")
+    ops = {r["k"]: r["op"] for r in diff.collect()}
+    assert ops == {2: "U", 3: "U", 4: "D", 9: "I"}
+
+    from tweets_spark_top_10_spark.operators.merge import apply_changes
+    from pyspark.sql import functions as F2
+
+    rebuilt = apply_changes(old, diff.withColumn("seq", F2.lit(1)), "k")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+    assert snapshot_diff(old, old, "k").count() == 0

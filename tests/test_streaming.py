@@ -1282,3 +1282,58 @@ def test_foreach_batch_kv_upsert_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(table).drop("bucket").collect()
     }
     assert got2 == want
+
+
+def test_streaming_heavy_hitters_summary_certifies_exact_topk(spark, sf_dir, tmp_path):
+    """Incrementally maintained MG summary == a valid candidate source:
+    after draining the doc stream in micro-batches, candidates from the
+    stored summary + exact rerank must equal the batch exact top-10,
+    the summary must stay bounded at capacity+1 rows, and the certify
+    path (not the exhaustive fallback) must be the one taken."""
+    import pandas as pd
+
+    from tweets_spark_top_10_spark.functions.heavy_hitters import (
+        candidates_from_summary,
+    )
+    from tweets_spark_top_10_spark.functions.text import tokenize
+    from tweets_spark_top_10_spark.streaming.heavy_hitters import (
+        maintain_heavy_hitters,
+        top_k_from_summary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    third = len(pdf) // 3
+    src = tmp_path / "hh_docs"
+    src.mkdir()
+    pdf.iloc[:third].to_parquet(src / "b1.parquet", index=False)
+    pdf.iloc[third : 2 * third].to_parquet(src / "b2.parquet", index=False)
+    pdf.iloc[2 * third :].to_parquet(src / "b3.parquet", index=False)
+
+    stream = file_stream(spark, str(src), docs.schema, max_files_per_trigger=1)
+    toks_stream = stream.select(F.explode(tokenize(F.col("text"))).alias("token"))
+    table = str(tmp_path / "mg_summary")
+    cap = 512
+    q = maintain_heavy_hitters(
+        toks_stream, table, checkpoint=str(tmp_path / "hh_ckpt"), capacity=cap
+    )
+    q.awaitTermination()
+
+    summary = spark.read.parquet(table)
+    assert summary.count() <= cap + 1
+    # total-count row carries the full stream length
+    n_meta = summary.where(F.col("token").isNull()).collect()
+    assert len(n_meta) == 1
+
+    corpus_tokens = docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+    assert (
+        candidates_from_summary(summary, "token", 10, cap) is not None
+    ), "summary failed to certify — capacity undersized for fixture"
+    got = top_k_from_summary(spark, table, corpus_tokens, k=10, capacity=cap)
+    want = (
+        corpus_tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(10)
+    )
+    assert got.collect() == want.collect()

@@ -95,33 +95,38 @@ def mg_partition_summaries(
     )
 
 
-def mg_candidate_tokens(
-    tokens: DataFrame, token_col: str, k: int, capacity: int
+def candidates_from_summary(
+    summary: DataFrame, token_col: str, k: int, capacity: int
 ) -> DataFrame | None:
-    """Provable top-``k`` candidate superset from per-partition MG
-    sketches, or ``None`` when the sketch can't certify one.
+    """Provable top-``k`` candidate superset from a merged MG summary
+    table (``(token_col, est)`` rows plus NULL-token total rows), or
+    ``None`` when the sketch can't certify one.
 
-    A token absent from every partition sketch has true frequency
-    <= slack = N/(capacity+1).  When slack < (k-th largest merged
-    est), absent tokens therefore cannot reach (or tie) the true
-    k-th frequency, so filtering the merged sketch with
+    A token absent from the summary has true frequency <= slack =
+    N/(capacity+1) (sum of all per-partition / per-merge prune
+    subtractions).  When slack < (k-th largest merged est), absent
+    tokens therefore cannot reach (or tie) the true k-th frequency,
+    so filtering the summary with
 
         est + slack >= k-th largest est
 
     yields a certified superset of the exact top-k.  When slack >=
     k-th largest est the sketch is too coarse to rule out dropped
     tokens — the caller must fall back to the exhaustive count
-    (capacity was undersized for this distribution).
+    (capacity was undersized for this distribution).  Works for both
+    the batch per-partition summaries and the incrementally
+    maintained streaming summary — the error bound is the same
+    N/(capacity+1) in both (mergeable-summaries reduction).
     """
-    summaries = persist_tracked(mg_partition_summaries(tokens, token_col, capacity))
+    summary = persist_tracked(summary)
     merged = persist_tracked(
-        summaries.where(F.col(token_col).isNotNull())
+        summary.where(F.col(token_col).isNotNull())
         .groupBy(token_col)
         .agg(F.sum("est").alias("est"))
     )
     # Two metadata-size collects: one scalar each.
     n_total = int(
-        summaries.where(F.col(token_col).isNull())
+        summary.where(F.col(token_col).isNull())
         .agg(F.sum("est").alias("n"))
         .collect()[0]["n"]
         or 0
@@ -135,6 +140,16 @@ def mg_candidate_tokens(
         return None
     return merged.where(F.col("est") + F.lit(slack) >= F.lit(kth_est)).select(
         token_col
+    )
+
+
+def mg_candidate_tokens(
+    tokens: DataFrame, token_col: str, k: int, capacity: int
+) -> DataFrame | None:
+    """Batch form: sketch the data per-partition, then certify (see
+    :func:`candidates_from_summary`)."""
+    return candidates_from_summary(
+        mg_partition_summaries(tokens, token_col, capacity), token_col, k, capacity
     )
 
 

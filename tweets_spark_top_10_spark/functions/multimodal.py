@@ -201,3 +201,44 @@ def frame_sample(
             yield pd.DataFrame({"id": ids, "frame_no": nos, "frame": frames})
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+AUDIO_STATS = "id long, n_samples long, peak long, mean_amp double, rms double"
+
+
+def audio_waveform_stats(
+    df: DataFrame, id_col: str = "id", payload_col: str = "payload"
+) -> DataFrame:
+    """Audio-decode stub + waveform statistics via mapInPandas.
+
+    A real pipeline would decode the container (wav/flac/ogg) to PCM
+    here; the container has no audio libs, so the deterministic stand-in
+    treats the payload bytes themselves as uint8 samples (schema,
+    batching, and the numpy-kernel shape are exactly the real path).
+    Sums are exact in float64 (byte values, len << 2^53), so the stats
+    are replayable bit-for-bit by the SQL oracle.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, n, peak, mean, rms = [], [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None or len(p) == 0:
+                    continue
+                x = np.frombuffer(p, dtype=np.uint8).astype(np.float64)
+                ids.append(int(i))
+                n.append(len(x))
+                peak.append(int(x.max()))
+                mean.append(round(float(x.mean()), 6))
+                rms.append(round(float(np.sqrt(np.mean(x * x))), 6))
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(n, dtype="int64"),
+                    "peak": pd.Series(peak, dtype="int64"),
+                    "mean_amp": pd.Series(mean, dtype="float64"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=AUDIO_STATS)

@@ -60,3 +60,42 @@ def apply_changes(
             for c in payload
         ]
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Effective change feed turning snapshot ``old`` into ``new``:
+    one row per differing key with ``op`` in {'I','U','D'} and the
+    appropriate payload ('I'/'U' carry the new row, 'D' the old one).
+    Inverse of :func:`apply_changes` — ``apply_changes(old,
+    diff+seq, ...) == new`` (property-tested).
+
+    One full-outer join keyed by ``key``; unchanged rows are dropped
+    by a null-safe struct comparison, so the output is proportional
+    to the churn, not the snapshot — the shape incremental snapshot
+    shipping needs at 100 TB."""
+    payload = old.columns
+    if set(new.columns) != set(payload):
+        raise ValueError(f"schema mismatch: {old.columns} vs {new.columns}")
+    o = old.select([F.col(c).alias(f"__o_{c}") for c in payload])
+    n = new.select([F.col(c).alias(f"__n_{c}") for c in payload])
+    joined = o.join(n, o[f"__o_{key}"] == n[f"__n_{key}"], "full_outer")
+    o_struct = F.struct(*[F.col(f"__o_{c}") for c in payload])
+    n_struct = F.struct(*[F.col(f"__n_{c}") for c in payload])
+    changed = joined.where(
+        F.col(f"__o_{key}").isNull()
+        | F.col(f"__n_{key}").isNull()
+        | ~o_struct.eqNullSafe(n_struct)
+    )
+    op = (
+        F.when(F.col(f"__o_{key}").isNull(), F.lit("I"))
+        .when(F.col(f"__n_{key}").isNull(), F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    take_new = F.col(f"__n_{key}").isNotNull()
+    return changed.select(
+        op.alias("op"),
+        *[
+            F.when(take_new, F.col(f"__n_{c}")).otherwise(F.col(f"__o_{c}")).alias(c)
+            for c in payload
+        ],
+    )

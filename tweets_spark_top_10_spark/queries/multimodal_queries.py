@@ -130,3 +130,30 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("feat_l1"),
     )
+
+
+@register(
+    "media_audio_stats",
+    oracle="""
+    WITH bytes AS (
+      SELECT doc_id, ord(c) AS b
+      FROM (SELECT doc_id, unnest(split(text, '')) AS c
+            FROM documents WHERE length(text) > 0)
+    )
+    SELECT doc_id AS id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(b) AS BIGINT) AS peak,
+           ROUND(AVG(b), 6) AS mean_amp,
+           ROUND(SQRT(AVG(CAST(b AS DOUBLE) * b)), 6) AS rms
+    FROM bytes GROUP BY doc_id
+    """,
+)
+def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio path of the multimodal surface: stub-decode the binary
+    payload to uint8 'PCM' and compute waveform stats in an Arrow
+    numpy kernel (``functions/multimodal.audio_waveform_stats``).  The
+    fixture text is pure ASCII, so the oracle replays the byte stream
+    as codepoints and the stats match exactly."""
+    from tweets_spark_top_10_spark.functions.multimodal import audio_waveform_stats
+
+    return audio_waveform_stats(_with_payload(spark, sf_dir))

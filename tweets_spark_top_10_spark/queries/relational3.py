@@ -890,3 +890,70 @@ def orders_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         uniqueness_violations(orders, "o_orderkey", "o_orderkey_unique"),
     )
+
+
+@register(
+    "orders_snapshot_diff",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders
+    ), snap AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 3
+                  THEN o_totalprice * CAST(1.1 AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM base WHERE o_orderkey % 10 <> 7
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, 'N',
+             CAST(999.99 AS DOUBLE), '1-URGENT'
+      FROM base WHERE o_orderkey % 100 = 1
+    )
+    SELECT
+      CASE WHEN b.o_orderkey IS NULL THEN 'I'
+           WHEN n.o_orderkey IS NULL THEN 'D'
+           ELSE 'U' END AS op,
+      COALESCE(n.o_orderkey, b.o_orderkey) AS o_orderkey,
+      CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_custkey ELSE b.o_custkey END AS o_custkey,
+      CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+      ROUND(CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_totalprice ELSE b.o_totalprice END, 4) AS o_totalprice,
+      CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority
+    FROM base b FULL OUTER JOIN snap n ON b.o_orderkey = n.o_orderkey
+    WHERE b.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR b.o_custkey      IS DISTINCT FROM n.o_custkey
+       OR b.o_orderstatus  IS DISTINCT FROM n.o_orderstatus
+       OR b.o_totalprice   IS DISTINCT FROM n.o_totalprice
+       OR b.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+    """,
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot differencing (``operators/merge.snapshot_diff``): two
+    deterministic snapshot states of orders — deletes, price updates,
+    inserts — reduced to the effective I/U/D change feed.  The
+    inverse of ``orders_cdc_merge``'s apply; output is churn-sized,
+    not snapshot-sized."""
+    from tweets_spark_top_10_spark.operators.merge import snapshot_diff
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    snap = (
+        base.where(k % 10 != 7)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 10 == 3, F.col("o_totalprice") * F.lit(1.1)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            base.where(k % 100 == 1)
+            .withColumn("o_orderkey", k + F.lit(100000000))
+            .withColumn("o_orderstatus", F.lit("N"))
+            .withColumn("o_totalprice", F.lit(999.99))
+            .withColumn("o_orderpriority", F.lit("1-URGENT"))
+        )
+    )
+    diff = snapshot_diff(base, snap, "o_orderkey")
+    return diff.withColumn("o_totalprice", F.round("o_totalprice", 4))

@@ -17,6 +17,10 @@ from tweets_spark_top_10_spark.streaming.windows import (
 )
 from tweets_spark_top_10_spark.streaming.dedup import dedup_stream
 from tweets_spark_top_10_spark.streaming.sketch import maintain_minhash_index
+from tweets_spark_top_10_spark.streaming.heavy_hitters import (
+    maintain_heavy_hitters,
+    top_k_from_summary,
+)
 from tweets_spark_top_10_spark.streaming.sinks import foreach_batch_overwrite, run_to_memory
 from tweets_spark_top_10_spark.streaming.stateful import (
     sessionize_transform_with_state,
@@ -32,6 +36,8 @@ __all__ = [
     "sessionize_with_state",
     "dedup_stream",
     "maintain_minhash_index",
+    "maintain_heavy_hitters",
+    "top_k_from_summary",
     "foreach_batch_overwrite",
     "run_to_memory",
 ]

@@ -1,0 +1,153 @@
+"""Incremental heavy-hitters: streaming Misra-Gries summary maintenance.
+
+The reference's companion speed layer kept live per-hour hashtag
+counts next to the batch job (the commented-out Storm/ES half,
+``App.java:159-178``).  This is that idea at 100 TB shape: instead of
+a live exact count of EVERY distinct token (unbounded state), the
+stream maintains one bounded Misra-Gries summary — ``capacity`` rows
+plus one total-count row — that at any moment certifies top-K
+candidates for the data seen so far (``functions/heavy_hitters.
+candidates_from_summary``); an exact rerank pass over the stored
+corpus turns the candidates into the exact top-K on demand.
+
+Merge step per micro-batch (mergeable-summaries reduction, same
+N/(capacity+1) bound as the batch sketch):
+
+1. exact batch token counts (map-side-combined groupBy — the batch is
+   one trigger's worth of data),
+2. union with the stored summary, sum per token (the NULL-token total
+   row sums along with everything else),
+3. prune back to ``capacity`` by subtracting the (capacity+1)-th
+   largest counter from all and dropping non-positives.
+
+State is a plain parquet dir swapped atomically (stage → aside →
+live), so a replayed micro-batch after a crash re-derives the same
+merge from either the old or new state plus the batch.
+
+One bounded driver collect per merge: the (capacity+1) largest
+estimates, to find the prune threshold — O(capacity), not O(data).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_mg_batch(
+    spark,
+    batch_tokens: DataFrame,
+    table_path: str,
+    token_col: str = "token",
+    capacity: int = 512,
+) -> None:
+    """Fold one micro-batch of tokens into the stored MG summary."""
+    batch_summary = (
+        batch_tokens.groupBy(token_col).agg(F.count(F.lit(1)).alias("est"))
+    ).unionByName(
+        batch_tokens.agg(
+            F.lit(None).cast("string").alias(token_col),
+            F.count(F.lit(1)).alias("est"),
+        )
+    )
+    aside = table_path.rstrip("/") + "__old"
+    staging = table_path.rstrip("/") + "__stage"
+    # crash recovery: a crash between the two renames leaves the only
+    # valid summary in the aside dir — restore it before merging.
+    if os.path.exists(aside):
+        if not os.path.exists(table_path):
+            os.rename(aside, table_path)
+        else:
+            shutil.rmtree(aside)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+
+    if os.path.exists(table_path):
+        merged = spark.read.parquet(table_path).unionByName(batch_summary)
+    else:
+        merged = batch_summary
+    merged = (
+        merged.groupBy(token_col).agg(F.sum("est").alias("est"))
+    ).persist()
+
+    top = (
+        merged.where(F.col(token_col).isNotNull())
+        .orderBy(F.desc("est"))
+        .limit(capacity + 1)
+        .collect()
+    )
+    if len(top) > capacity:
+        kth = int(top[-1]["est"])
+        pruned = merged.where(
+            F.col(token_col).isNull() | (F.col("est") > F.lit(kth))
+        ).withColumn(
+            "est",
+            F.when(F.col(token_col).isNull(), F.col("est")).otherwise(
+                F.col("est") - F.lit(kth)
+            ),
+        )
+    else:
+        pruned = merged
+    pruned.coalesce(1).write.mode("overwrite").parquet(staging)
+    merged.unpersist(blocking=False)
+    if os.path.exists(table_path):
+        os.rename(table_path, aside)
+    os.rename(staging, table_path)
+    if os.path.exists(aside):
+        shutil.rmtree(aside)
+
+
+def maintain_heavy_hitters(
+    stream_tokens: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    token_col: str = "token",
+    capacity: int = 512,
+):
+    """Attach the MG merge to a token stream via foreachBatch
+    (availableNow trigger, as the other maintained indexes)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_mg_batch(
+            batch_df.sparkSession, batch_df, table_path, token_col, capacity
+        )
+
+    return (
+        stream_tokens.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def top_k_from_summary(
+    spark,
+    table_path: str,
+    corpus_tokens: DataFrame,
+    token_col: str = "token",
+    k: int = 10,
+    capacity: int = 512,
+) -> DataFrame:
+    """Exact top-``k`` using the maintained summary for candidates and
+    ``corpus_tokens`` for the exact rerank (same certify-or-fallback
+    contract as the batch two-pass operator)."""
+    from tweets_spark_top_10_spark.functions.heavy_hitters import (
+        candidates_from_summary,
+    )
+
+    summary = spark.read.parquet(table_path)
+    candidates = candidates_from_summary(summary, token_col, k, capacity)
+    counted = corpus_tokens
+    if candidates is not None:
+        counted = corpus_tokens.join(F.broadcast(candidates), token_col, "left_semi")
+    return (
+        counted.groupBy(token_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc(token_col))
+        .limit(k)
+    )
