@@ -1337,3 +1337,43 @@ def test_streaming_heavy_hitters_summary_certifies_exact_topk(spark, sf_dir, tmp
         .limit(10)
     )
     assert got.collect() == want.collect()
+
+
+def test_streaming_bloom_bits_match_batch_build(spark, sf_dir, tmp_path):
+    """Incrementally OR-merged Bloom words == the single-pass batch
+    build over all streamed keys, bit for bit (bit_or is mergeable and
+    idempotent) — including after a re-sent (duplicated) batch."""
+    import pandas as pd
+
+    from tweets_spark_top_10_spark.functions.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from tweets_spark_top_10_spark.streaming.bloom import (
+        maintain_bloom,
+        read_bloom_words,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    pdf = cust.toPandas().sort_values("c_custkey").reset_index(drop=True)
+    half = len(pdf) // 2
+    src = tmp_path / "bloom_keys"
+    src.mkdir()
+    pdf.iloc[:half].to_parquet(src / "b1.parquet", index=False)
+    pdf.iloc[half:].to_parquet(src / "b2.parquet", index=False)
+    # duplicate delivery of batch 1: idempotent by construction
+    pdf.iloc[:half].to_parquet(src / "b3.parquet", index=False)
+
+    stream = file_stream(spark, str(src), cust.schema, max_files_per_trigger=1)
+    table = str(tmp_path / "bloom_words")
+    q = maintain_bloom(
+        stream, table, checkpoint=str(tmp_path / "bloom_ckpt"), key_col="c_custkey"
+    )
+    q.awaitTermination()
+
+    got = read_bloom_words(spark, table)
+    want = bloom_build(cust, "c_custkey")
+    assert got == want
+    # and the maintained filter admits every member key
+    hits = cust.where(bloom_might_contain(F.col("c_custkey"), got)).count()
+    assert hits == cust.count()

@@ -54,6 +54,32 @@ def _probe_positions(key: Column, k: int, m_bits: int) -> list[Column]:
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
 
 
+def bloom_word_updates(
+    keys: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 5
+) -> DataFrame:
+    """Sparse ``(word_idx, word)`` bit-word contributions of ``keys``.
+
+    The mergeable core of the filter: bit_or is commutative/
+    associative/idempotent, so word tables from any partitioning of
+    the key set — batches, streams, partial rebuilds — OR together
+    into exactly the filter a single-pass build produces.
+    """
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    key = F.col(key_col)
+    pos = F.explode(F.array(*_probe_positions(key, k, m_bits))).alias("pos")
+    return (
+        keys.where(key.isNotNull())
+        .select(pos)
+        .select(
+            F.shiftright(F.col("pos"), 6).alias("word_idx"),
+            _bit_mask(F.col("pos")).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
 def bloom_build(keys: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 5) -> list[int]:
     """Build Bloom bit-words over ``keys[key_col]``, distributed.
 
@@ -63,21 +89,7 @@ def bloom_build(keys: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 5
     size, not the key count).  Returns the dense ``m_bits // 64``
     word list (Python ints) for broadcasting into expressions.
     """
-    if m_bits % 64:
-        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
-    key = F.col(key_col)
-    pos = F.explode(F.array(*_probe_positions(key, k, m_bits))).alias("pos")
-    words = (
-        keys.where(key.isNotNull())
-        .select(pos)
-        .select(
-            F.shiftright(F.col("pos"), 6).alias("word_idx"),
-            _bit_mask(F.col("pos")).alias("mask"),
-        )
-        .groupBy("word_idx")
-        .agg(F.bit_or("mask").alias("word"))
-        .collect()
-    )
+    words = bloom_word_updates(keys, key_col, m_bits=m_bits, k=k).collect()
     dense = [0] * (m_bits // 64)
     for r in words:
         dense[int(r["word_idx"])] = int(r["word"])

@@ -957,3 +957,60 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     diff = snapshot_diff(base, snap, "o_orderkey")
     return diff.withColumn("o_totalprice", F.round("o_totalprice", 4))
+
+
+@register(
+    "orders_scd2_history",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 'I' AS op, 0 AS seq
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, 'F', o_totalprice * CAST(1.05 AS DOUBLE), 'U', 1
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 2
+      FROM orders WHERE o_orderkey % 20 = 0
+    ), closed AS (
+      SELECT c.*,
+             LEAD(seq) OVER (PARTITION BY o_orderkey ORDER BY seq ASC, op ASC) AS next_seq
+      FROM changes c
+    )
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(o_totalprice, 4) AS o_totalprice,
+           CAST(seq AS INT) AS valid_from,
+           CAST(next_seq AS INT) AS valid_to,
+           next_seq IS NULL AS is_current
+    FROM closed WHERE op <> 'D'
+    """,
+)
+def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 historization (``operators/merge.scd2_history``): a
+    deterministic three-wave change feed (insert, price/status update,
+    delete on nested key subsets) becomes interval-versioned history —
+    deleted keys' last version is closed but NOT current, updated keys
+    carry two versions, insert-only keys one open version."""
+    from tweets_spark_top_10_spark.operators.merge import scd2_history
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    ins = base.where(k % 5 == 0).withColumns(
+        {"op": F.lit("I"), "seq": F.lit(0)}
+    )
+    upd = (
+        base.where(k % 10 == 0)
+        .withColumns(
+            {
+                "o_orderstatus": F.lit("F"),
+                "o_totalprice": F.col("o_totalprice") * F.lit(1.05),
+                "op": F.lit("U"),
+                "seq": F.lit(1),
+            }
+        )
+    )
+    dels = base.where(k % 20 == 0).withColumns(
+        {"op": F.lit("D"), "seq": F.lit(2)}
+    )
+    hist = scd2_history(ins.unionByName(upd).unionByName(dels), "o_orderkey")
+    return hist.withColumn("o_totalprice", F.round("o_totalprice", 4))

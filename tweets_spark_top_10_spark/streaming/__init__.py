@@ -21,6 +21,10 @@ from tweets_spark_top_10_spark.streaming.heavy_hitters import (
     maintain_heavy_hitters,
     top_k_from_summary,
 )
+from tweets_spark_top_10_spark.streaming.bloom import (
+    maintain_bloom,
+    read_bloom_words,
+)
 from tweets_spark_top_10_spark.streaming.sinks import foreach_batch_overwrite, run_to_memory
 from tweets_spark_top_10_spark.streaming.stateful import (
     sessionize_transform_with_state,
@@ -38,6 +42,8 @@ __all__ = [
     "maintain_minhash_index",
     "maintain_heavy_hitters",
     "top_k_from_summary",
+    "maintain_bloom",
+    "read_bloom_words",
     "foreach_batch_overwrite",
     "run_to_memory",
 ]
