@@ -92,3 +92,82 @@ def test_partition_summaries_bounded_and_undercounting(spark):
         merged[r["token"]] += r["est"]
     for tok, est in merged.items():
         assert est <= 1000 / 50 + 1e-9, tok
+
+
+def _exact_grouped(df, k):
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("grp").orderBy(F.desc("n"), F.asc("token"))
+    )
+    return (
+        df.where(F.col("grp").isNotNull() & F.col("token").isNotNull())
+        .groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", rn)
+        .where(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("grp", F.desc("n"), "token")
+        .collect()
+    )
+
+
+def test_grouped_mixed_certified_and_fallback_groups(spark):
+    """One heavy-tailed group (certifiable), one flat group too spread
+    for the tiny capacity (must degrade to exhaustive), one group with
+    fewer than k distinct tokens, plus NULL group/token rows that must
+    not appear anywhere. Exactness must hold across all of them."""
+    from tweets_spark_top_10_spark.functions.heavy_hitters import (
+        grouped_exact_top_k,
+    )
+
+    rows = [("skewed", f"hot{h}") for h in range(5) for _ in range(200)]
+    rows += [("skewed", f"tail_{i}") for i in range(300)]
+    rows += [("flat", f"f{i % 97}") for i in range(970)]
+    rows += [("tiny", "only_a")] * 4 + [("tiny", "only_b")] * 2
+    rows += [(None, "ghost")] * 10 + [("skewed", None)] * 10
+    df = spark.createDataFrame(rows, "grp string, token string").repartition(8)
+    for cap in (8, 64, 2048):
+        got = (
+            grouped_exact_top_k(df, "grp", "token", k=3, capacity=cap)
+            .orderBy("grp", F.desc("n"), "token")
+            .collect()
+        )
+        assert got == _exact_grouped(df, 3), f"capacity={cap}"
+    # the tiny group surfaces both of its tokens, no more
+    tiny = [r for r in got if r["grp"] == "tiny"]
+    assert [(r["token"], r["n"]) for r in tiny] == [("only_a", 4), ("only_b", 2)]
+
+
+def test_grouped_summaries_bounded_per_partition_group(spark):
+    from tweets_spark_top_10_spark.functions.heavy_hitters import (
+        mg_partition_summaries_grouped,
+    )
+
+    rows = [(f"g{i % 3}", f"t{i % 40}") for i in range(1200)]
+    df = spark.createDataFrame(rows, "grp string, token string").repartition(4)
+    cap = 5
+    s = mg_partition_summaries_grouped(df, "grp", "token", cap).collect()
+    tok_rows = [r for r in s if r["token"] is not None]
+    meta = [r for r in s if r["token"] is None]
+    # one total row per (partition, group); <= cap tokens per each
+    assert len(meta) <= 4 * 3
+    assert sum(r["est"] for r in meta) == 1200
+    from collections import Counter
+
+    per_pg = Counter()
+    for r in tok_rows:
+        per_pg[r["grp"]] += 1
+    assert all(c <= cap * 4 for c in per_pg.values())
+
+
+def test_global_summary_with_fewer_than_k_survivors_falls_back(spark):
+    """When pruning leaves fewer than k merged tokens, absent tokens
+    could still be top-k by distinctness alone — the sketch must refuse
+    to certify (m < k guard) and the two-pass result stay exact."""
+    rows = [("dom",)] * 500 + [(f"rare{i}",) for i in range(30)]
+    df = spark.createDataFrame(rows, "token string").repartition(2)
+    # capacity 1: each partition keeps ~1 surviving token
+    assert mg_candidate_tokens(df, "token", k=5, capacity=1) is None
+    got = exact_top_k_two_pass(df, "token", k=5, capacity=1).collect()
+    assert got == _exact(df, 5)

@@ -132,9 +132,17 @@ def candidates_from_summary(
         or 0
     )
     kth_rows = (
-        merged.orderBy(F.desc("est")).limit(k).agg(F.min("est").alias("kth")).collect()
+        merged.orderBy(F.desc("est"))
+        .limit(k)
+        .agg(F.min("est").alias("kth"), F.count(F.lit(1)).alias("m"))
+        .collect()
     )
     kth_est = int(kth_rows[0]["kth"] or 0)
+    # Fewer than k surviving summary tokens: pruned (absent) tokens
+    # could still rank inside the top-k purely by being distinct, so
+    # the summary cannot certify regardless of the slack bound.
+    if int(kth_rows[0]["m"]) < k:
+        return None
     slack = n_total / (capacity + 1)
     if slack >= kth_est:
         return None
@@ -151,6 +159,141 @@ def mg_candidate_tokens(
     return candidates_from_summary(
         mg_partition_summaries(tokens, token_col, capacity), token_col, k, capacity
     )
+
+
+def mg_partition_summaries_grouped(
+    df: DataFrame, group_col: str, token_col: str, capacity: int
+) -> DataFrame:
+    """Per-partition, per-group Misra-Gries summaries.
+
+    Like :func:`mg_partition_summaries` but one independent
+    capacity-``capacity`` sketch per distinct ``group_col`` value seen
+    in the partition.  Returns ``(group_col string, token_col string,
+    est long)``: <= ``capacity`` token rows per (partition, group) plus
+    one ``(group, NULL, n_pg)`` total row per (partition, group).
+    Output size is C x P x G_p — bounded by sketch capacity, never by
+    data volume (G_p = groups present in the partition).
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, dict[str, int]] = {}
+        totals: dict[str, int] = {}
+        for pdf in batches:
+            pdf = pdf.dropna(subset=[group_col, token_col])
+            for (grp, tok), cnt in (
+                pdf.groupby([group_col, token_col], sort=False).size().items()
+            ):
+                g = counters.setdefault(grp, {})
+                g[tok] = g.get(tok, 0) + int(cnt)
+                totals[grp] = totals.get(grp, 0) + int(cnt)
+            for grp, g in counters.items():
+                if len(g) > capacity:
+                    kth = sorted(g.values(), reverse=True)[capacity]
+                    counters[grp] = {t: c - kth for t, c in g.items() if c > kth}
+        groups, toks, ests = [], [], []
+        for grp, g in counters.items():
+            groups += [grp] * (len(g) + 1)
+            toks += list(g) + [None]
+            ests += list(g.values()) + [totals[grp]]
+        out = pd.DataFrame({group_col: groups, token_col: toks, "est": ests})
+        out["est"] = out["est"].astype("int64")
+        yield out
+
+    return df.select(group_col, token_col).mapInPandas(
+        summarize, schema=f"{group_col} string, {token_col} string, est long"
+    )
+
+
+def grouped_exact_top_k(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    k: int,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Exact top-``k`` tokens per group, two-pass, per-group fallback.
+
+    The grouped form of :func:`exact_top_k_two_pass`, with the
+    certification decided PER GROUP and entirely inside the plan — no
+    driver-side collect at all (the global form needs two scalar
+    collects; here the thresholds ride along as join columns):
+
+    1. one data pass -> per-(partition, group) MG summaries;
+    2. merge summaries per (group, token); per group compute the k-th
+       largest merged est, the surviving-token count m_g, and the
+       slack N_g/(C+1).  A group is *certified* when m_g >= k and
+       slack_g < kth_g — by the mergeable-summaries bound its
+       candidate set (est + slack_g >= kth_g) is then a provable
+       superset of its exact top-k;
+    3. second pass restricted to [certified-group candidates UNION all
+       rows of uncertified groups] -> exact per-group counts ->
+       row_number <= k.
+
+    Result ``(group_col, token_col, n)``, per group ordered by n desc,
+    token asc — bit-identical to the exhaustive grouped count, which
+    is what the catalog oracle checks.  Skew note: a group too skewed
+    or too flat to certify only degrades ITSELF to the exhaustive
+    path; well-behaved groups keep the bounded shuffle.
+    """
+    # NULL groups/tokens carry no top-k semantics (the summaries drop
+    # them too); filter up front so the uncertified-group pass can't
+    # resurrect NULL-token rows into the exact recount.
+    df = df.where(F.col(group_col).isNotNull() & F.col(token_col).isNotNull())
+    summaries = persist_tracked(
+        mg_partition_summaries_grouped(df, group_col, token_col, capacity)
+    )
+    merged = summaries.where(F.col(token_col).isNotNull()).groupBy(
+        group_col, token_col
+    ).agg(F.sum("est").alias("est"))
+    totals = (
+        summaries.where(F.col(token_col).isNull())
+        .groupBy(group_col)
+        .agg((F.sum("est") / F.lit(capacity + 1)).alias("slack"))
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(F.desc("est"), F.asc(token_col))
+    )
+    # totals is the group spine: a group whose counters were ALL pruned
+    # away has no merged rows at all (a flat distribution under a small
+    # capacity does this) — it must land in the uncertified branch, not
+    # silently vanish, so left-join from totals and null-coalesce to
+    # "not certified".
+    stats = (
+        totals.join(
+            merged.withColumn("rn", rn)
+            .where(F.col("rn") <= k)
+            .groupBy(group_col)
+            .agg(F.min("est").alias("kth"), F.count(F.lit(1)).alias("m")),
+            group_col,
+            "left",
+        )
+        .withColumn(
+            "certified",
+            F.coalesce(
+                (F.col("m") >= k) & (F.col("slack") < F.col("kth")),
+                F.lit(False),
+            ),
+        )
+    )
+    stats = persist_tracked(stats)
+    candidates = (
+        merged.join(F.broadcast(stats.where("certified")), group_col)
+        .where(F.col("est") + F.col("slack") >= F.col("kth"))
+        .select(group_col, token_col)
+    )
+    uncertified = stats.where(~F.col("certified")).select(group_col)
+    keep = df.join(F.broadcast(candidates), [group_col, token_col], "left_semi").unionByName(
+        df.join(F.broadcast(uncertified), [group_col], "left_semi")
+    )
+    exact = keep.groupBy(group_col, token_col).agg(F.count(F.lit(1)).alias("n"))
+    out_rn = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc(token_col))
+    )
+    return exact.withColumn("rn", out_rn).where(F.col("rn") <= k).drop("rn")
 
 
 def exact_top_k_two_pass(

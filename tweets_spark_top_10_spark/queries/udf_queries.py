@@ -176,6 +176,50 @@ def doc_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_heavy_hitters",
+    oracle=r"""
+    SELECT lang, token, n FROM (
+      SELECT lang, token, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY n DESC, token ASC
+             ) AS rn
+      FROM (
+        SELECT lang, token, COUNT(*) AS n FROM (
+          SELECT lang,
+                 unnest(regexp_split_to_array(text, '\s+')) AS token
+          FROM documents
+        ) t
+        WHERE token <> ''
+        GROUP BY lang, token
+      ) c
+    ) r
+    WHERE rn <= 3
+    """,
+)
+def grouped_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 tokens PER LANGUAGE without a full-cardinality
+    shuffle — the grouped form of ``heavy_hitters_top10``.
+
+    One pass builds per-(partition, language) Misra-Gries sketches;
+    certification (is the candidate set provably a superset of the
+    group's top-3?) is decided per group inside the plan — no driver
+    collect — and only uncertified groups degrade to the exhaustive
+    count.  Oracle = the exhaustive grouped count + row_number, which
+    the two-pass result must match bit-for-bit
+    (``functions/heavy_hitters.py:grouped_exact_top_k``).
+    """
+    from tweets_spark_top_10_spark.functions.heavy_hitters import (
+        grouped_exact_top_k,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    return grouped_exact_top_k(toks, "lang", "token", k=3, capacity=512)
+
+
+@register(
     "heavy_hitters_top10",
     oracle=r"""
     SELECT token, COUNT(*) AS n FROM (
