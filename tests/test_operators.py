@@ -173,3 +173,47 @@ def test_minhash_band_recall_is_full(spark, sf_dir):
     cand = {(r.id_a, r.id_b) for r in minhash_band_pairs(docs).collect()}
     missed = exact - cand
     assert not missed, f"banding dropped true pairs: {sorted(missed)[:5]}"
+
+
+def test_resample_locf_fills_gaps_and_guards_spans(spark):
+    """Handmade series: key A observes hours 0,1,3 (hour 2 is a gap and
+    must carry hour 1's value), key B observes a single hour (no gaps).
+    The first bucket per key is never a gap; an absurd span at a tiny
+    interval trips the sequence-bomb guard loudly."""
+    import datetime
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tweets_spark_top_10_spark.operators.resample import resample_locf
+
+    t = datetime.datetime(2024, 3, 1, 0, 30)
+    h = datetime.timedelta(hours=1)
+    rows = [
+        ("A", t, 1.0), ("A", t, 3.0),            # hour 0: avg 2.0
+        ("A", t + h, 5.0),                        # hour 1
+        ("A", t + 3 * h, 9.0),                    # hour 3 (hour 2 gap)
+        ("B", t + 2 * h, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    got = {
+        (r["k"], r["bucket"].hour): (r["v"], r["is_gap"])
+        for r in resample_locf(df, "k", "ts", "value").collect()
+    }
+    assert got == {
+        ("A", 0): (2.0, False),
+        ("A", 1): (5.0, False),
+        ("A", 2): (5.0, True),   # LOCF from hour 1
+        ("A", 3): (9.0, False),
+        ("B", 2): (7.0, False),
+    }
+
+    wide = spark.createDataFrame(
+        [("A", t, 1.0), ("A", t + datetime.timedelta(days=400), 2.0)],
+        "k string, ts timestamp, value double",
+    )
+    with pytest.raises(Exception, match="spans more than"):
+        resample_locf(
+            wide, "k", "ts", "value", interval="1 minute",
+            max_buckets_per_key=1000,
+        ).collect()

@@ -145,3 +145,43 @@ def customer_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@register(
+    "user_hourly_gapfill",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             ROUND(AVG(value), 6) AS v_obs
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+      FROM hourly GROUP BY 1
+    ), spine AS (
+      SELECT user_id,
+             unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    )
+    SELECT s.user_id, s.bucket,
+           LAST_VALUE(h.v_obs IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+           h.v_obs IS NULL AS is_gap
+    FROM spine s
+    LEFT JOIN hourly h ON s.user_id = h.user_id AND s.bucket = h.bucket
+    """,
+)
+def user_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resample with LOCF gap fill: bucketed averages
+    on a per-key regular grid (``sequence + explode`` spine from each
+    user's own [first, last] hour — never a global-calendar cross
+    join), empty hours carried forward by an ordered ``last(ignore-
+    nulls)`` window keyed on the same column the aggregate shuffled on.
+    See ``operators/resample.py`` for the sequence-bomb guard."""
+    from tweets_spark_top_10_spark.operators.resample import resample_locf
+
+    events = load_table(spark, sf_dir, "events")
+    return resample_locf(
+        events, key_col="user_id", ts_col="ts", value_col="value",
+        interval="1 hour",
+    )
