@@ -561,3 +561,60 @@ def test_load_table_rejects_non_utc_session_zone(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert load_table(spark, sf_dir, "nation").count() == 25
+
+
+def test_write_zorder_clusters_every_dimension(spark, sf_dir, tmp_path):
+    """Z-order vs 1-D range clustering on (l_orderkey, l_partkey): a
+    filter on the SECOND column alone prunes most z-ordered files by
+    footer min/max, while the 1-D layout leaves every file overlapping.
+    Content round-trips exactly."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tweets_spark_top_10_spark.sources.writers import (
+        write_clustered,
+        write_zorder_clustered,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zdir, rdir = str(tmp_path / "zorder"), str(tmp_path / "range1d")
+    write_zorder_clustered(li, zdir, ["l_orderkey", "l_partkey"], num_files=64)
+    write_clustered(li, rdir, ["l_orderkey"], num_files=16)
+
+    def file_ranges(d, col):
+        out = []
+        for f in sorted(glob.glob(f"{d}/part-*.parquet")):
+            t = pq.read_table(f, columns=[col])[col]
+            out.append((pc.min(t).as_py(), pc.max(t).as_py()))
+        return out
+
+    pk_min = li.agg(F.min("l_partkey")).collect()[0][0]
+    pk_max = li.agg(F.max("l_partkey")).collect()[0][0]
+    # thin slice on the non-prefix column: ~10% of the partkey domain
+    lo = pk_min + (pk_max - pk_min) * 0.45
+    hi = pk_min + (pk_max - pk_min) * 0.55
+    z_ranges = file_ranges(zdir, "l_partkey")
+    r_ranges = file_ranges(rdir, "l_partkey")
+    z_hit = sum(1 for mn, mx in z_ranges if mx >= lo and mn <= hi)
+    r_hit = sum(1 for mn, mx in r_ranges if mx >= lo and mn <= hi)
+    assert len(z_ranges) >= 8
+    assert r_hit == len(r_ranges), "1-D layout should not prune partkey"
+    assert z_hit <= int(0.4 * len(z_ranges)), (
+        f"z-order should bound partkey per file: {z_hit}/{len(z_ranges)}"
+    )
+    # and the prefix column still prunes too (both layouts)
+    ok_min = li.agg(F.min("l_orderkey")).collect()[0][0]
+    ok_max = li.agg(F.max("l_orderkey")).collect()[0][0]
+    olo = ok_min + (ok_max - ok_min) * 0.45
+    ohi = ok_min + (ok_max - ok_min) * 0.55
+    zo = file_ranges(zdir, "l_orderkey")
+    zo_hit = sum(1 for mn, mx in zo if mx >= olo and mn <= ohi)
+    assert zo_hit <= int(0.4 * len(zo))
+
+    back = spark.read.parquet(zdir)
+    assert back.count() == li.count()
+    assert back.agg(F.sum("l_quantity")).collect() == li.agg(
+        F.sum("l_quantity")
+    ).collect()
