@@ -1377,3 +1377,66 @@ def test_streaming_bloom_bits_match_batch_build(spark, sf_dir, tmp_path):
     # and the maintained filter admits every member key
     hits = cust.where(bloom_might_contain(F.col("c_custkey"), got)).count()
     assert hits == cust.count()
+
+
+def test_streaming_cdc_snapshot_matches_batch_apply(spark, sf_dir, tmp_path):
+    """Stream-maintained CDC snapshot == batch apply_changes over the
+    full change log, value-exact — including a DUPLICATED batch file
+    (at-least-once replay) and seq-DESCENDING file names (delivery
+    order decoupled from seq order; the seq-beats-stored rule, not
+    arrival order, decides every merge). Tombstoned keys stay dead
+    even when a pre-delete upsert arrives after the delete."""
+    import pandas as pd
+
+    from tweets_spark_top_10_spark.operators.merge import apply_changes
+    from tweets_spark_top_10_spark.streaming.cdc import (
+        init_cdc_table,
+        maintain_cdc_snapshot,
+        read_cdc_snapshot,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .limit(50)
+    )
+    keys = [r["c_custkey"] for r in base.collect()]
+    log = []
+    for i, k in enumerate(keys[:20]):
+        log.append((k, f"upd_{k}", 1.0 * i, "U", i + 1))
+    for i, k in enumerate(keys[5:10]):
+        log.append((k, f"dead_{k}", 0.0, "D", 100 + i))
+    for i in range(3):  # brand-new keys
+        log.append((900000 + i, f"new_{i}", -1.0, "I", 200 + i))
+    # an upsert with seq OLDER than key 5..7's delete, delivered later
+    for i, k in enumerate(keys[5:8]):
+        log.append((k, f"zombie_{k}", 9.9, "U", 50 + i))
+    schema = "c_custkey long, c_name string, c_acctbal double, op string, seq long"
+    changes = spark.createDataFrame(log, schema)
+
+    src = tmp_path / "cdc_changes"
+    src.mkdir()
+    pdf = pd.DataFrame(log, columns=["c_custkey", "c_name", "c_acctbal", "op", "seq"])
+    # deliver high-seq changes FIRST (b1), low-seq later (b2), then a
+    # duplicate of b1 (replay)
+    hi, lo = pdf[pdf["seq"] >= 50], pdf[pdf["seq"] < 50]
+    hi.to_parquet(src / "b1.parquet", index=False)
+    lo.to_parquet(src / "b2.parquet", index=False)
+    hi.to_parquet(src / "b3.parquet", index=False)
+
+    table = str(tmp_path / "cdc_table")
+    init_cdc_table(base, table)
+    stream = file_stream(spark, str(src), changes.schema, max_files_per_trigger=1)
+    q = maintain_cdc_snapshot(
+        stream, table, checkpoint=str(tmp_path / "cdc_ckpt"), key="c_custkey"
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        map(tuple, read_cdc_snapshot(spark, table).collect())
+    )
+    want = sorted(map(tuple, apply_changes(base, changes, "c_custkey").collect()))
+    assert got == want
+    # the zombie upsert must NOT have resurrected deleted keys
+    got_keys = {t[0] for t in got}
+    assert not any(k in got_keys for k in keys[5:8])

@@ -25,6 +25,11 @@ from tweets_spark_top_10_spark.streaming.bloom import (
     maintain_bloom,
     read_bloom_words,
 )
+from tweets_spark_top_10_spark.streaming.cdc import (
+    init_cdc_table,
+    maintain_cdc_snapshot,
+    read_cdc_snapshot,
+)
 from tweets_spark_top_10_spark.streaming.sinks import foreach_batch_overwrite, run_to_memory
 from tweets_spark_top_10_spark.streaming.stateful import (
     sessionize_transform_with_state,
@@ -44,6 +49,9 @@ __all__ = [
     "top_k_from_summary",
     "maintain_bloom",
     "read_bloom_words",
+    "init_cdc_table",
+    "maintain_cdc_snapshot",
+    "read_cdc_snapshot",
     "foreach_batch_overwrite",
     "run_to_memory",
 ]
