@@ -618,3 +618,49 @@ def test_write_zorder_clusters_every_dimension(spark, sf_dir, tmp_path):
     assert back.agg(F.sum("l_quantity")).collect() == li.agg(
         F.sum("l_quantity")
     ).collect()
+
+
+def test_file_bloom_index_point_lookup(spark, sf_dir, tmp_path):
+    """Per-file Bloom sidecar: every point lookup equals the full-scan
+    filter (zero false negatives), present keys open few files when
+    the key is file-clustered, and an absent key reads no file at all
+    (or only FPR noise)."""
+    from tweets_spark_top_10_spark.sources.file_index import (
+        build_file_bloom_index,
+        candidate_files,
+        point_lookup,
+    )
+    from tweets_spark_top_10_spark.sources.writers import write_clustered
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    out = str(tmp_path / "events_by_user")
+    write_clustered(events, out, ["user_id"], num_files=8)
+    n_files = len(glob.glob(f"{out}/part-*.parquet"))
+    assert n_files >= 4
+
+    index = build_file_bloom_index(spark, out, "user_id").cache()
+    users = [r["user_id"] for r in events.select("user_id").distinct().limit(12).collect()]
+    total_cand = 0
+    for u in users:
+        cand = candidate_files(index, u)
+        total_cand += len(cand)
+        got = sorted(
+            r["event_id"] for r in point_lookup(spark, out, index, "user_id", u).collect()
+        )
+        want = sorted(
+            r["event_id"]
+            for r in spark.read.parquet(out).where(F.col("user_id") == u).collect()
+        )
+        assert got == want and got, f"user {u}"
+    # clustered layout -> each user lives in ~1 file; Bloom should
+    # prove that for most probes (allow FPR slack)
+    assert total_cand <= 2 * len(users), (total_cand, n_files)
+
+    # absent key: no false negatives is trivial (empty == empty); the
+    # value is not opening files — candidate set stays tiny
+    missing = max(users) + 10_000_000
+    assert len(candidate_files(index, missing)) <= 1
+    assert point_lookup(spark, out, index, "user_id", missing).count() == 0
+    index.unpersist()
