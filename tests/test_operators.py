@@ -217,3 +217,60 @@ def test_resample_locf_fills_gaps_and_guards_spans(spark):
             wide, "k", "ts", "value", interval="1 minute",
             max_buckets_per_key=1000,
         ).collect()
+
+
+def test_interval_overlap_join_exact_and_equi_planned(spark):
+    """Bucketed overlap join: pairs spanning multiple common buckets
+    appear ONCE (first-common-bucket claim), touching-at-endpoint
+    counts (closed intervals), NULL bounds drop, disjoint-name
+    validation fails loud, and the plan contains no nested-loop or
+    cartesian join — the whole point of the bucketing."""
+    import datetime
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tweets_spark_top_10_spark.operators.interval_join import (
+        interval_overlap_join,
+    )
+
+    d = lambda s: datetime.datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [
+            (1, d("2024-01-01"), d("2024-03-15")),  # spans several weekly buckets
+            (2, d("2024-05-01"), d("2024-05-02")),
+            (3, None, d("2024-06-01")),             # dropped
+        ],
+        "lid int, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, d("2024-02-01"), d("2024-04-01")),  # overlaps lid=1 across many buckets
+            (11, d("2024-03-15"), d("2024-03-20")),  # touches lid=1 endpoint exactly
+            (12, d("2024-05-03"), d("2024-05-04")),  # disjoint from lid=2
+        ],
+        "rid int, rs timestamp, re timestamp",
+    )
+    got = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket_seconds=7 * 86400
+    ).select("lid", "rid").collect()
+    assert sorted((r["lid"], r["rid"]) for r in got) == [(1, 10), (1, 11)]
+
+    with pytest.raises(ValueError, match="disjoint"):
+        interval_overlap_join(left, left, "ls", "le", "ls", "le")
+
+    wide_right = spark.createDataFrame(
+        [(20, d("2024-01-01"), d("2030-01-01"))], "rid int, rs timestamp, re timestamp"
+    )
+    with pytest.raises(Exception, match="spans more than"):
+        interval_overlap_join(
+            left, wide_right, "ls", "le", "rs", "re",
+            bucket_seconds=3600, max_buckets_per_row=100,
+        ).collect()
+
+    plan = (
+        interval_overlap_join(left, right, "ls", "le", "rs", "re")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1014,3 +1014,89 @@ def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = scd2_history(ins.unionByName(upd).unionByName(dels), "o_orderkey")
     return hist.withColumn("o_totalprice", F.round("o_totalprice", 4))
+
+
+@register(
+    "concurrent_part_shipments",
+    oracle="""
+    WITH iv AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_shipdate AS s,
+             l_shipdate + CAST(l_quantity AS INT) * INTERVAL 1 DAY AS e
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+    )
+    SELECT a.l_partkey AS partkey,
+           a.l_orderkey AS a_orderkey, a.l_linenumber AS a_linenumber,
+           b.l_orderkey AS b_orderkey, b.l_linenumber AS b_linenumber,
+           CAST(EXTRACT(EPOCH FROM (LEAST(a.e, b.e) - GREATEST(a.s, b.s)))
+                AS BIGINT) AS overlap_secs
+    FROM iv a JOIN iv b
+      ON a.l_partkey = b.l_partkey
+     AND (a.l_orderkey, a.l_linenumber) < (b.l_orderkey, b.l_linenumber)
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def concurrent_part_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap self-join WITHOUT a nested-loop theta join:
+    pairs of 1995 lineitems of the same part whose shipping windows
+    [shipdate, shipdate + quantity days] overlap.
+
+    The operator (``operators/interval_join.py``) quantizes time into
+    30-day buckets, EQUI-joins on (partkey, bucket), closes with the
+    exact overlap predicate, and claims each pair only in the bucket
+    of the later start (no distinct).  The oracle is the naive theta
+    join — same pairs, proving the bucketing loses and duplicates
+    nothing."""
+    from tweets_spark_top_10_spark.operators.interval_join import (
+        interval_overlap_join,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            F.col("l_shipdate").alias("s"),
+            (
+                F.col("l_shipdate")
+                + F.make_interval(days=F.col("l_quantity").cast("int"))
+            ).alias("e"),
+        )
+    )
+    a = li.select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_orderkey").alias("a_orderkey"),
+        F.col("l_linenumber").alias("a_linenumber"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+    )
+    b = li.select(
+        F.col("l_partkey").alias("b_partkey"),
+        F.col("l_orderkey").alias("b_orderkey"),
+        F.col("l_linenumber").alias("b_linenumber"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+    )
+    pairs = interval_overlap_join(
+        a, b, "a_s", "a_e", "b_s", "b_e",
+        on=[("partkey", "b_partkey")], bucket_seconds=30 * 86400,
+    ).where(
+        F.struct("a_orderkey", "a_linenumber")
+        < F.struct("b_orderkey", "b_linenumber")
+    )
+    return pairs.select(
+        "partkey",
+        "a_orderkey",
+        "a_linenumber",
+        "b_orderkey",
+        "b_linenumber",
+        (
+            F.unix_timestamp(F.least("a_e", "b_e"))
+            - F.unix_timestamp(F.greatest("a_s", "b_s"))
+        ).alias("overlap_secs"),
+    )
