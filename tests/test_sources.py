@@ -664,3 +664,88 @@ def test_file_bloom_index_point_lookup(spark, sf_dir, tmp_path):
     assert len(candidate_files(index, missing)) <= 1
     assert point_lookup(spark, out, index, "user_id", missing).count() == 0
     index.unpersist()
+
+
+def test_retire_hour_partitions_ttl_and_crash_sweep(spark, tmp_path):
+    """TTL retirement drops exactly the dirs older than the watermark
+    (both zero-padded and Spark-style unpadded layouts), sweeps a
+    leftover __retired dir from a crashed run, prunes empty parents,
+    and the surviving table still reads cleanly."""
+    import datetime
+
+    from tweets_spark_top_10_spark.sources.maintenance import (
+        list_hour_partitions,
+        retire_hour_partitions,
+    )
+
+    base = str(tmp_path / "hourly")
+    df = spark.range(5).toDF("v")
+    dirs = [
+        "year=2024/month=02/day=28/hour=22",
+        "year=2024/month=02/day=28/hour=23",
+        "year=2024/month=3/day=1/hour=0",    # unpadded (Spark-written)
+        "year=2024/month=03/day=01/hour=01",
+    ]
+    for d in dirs:
+        df.write.parquet(f"{base}/{d}")
+    # simulate a crashed previous retire: renamed aside, not deleted
+    import os as _os
+
+    _os.rename(
+        f"{base}/year=2024/month=02/day=28/hour=22",
+        f"{base}/year=2024/month=02/day=28/hour=22__retired",
+    )
+
+    assert len(list_hour_partitions(base)) == 3
+    retired = retire_hour_partitions(
+        base, older_than=datetime.datetime(2024, 3, 1, 1)
+    )
+    assert len(retired) == 2  # hour=23 and the unpadded hour=0
+    left = list_hour_partitions(base)
+    assert [h for h, _ in left] == [datetime.datetime(2024, 3, 1, 1)]
+    assert not any("__retired" in p for _, p in left)
+    # empty parents pruned; survivor still readable
+    assert not _os.path.exists(f"{base}/year=2024/month=02")
+    assert spark.read.parquet(f"{base}/year=2024/month=03/day=01/hour=01").count() == 5
+
+
+def test_collect_file_stats_matches_footers(spark, sf_dir, tmp_path):
+    """The distributed manifest reproduces pyarrow's own footer stats
+    per (file, column): row counts, null counts, min/max."""
+    import pyarrow.parquet as pq
+
+    from tweets_spark_top_10_spark.sources.maintenance import collect_file_stats
+    from tweets_spark_top_10_spark.sources.writers import write_clustered
+
+    out = str(tmp_path / "stats_tbl")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    write_clustered(orders, out, ["o_orderkey"], num_files=5)
+
+    manifest = {
+        (r["file"], r["column"]): r
+        for r in collect_file_stats(spark, out, ["o_orderkey", "o_totalprice"]).collect()
+    }
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert files and len(manifest) == 2 * len(files)
+    for f in files:
+        meta = pq.read_metadata(f)
+        for col_idx, col in enumerate(meta.schema.names):
+            if col not in ("o_orderkey", "o_totalprice"):
+                continue
+            mns, mxs, nulls = [], [], 0
+            for rg in range(meta.num_row_groups):
+                g = meta.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema != col:
+                        continue
+                    nulls += c.statistics.null_count or 0
+                    mns.append(c.statistics.min)
+                    mxs.append(c.statistics.max)
+            r = manifest[(f, col)]
+            assert r["n_rows"] == meta.num_rows
+            assert r["n_nulls"] == nulls
+            assert r["min_str"] == str(min(mns))
+            assert r["max_str"] == str(max(mxs))
