@@ -155,3 +155,40 @@ def test_hll_sketch_blobs_survive_parquet_roundtrip(spark, sf_dir, tmp_path):
     assert replayed == direct
     exact = ev.agg(F.count_distinct("user_id")).collect()[0][0]
     assert abs(replayed - exact) <= 0.05 * exact
+
+
+def test_weighted_hash_sample_properties(spark):
+    """E-S weighted sampling: partitioning-invariant and deterministic,
+    k>=n degenerates to 'all positive-weight rows', zero/NULL weights
+    never sampled, and across many salts heavy rows are included ~in
+    proportion to weight (statistical, wide margin)."""
+    from tweets_spark_top_10_spark.functions.sampling import (
+        weighted_hash_sample,
+    )
+
+    rows = [(f"h{i}", 50.0) for i in range(10)]
+    rows += [(f"l{i}", 1.0) for i in range(190)]
+    rows += [("zero", 0.0), ("neg", -3.0), ("nullw", None)]
+    df = spark.createDataFrame(rows, "k string, w double")
+
+    s1 = sorted(r["k"] for r in weighted_hash_sample(df, "k", "w", 40).collect())
+    s2 = sorted(
+        r["k"]
+        for r in weighted_hash_sample(df.repartition(13), "k", "w", 40).collect()
+    )
+    assert s1 == s2 and len(s1) == 40
+    assert not {"zero", "neg", "nullw"} & set(s1)
+
+    allr = weighted_hash_sample(df, "k", "w", 10_000).collect()
+    assert len(allr) == 200  # every positive-weight row, nothing else
+
+    heavy_hits = light_hits = 0
+    for i in range(20):
+        s = {r["k"] for r in weighted_hash_sample(df, "k", "w", 40, salt=f"s{i}").collect()}
+        heavy_hits += sum(1 for x in s if x.startswith("h"))
+        light_hits += sum(1 for x in s if x.startswith("l"))
+    # heavy rows are 50x weight but only 10/200 of rows; with k=40 they
+    # should be included nearly always (inclusion prob -> ~1), far
+    # above the light rows' rate
+    assert heavy_hits / (20 * 10) > 0.8
+    assert light_hits / (20 * 190) < 0.25

@@ -47,3 +47,43 @@ def stratified_hash_sample(
     for value, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == value, float(r)).otherwise(rate)
     return df.filter(bucket < rate * n_buckets)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement of ``k`` rows, deterministic.
+
+    Efraimidis–Spirakis A-Res: each row draws u in (0,1] and scores
+    ``ln(u) / w``; the k LARGEST scores are the sample, which realizes
+    exactly the "probability proportional to weight, without
+    replacement" draw.  The randomness is the content hash of the key
+    (md5, like everything in this module), so the sample is a pure
+    function of (data, salt): reproducible across engines, runs and
+    partitionings, and replayable in SQL for the oracle gate.
+
+    Scale shape: scoring is a scan-side projection; selection is a
+    global top-k (``TakeOrderedAndProject`` — per-partition heaps, one
+    k-row merge at the driver), never a full sort.  Rows with
+    non-positive or NULL weight are excluded (zero-weight rows must
+    never appear; the score formula would put them first otherwise).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    hx = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))), 1, 6
+    )
+    hv = F.conv(hx, 16, 10).cast("double")
+    u = (hv + F.lit(1.0)) / F.lit(float(16**6))
+    score = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__ws", score)
+        .orderBy(F.desc("__ws"), F.col(key_col))
+        .limit(k)
+        .drop("__ws")
+    )

@@ -1244,3 +1244,44 @@ def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token_ids"),
         F.sum(F.when(F.col("tid") == -1, 1).otherwise(0)).cast("long").alias("n_oov"),
     )
+
+
+@register(
+    "doc_weighted_sample",
+    oracle="""
+    WITH hexed AS (
+      SELECT doc_id, n_chars,
+             substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 6) AS hx
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ), scored AS (
+      SELECT doc_id, n_chars,
+             LN(( (strpos('0123456789abcdef', substr(hx,1,1)) - 1) * 1048576
+                + (strpos('0123456789abcdef', substr(hx,2,1)) - 1) * 65536
+                + (strpos('0123456789abcdef', substr(hx,3,1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(hx,4,1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(hx,5,1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(hx,6,1)) - 1)
+                + 1.0) / 16777216.0) / n_chars AS score
+      FROM hexed
+    )
+    SELECT doc_id, n_chars FROM scored
+    ORDER BY score DESC, doc_id LIMIT 100
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sample (100 docs, probability ~
+    n_chars, without replacement) via hash-randomness Efraimidis-
+    Spirakis (``functions/sampling.weighted_hash_sample``).
+
+    Because the per-row uniform comes from md5 of the key — not a
+    seeded RNG — DuckDB replays the EXACT same draw (hex digits
+    decoded with strpos arithmetic), making a value oracle possible
+    for a "random" sample.  Plan: scan-side scoring + global top-k
+    (TakeOrderedAndProject), no full sort."""
+    from tweets_spark_top_10_spark.functions.sampling import (
+        weighted_hash_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_hash_sample(docs, "doc_id", "n_chars", k=100)
