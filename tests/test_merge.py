@@ -81,3 +81,84 @@ def test_snapshot_diff_inverts_apply(spark):
     rebuilt = apply_changes(old, diff.withColumn("seq", F2.lit(1)), "k")
     assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
     assert snapshot_diff(old, old, "k").count() == 0
+
+
+def test_pit_join_picks_exactly_the_valid_version(spark):
+    """PIT semantics on a handmade history: probes resolve to the one
+    interval containing them, pre-birth and post-delete probes drop,
+    open intervals serve all later probes, and the column-disjointness
+    guard fails loud."""
+    from tweets_spark_top_10_spark.operators.merge import pit_join
+
+    hist = spark.createDataFrame(
+        [
+            (1, "v0", 0, 5),
+            (1, "v1", 5, None),       # current
+            (2, "only", 3, 7),        # closed by a delete at 7
+        ],
+        "k int, state string, valid_from int, valid_to int",
+    )
+    probe = spark.createDataFrame(
+        [(1, 0), (1, 4), (1, 5), (1, 99), (2, 2), (2, 6), (2, 7), (3, 1)],
+        "k int, at int",
+    )
+    got = sorted(
+        (r["k"], r["at"], r["state"])
+        for r in pit_join(probe, hist, "k", "at").collect()
+    )
+    assert got == [
+        (1, 0, "v0"),
+        (1, 4, "v0"),
+        (1, 5, "v1"),   # boundary belongs to the NEW version
+        (1, 99, "v1"),  # open interval
+        (2, 6, "only"),
+        # (2, 2): pre-birth; (2, 7): deleted; (3, 1): unknown key — all drop
+    ]
+
+    with pytest.raises(ValueError, match="disjoint"):
+        pit_join(probe.withColumnRenamed("at", "state"), hist, "k", "state")
+
+
+def test_ivm_delta_moves_mass_between_groups(spark):
+    """agg_delta + apply_agg_delta on a handmade feed: a group-changing
+    update moves count AND sum between groups, a delete that empties a
+    group removes the group row, an insert creates a new group, and an
+    update of a never-seen key behaves as an insert (no pre-image to
+    subtract). Maintained view == direct aggregate of the merged
+    snapshot."""
+    from tweets_spark_top_10_spark.operators.ivm import (
+        agg_delta,
+        apply_agg_delta,
+        build_agg_view,
+    )
+    from tweets_spark_top_10_spark.operators.merge import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "k int, g string, v long",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b", 25, "U", 1),   # moves from a to b
+            (4, "c", 40, "D", 1),   # empties group c
+            (5, "d", 50, "I", 1),   # new group
+            (6, "a", 60, "U", 1),   # update of unseen key == insert
+        ],
+        "k int, g string, v long, op string, seq int",
+    )
+    view = build_agg_view(base, ["g"], ["v"])
+    out = apply_agg_delta(
+        view, agg_delta(base, changes, "k", ["g"], ["v"]), ["g"], ["v"]
+    )
+    got = {r["g"]: (r["n"], r["sum_v"]) for r in out.collect()}
+    direct = {
+        r["g"]: (r["n"], r["sum_v"])
+        for r in build_agg_view(
+            apply_changes(base, changes, "k"), ["g"], ["v"]
+        ).collect()
+    }
+    assert got == direct == {
+        "a": (2, 70),   # k1 + k6
+        "b": (2, 55),   # k3 + moved k2
+        "d": (1, 50),
+    }

@@ -134,3 +134,38 @@ def scd2_history(
         F.col("__next_seq").alias("valid_to"),
         F.col("__next_seq").isNull().alias("is_current"),
     )
+
+
+def pit_join(
+    probe: DataFrame,
+    history: DataFrame,
+    key: str,
+    at_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time join: each probe row picks the ONE history version
+    valid at its ``at_col`` (``valid_from <= at < valid_to``, open
+    ``valid_to`` = NULL = still current).
+
+    The companion read path of :func:`scd2_history` — "what did this
+    key look like when the event happened" is how training pipelines
+    avoid feature leakage (joining tomorrow's dimension onto today's
+    event).  Probes falling in no interval (key deleted or not yet
+    born at ``at``) drop — inner semantics, by design.
+
+    Scale shape: a plain equi-join on ``key`` (versions per key are
+    few, so the interval predicate is a cheap post-join filter on
+    co-located rows; no theta join, no window).  Intervals are
+    disjoint per key by construction, so the join multiplies nothing.
+    """
+    dup = (set(probe.columns) & set(history.columns)) - {key}
+    if dup:
+        raise ValueError(
+            f"probe/history columns must be disjoint apart from {key!r};"
+            f" shared: {sorted(dup)}"
+        )
+    return probe.join(history, key).where(
+        (F.col(valid_from) <= F.col(at_col))
+        & (F.col(valid_to).isNull() | (F.col(at_col) < F.col(valid_to)))
+    )

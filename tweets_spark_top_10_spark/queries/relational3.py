@@ -1100,3 +1100,155 @@ def concurrent_part_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_timestamp(F.greatest("a_s", "b_s"))
         ).alias("overlap_secs"),
     )
+
+
+@register(
+    "orders_pit_lookup",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 'I' AS op, 0 AS seq
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, 'F', o_totalprice * CAST(1.05 AS DOUBLE), 'U', 1
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 2
+      FROM orders WHERE o_orderkey % 20 = 0
+    ), closed AS (
+      SELECT c.*,
+             LEAD(seq) OVER (PARTITION BY o_orderkey ORDER BY seq ASC, op ASC)
+               AS next_seq
+      FROM changes c
+    ), hist AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             seq AS valid_from, next_seq AS valid_to
+      FROM closed WHERE op <> 'D'
+    ), probe AS (
+      SELECT o_orderkey, CAST(o_orderkey % 3 AS INT) AS at
+      FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT p.o_orderkey, p.at, h.o_orderstatus,
+           ROUND(h.o_totalprice, 4) AS o_totalprice,
+           CAST(h.valid_from AS INT) AS valid_from
+    FROM probe p JOIN hist h ON p.o_orderkey = h.o_orderkey
+    WHERE h.valid_from <= p.at
+      AND (h.valid_to IS NULL OR p.at < h.valid_to)
+    """,
+)
+def orders_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against SCD2 history
+    (``operators/merge.pit_join``): probes at as-of positions 0/1/2
+    pick the version valid THEN — updated keys resolve to version 0
+    or 1 by probe time, deleted keys at position 2 fall in no interval
+    and drop (no feature leakage from future versions)."""
+    from tweets_spark_top_10_spark.operators.merge import pit_join, scd2_history
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    ins = base.where(k % 5 == 0).withColumns({"op": F.lit("I"), "seq": F.lit(0)})
+    upd = base.where(k % 10 == 0).withColumns(
+        {
+            "o_orderstatus": F.lit("F"),
+            "o_totalprice": F.col("o_totalprice") * F.lit(1.05),
+            "op": F.lit("U"),
+            "seq": F.lit(1),
+        }
+    )
+    dels = base.where(k % 20 == 0).withColumns({"op": F.lit("D"), "seq": F.lit(2)})
+    hist = scd2_history(
+        ins.unionByName(upd).unionByName(dels), "o_orderkey"
+    ).drop("is_current")
+    probe = orders.where(k % 5 == 0).select(
+        "o_orderkey", (k % 3).cast("int").alias("at")
+    )
+    out = pit_join(probe, hist, "o_orderkey", "at")
+    return out.select(
+        "o_orderkey",
+        "at",
+        "o_orderstatus",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+        F.col("valid_from").cast("int").alias("valid_from"),
+    )
+
+
+@register(
+    "priority_revenue_ivm",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), changes AS (
+      SELECT o_orderkey, o_orderpriority, cents * 3 AS cents, 'U' AS op, 1 AS seq
+      FROM base WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, cents * 2, 'U', 0
+      FROM base WHERE o_orderkey % 10 = 7
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, cents, 'D', 1
+      FROM base WHERE o_orderkey % 10 = 7
+      UNION ALL
+      SELECT o_orderkey + 100000000, '1-URGENT', CAST(99999 AS BIGINT), 'I', 1
+      FROM base WHERE o_orderkey % 100 = 1
+    ), latest AS (
+      SELECT * FROM (
+        SELECT c.*, ROW_NUMBER() OVER (
+          PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn
+        FROM changes c
+      ) WHERE rn = 1
+    ), merged AS (
+      SELECT
+        CASE WHEN l.op IS NOT NULL THEN l.o_orderpriority
+             ELSE b.o_orderpriority END AS o_orderpriority,
+        CASE WHEN l.op IS NOT NULL THEN l.cents ELSE b.cents END AS cents
+      FROM base b FULL OUTER JOIN latest l ON b.o_orderkey = l.o_orderkey
+      WHERE l.op IS NULL OR l.op <> 'D'
+    )
+    SELECT o_orderpriority, COUNT(*) AS n, SUM(cents) AS sum_cents
+    FROM merged GROUP BY o_orderpriority
+    """,
+)
+def priority_revenue_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (``operators/ivm.py``): the
+    per-priority (count, revenue) rollup maintained as base-view +
+    churn-sized delta, against an oracle that aggregates the merged
+    snapshot directly — two different plans, identical values.  The
+    measure is integer CENTS so both paths are exact: additive IVM
+    re-derives sums by subtract-and-add, and float cancellation would
+    otherwise make "identical" a rounding negotiation (it flipped a
+    2-decimal digit at sf0.01 when this used raw doubles)."""
+    from tweets_spark_top_10_spark.operators.ivm import (
+        agg_delta,
+        apply_agg_delta,
+        build_agg_view,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    k = F.col("o_orderkey")
+    upd1 = base.where(k % 10 == 3).withColumns(
+        {"cents": F.col("cents") * 3, "op": F.lit("U"), "seq": F.lit(1)}
+    )
+    upd0 = base.where(k % 10 == 7).withColumns(
+        {"cents": F.col("cents") * 2, "op": F.lit("U"), "seq": F.lit(0)}
+    )
+    dels = base.where(k % 10 == 7).withColumns({"op": F.lit("D"), "seq": F.lit(1)})
+    ins = base.where(k % 100 == 1).withColumns(
+        {
+            "o_orderkey": k + F.lit(100000000),
+            "o_orderpriority": F.lit("1-URGENT"),
+            "cents": F.lit(99999).cast("long"),
+            "op": F.lit("I"),
+            "seq": F.lit(1),
+        }
+    )
+    changes = upd1.unionByName(upd0).unionByName(dels).unionByName(ins)
+    view = build_agg_view(base, ["o_orderpriority"], ["cents"])
+    delta = agg_delta(base, changes, "o_orderkey", ["o_orderpriority"], ["cents"])
+    out = apply_agg_delta(view, delta, ["o_orderpriority"], ["cents"])
+    return out.select("o_orderpriority", "n", F.col("sum_cents"))
