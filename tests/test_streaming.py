@@ -1440,3 +1440,92 @@ def test_streaming_cdc_snapshot_matches_batch_apply(spark, sf_dir, tmp_path):
     # the zombie upsert must NOT have resurrected deleted keys
     got_keys = {t[0] for t in got}
     assert not any(k in got_keys for k in keys[5:8])
+
+
+def test_streaming_ivm_view_tracks_snapshot(spark, sf_dir, tmp_path):
+    """Stream-maintained additive rollup: after every-batch maintenance
+    over a change stream with a DUPLICATED batch (replay) and
+    seq-out-of-order delivery, the view equals a direct aggregate of
+    the final maintained snapshot AND of the batch-merged log."""
+    import pandas as pd
+
+    from tweets_spark_top_10_spark.operators.ivm import build_agg_view
+    from tweets_spark_top_10_spark.operators.merge import apply_changes
+    from tweets_spark_top_10_spark.streaming.cdc import read_cdc_snapshot
+    from tweets_spark_top_10_spark.streaming.ivm import maintain_agg_view
+
+    # change log over a tiny keyed table: inserts, group-moving
+    # updates, deletes — cents-style exact longs
+    log = []
+    for i in range(40):
+        log.append((i, f"g{i % 4}", 100 + i, "I", 1))
+    for i in range(0, 40, 2):
+        log.append((i, f"g{(i + 1) % 4}", 200 + i, "U", 2))  # move group
+    for i in range(0, 40, 5):
+        log.append((i, f"g{i % 4}", 0, "D", 3))
+    schema = "k long, g string, v long, op string, seq long"
+    changes = spark.createDataFrame(log, schema)
+
+    src = tmp_path / "ivm_changes"
+    src.mkdir()
+    pdf = pd.DataFrame(log, columns=["k", "g", "v", "op", "seq"])
+    hi, lo = pdf[pdf["seq"] >= 3], pdf[pdf["seq"] < 3]
+    hi.to_parquet(src / "b1.parquet", index=False)   # deletes arrive first
+    lo.to_parquet(src / "b2.parquet", index=False)
+    hi.to_parquet(src / "b3.parquet", index=False)   # replay
+
+    snap, view = str(tmp_path / "ivm_snap"), str(tmp_path / "ivm_view")
+    stream = file_stream(spark, str(src), changes.schema, max_files_per_trigger=1)
+    q = maintain_agg_view(
+        stream, snap, view, checkpoint=str(tmp_path / "ivm_ckpt"),
+        key="k", group_cols=["g"], sum_cols=["v"],
+    )
+    q.awaitTermination()
+
+    got = {
+        r["g"]: (r["n"], r["sum_v"])
+        for r in spark.read.parquet(view).collect()
+    }
+    from_snapshot = {
+        r["g"]: (r["n"], r["sum_v"])
+        for r in build_agg_view(
+            read_cdc_snapshot(spark, snap), ["g"], ["v"]
+        ).collect()
+    }
+    empty_base = spark.createDataFrame([], "k long, g string, v long")
+    from_log = {
+        r["g"]: (r["n"], r["sum_v"])
+        for r in build_agg_view(
+            apply_changes(empty_base, changes, "k"), ["g"], ["v"]
+        ).collect()
+    }
+    assert got == from_snapshot == from_log and got
+
+
+def test_cdc_tombstone_compaction_keeps_live_rows(spark, tmp_path):
+    """Compaction drops only tombstones below the replay horizon: live
+    rows of any seq and younger tombstones survive, and the visible
+    snapshot is unchanged."""
+    from tweets_spark_top_10_spark.streaming.cdc import (
+        compact_cdc_table,
+        init_cdc_table,
+        merge_cdc_batch,
+        read_cdc_snapshot,
+    )
+
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    table = str(tmp_path / "cdc_compact")
+    init_cdc_table(base, table)
+    changes = spark.createDataFrame(
+        [(1, "a_dead", "D", 5), (2, "b_dead", "D", 50), (3, "c2", "U", 60)],
+        "k int, v string, op string, seq long",
+    )
+    merge_cdc_batch(spark, changes, table, "k")
+
+    before = sorted(map(tuple, read_cdc_snapshot(spark, table).collect()))
+    assert compact_cdc_table(spark, table, replay_horizon_seq=10) == 1  # k=1 only
+    stored = spark.read.parquet(table)
+    assert stored.where("__deleted").count() == 1      # k=2 tombstone kept
+    assert stored.where("NOT __deleted").count() == 1     # live k=3 untouched
+    assert sorted(map(tuple, read_cdc_snapshot(spark, table).collect())) == before
+    assert compact_cdc_table(spark, table, replay_horizon_seq=10) == 0  # idempotent

@@ -30,6 +30,10 @@ from tweets_spark_top_10_spark.streaming.cdc import (
     maintain_cdc_snapshot,
     read_cdc_snapshot,
 )
+from tweets_spark_top_10_spark.streaming.ivm import (
+    maintain_agg_view,
+    rebuild_view,
+)
 from tweets_spark_top_10_spark.streaming.sinks import foreach_batch_overwrite, run_to_memory
 from tweets_spark_top_10_spark.streaming.stateful import (
     sessionize_transform_with_state,
@@ -52,6 +56,8 @@ __all__ = [
     "init_cdc_table",
     "maintain_cdc_snapshot",
     "read_cdc_snapshot",
+    "maintain_agg_view",
+    "rebuild_view",
     "foreach_batch_overwrite",
     "run_to_memory",
 ]

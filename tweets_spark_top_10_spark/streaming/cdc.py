@@ -146,3 +146,42 @@ def read_cdc_snapshot(spark, table_path: str) -> DataFrame:
     """Current snapshot: stored table minus tombstones and metadata."""
     t = spark.read.parquet(table_path)
     return t.where(~F.col("__deleted")).drop("__seq", "__deleted")
+
+
+def compact_cdc_table(spark, table_path: str, replay_horizon_seq: int) -> int:
+    """Garbage-collect tombstones older than the replay horizon.
+
+    A tombstone must outlive every change that could still be
+    redelivered for its key; once the source guarantees nothing with
+    ``seq < replay_horizon_seq`` will arrive again, tombstones below
+    the horizon are dead weight and are dropped in one rewrite (atomic
+    dir swap).  Live rows are NEVER dropped regardless of seq.
+    Compacting with too-recent a horizon re-opens the resurrection
+    hazard the tombstones exist to prevent — the horizon is the
+    caller's contract with its source, not something this function
+    can check.  Returns the number of tombstones removed.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    stored = spark.read.parquet(table_path)
+    doomed = stored.where(
+        F.col("__deleted") & (F.col("__seq") < replay_horizon_seq)
+    )
+    n = doomed.count()
+    if n == 0:
+        return 0
+    kept = stored.where(
+        ~F.col("__deleted") | (F.col("__seq") >= replay_horizon_seq)
+    ).localCheckpoint(eager=True)
+    staging = table_path.rstrip("/") + "__stage"
+    aside = table_path.rstrip("/") + "__old"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    kept.write.mode("overwrite").parquet(staging)
+    os.rename(table_path, aside)
+    os.rename(staging, table_path)
+    shutil.rmtree(aside)
+    return n
