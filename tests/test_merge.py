@@ -162,3 +162,41 @@ def test_ivm_delta_moves_mass_between_groups(spark):
         "b": (2, 55),   # k3 + moved k2
         "d": (1, 50),
     }
+
+
+def test_minmax_support_resurfaces_runner_up_on_delete(spark):
+    """Deleting the group's current minimum must resurface the
+    runner-up — the case scalar min/max views get wrong and the
+    support multiset exists to fix. Duplicated values survive one
+    deletion (count 2 -> 1)."""
+    from tweets_spark_top_10_spark.operators.ivm import (
+        agg_delta,
+        apply_agg_delta,
+        build_agg_view,
+        minmax_from_support,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 7), (3, "a", 9), (4, "b", 3), (5, "b", 3)],
+        "k int, g string, v long",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a", 5, "D", 1),   # delete group a's minimum
+            (3, "a", 2, "U", 1),   # new minimum arrives via update
+            (4, "b", 3, "D", 1),   # one of two equal minima
+        ],
+        "k int, g string, v long, op string, seq int",
+    )
+    skey = ["g", "v"]
+    support = apply_agg_delta(
+        build_agg_view(base, skey, []),
+        agg_delta(base, changes, "k", skey, []),
+        skey,
+        [],
+    )
+    got = {
+        r["g"]: (r["min_v"], r["max_v"])
+        for r in minmax_from_support(support, ["g"], "v").collect()
+    }
+    assert got == {"a": (2, 7), "b": (3, 3)}

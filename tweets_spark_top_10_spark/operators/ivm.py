@@ -8,8 +8,10 @@ not O(facts).  This is classic IVM (Blakeley et al., SIGMOD'86 view
 maintenance; the same algebra Materialize/Delta Live Tables apply).
 
 Non-additive aggregates (min/max/distinct) are NOT maintainable under
-deletes without auxiliary state — out of scope here, fail loud rather
-than silently wrong: callers get exactly count + sums.
+deletes without auxiliary state; :func:`minmax_from_support` provides
+the standard auxiliary — a maintained SUPPORT multiset, which is just
+this module's own view/delta machinery with the measure folded into
+the grouping key.
 
 The delta needs PRE-IMAGES for updates/deletes (subtract the old
 row's contribution, add the new one's).  Feeds that carry
@@ -112,3 +114,29 @@ def apply_agg_delta(
         ],
     )
     return merged.where(F.col("n") > 0)
+
+
+def minmax_from_support(
+    support: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """min/max per group from a maintained SUPPORT multiset.
+
+    min/max are not additively maintainable: deleting the current
+    minimum needs the runner-up, which a scalar view has already
+    forgotten.  The standard fix is to maintain the support —
+    ``build_agg_view(df, group_cols + [value_col], [])`` gives the
+    per-(group, value) count, ``agg_delta``/``apply_agg_delta`` with
+    the same widened key maintain it under I/U/D (counts reaching
+    zero drop the value, resurfacing the runner-up) — and derive
+    min/max by aggregating the support.
+
+    Size caveat, stated not hidden: support is groups x distinct
+    values of the measure.  Bounded-cardinality measures (status
+    codes, bucketed prices, enum-ish dims) are the use case; a
+    continuous measure should be bucketed first or min/max recomputed
+    from facts.
+    """
+    return support.groupBy(*group_cols).agg(
+        F.min(value_col).alias(f"min_{value_col}"),
+        F.max(value_col).alias(f"max_{value_col}"),
+    )

@@ -1252,3 +1252,90 @@ def priority_revenue_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = agg_delta(base, changes, "o_orderkey", ["o_orderpriority"], ["cents"])
     out = apply_agg_delta(view, delta, ["o_orderpriority"], ["cents"])
     return out.select("o_orderpriority", "n", F.col("sum_cents"))
+
+
+@register(
+    "priority_price_minmax_ivm",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), changes AS (
+      SELECT o_orderkey, o_orderpriority, cents * 3 AS cents, 'U' AS op, 1 AS seq
+      FROM base WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, cents * 2, 'U', 0
+      FROM base WHERE o_orderkey % 10 = 7
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, cents, 'D', 1
+      FROM base WHERE o_orderkey % 10 = 7
+      UNION ALL
+      SELECT o_orderkey + 100000000, '1-URGENT', CAST(99999 AS BIGINT), 'I', 1
+      FROM base WHERE o_orderkey % 100 = 1
+    ), latest AS (
+      SELECT * FROM (
+        SELECT c.*, ROW_NUMBER() OVER (
+          PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn
+        FROM changes c
+      ) WHERE rn = 1
+    ), merged AS (
+      SELECT
+        CASE WHEN l.op IS NOT NULL THEN l.o_orderpriority
+             ELSE b.o_orderpriority END AS o_orderpriority,
+        CASE WHEN l.op IS NOT NULL THEN l.cents ELSE b.cents END AS cents
+      FROM base b FULL OUTER JOIN latest l ON b.o_orderkey = l.o_orderkey
+      WHERE l.op IS NULL OR l.op <> 'D'
+    )
+    SELECT o_orderpriority, MIN(cents) AS min_cents, MAX(cents) AS max_cents
+    FROM merged GROUP BY o_orderpriority
+    """,
+)
+def priority_price_minmax_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max under deletes via maintained SUPPORT state — the
+    non-additive half of IVM.  The support multiset (count per
+    (priority, cents)) is maintained by the SAME agg_delta/apply
+    operators with the value folded into the grouping key; deletes
+    that empty a value's count resurface the runner-up, which a
+    scalar min/max view cannot do.  Oracle aggregates the merged
+    snapshot directly."""
+    from tweets_spark_top_10_spark.operators.ivm import (
+        agg_delta,
+        apply_agg_delta,
+        build_agg_view,
+        minmax_from_support,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    k = F.col("o_orderkey")
+    upd1 = base.where(k % 10 == 3).withColumns(
+        {"cents": F.col("cents") * 3, "op": F.lit("U"), "seq": F.lit(1)}
+    )
+    upd0 = base.where(k % 10 == 7).withColumns(
+        {"cents": F.col("cents") * 2, "op": F.lit("U"), "seq": F.lit(0)}
+    )
+    dels = base.where(k % 10 == 7).withColumns({"op": F.lit("D"), "seq": F.lit(1)})
+    ins = base.where(k % 100 == 1).withColumns(
+        {
+            "o_orderkey": k + F.lit(100000000),
+            "o_orderpriority": F.lit("1-URGENT"),
+            "cents": F.lit(99999).cast("long"),
+            "op": F.lit("I"),
+            "seq": F.lit(1),
+        }
+    )
+    changes = upd1.unionByName(upd0).unionByName(dels).unionByName(ins)
+    skey = ["o_orderpriority", "cents"]
+    support = build_agg_view(base, skey, [])
+    delta = agg_delta(base, changes, "o_orderkey", skey, [])
+    support2 = apply_agg_delta(support, delta, skey, [])
+    return minmax_from_support(support2, ["o_orderpriority"], "cents").select(
+        "o_orderpriority",
+        F.col("min_cents"),
+        F.col("max_cents"),
+    )
