@@ -1529,3 +1529,71 @@ def test_cdc_tombstone_compaction_keeps_live_rows(spark, tmp_path):
     assert stored.where("NOT __deleted").count() == 1     # live k=3 untouched
     assert sorted(map(tuple, read_cdc_snapshot(spark, table).collect())) == before
     assert compact_cdc_table(spark, table, replay_horizon_seq=10) == 0  # idempotent
+
+
+def test_streaming_resample_matches_batch_locf(spark, sf_dir, tmp_path):
+    """Bucket partials maintained over an out-of-order multi-batch
+    stream, then read_resampled == batch resample_locf over the union
+    of all observations — and a REPLAYED batch (same batch_id, rerun
+    of the merge step) changes nothing (batch-id-keyed overwrite)."""
+    import pandas as pd
+
+    from tweets_spark_top_10_spark.operators.resample import resample_locf
+    from tweets_spark_top_10_spark.streaming.resample import (
+        maintain_bucket_partials,
+        read_resampled,
+    )
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "value")
+        .where(F.col("user_id") < 30)
+    )
+    pdf = events.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # micros, not nanos
+    src = tmp_path / "obs"
+    src.mkdir()
+    # deliver NEWEST observations first (out of order)
+    pdf_sorted = pdf.sort_values("ts", ascending=False).reset_index(drop=True)
+    third = len(pdf_sorted) // 3
+    pdf_sorted.iloc[:third].to_parquet(src / "b1.parquet", index=False)
+    pdf_sorted.iloc[third : 2 * third].to_parquet(src / "b2.parquet", index=False)
+    pdf_sorted.iloc[2 * third :].to_parquet(src / "b3.parquet", index=False)
+
+    partials = str(tmp_path / "partials")
+    stream = file_stream(spark, str(src), events.schema, max_files_per_trigger=1)
+    q = maintain_bucket_partials(
+        stream, partials, checkpoint=str(tmp_path / "rs_ckpt"),
+        key_col="user_id", ts_col="ts", value_col="value",
+    )
+    q.awaitTermination()
+
+    def snap():
+        return sorted(
+            (r["user_id"], r["bucket"], r["v"], r["is_gap"])
+            for r in read_resampled(spark, partials, "user_id").collect()
+        )
+
+    got = snap()
+    want = sorted(
+        (r["user_id"], r["bucket"], r["v"], r["is_gap"])
+        for r in resample_locf(events, "user_id", "ts", "value").collect()
+    )
+    assert got == want and got
+
+    # simulate an at-least-once replay: rerun batch 0's merge by hand
+    # with the same batch_id and data — the partition overwrites itself
+    b1 = spark.createDataFrame(pdf_sorted.iloc[:third], events.schema)
+    unit_partial = (
+        b1.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.sum("value").alias("v_sum"), F.count("value").alias("v_cnt"))
+        .withColumn("batch_id", F.lit(0))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        unit_partial.write.mode("overwrite").partitionBy("batch_id").parquet(partials)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert snap() == want

@@ -34,6 +34,10 @@ from tweets_spark_top_10_spark.streaming.ivm import (
     maintain_agg_view,
     rebuild_view,
 )
+from tweets_spark_top_10_spark.streaming.resample import (
+    maintain_bucket_partials,
+    read_resampled,
+)
 from tweets_spark_top_10_spark.streaming.sinks import foreach_batch_overwrite, run_to_memory
 from tweets_spark_top_10_spark.streaming.stateful import (
     sessionize_transform_with_state,
@@ -58,6 +62,8 @@ __all__ = [
     "read_cdc_snapshot",
     "maintain_agg_view",
     "rebuild_view",
+    "maintain_bucket_partials",
+    "read_resampled",
     "foreach_batch_overwrite",
     "run_to_memory",
 ]
