@@ -1339,3 +1339,110 @@ def priority_price_minmax_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_cents"),
         F.col("max_cents"),
     )
+
+
+@register(
+    "customer_ancestry_depth_sql",
+    oracle="""
+    WITH RECURSIVE walk(node, cur, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey <= 500
+      UNION ALL
+      SELECT node, CAST(FLOOR(cur / 2) AS BIGINT), depth + 1
+      FROM walk WHERE cur > 1
+    )
+    SELECT node AS c_custkey, MAX(depth) AS depth
+    FROM walk GROUP BY node
+    """,
+)
+def customer_ancestry_depth_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): walk each customer
+    up a synthetic binary hierarchy (parent = floor(key/2)) to the
+    root and report the depth.  Same statement text runs on DuckDB —
+    the SQL-surface row for iterative queries expressed declaratively
+    (the DataFrame-side iteration twins are ``connected_components``
+    and ``pagerank``).  Recursion depth is log2(maxkey) ~ 9 here;
+    Spark executes it as repeated unions under the hood, so the guard
+    is the WHERE, not driver loops."""
+    import hashlib as _h
+
+    suffix = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    cview = f"customer_r_{suffix}"
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(cview)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE walk(node, cur, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM {cview} WHERE c_custkey <= 500
+          UNION ALL
+          SELECT node, CAST(FLOOR(cur / 2) AS BIGINT), depth + 1
+          FROM walk WHERE cur > 1
+        )
+        SELECT node AS c_custkey, MAX(depth) AS depth
+        FROM walk GROUP BY node
+        """
+    )
+
+
+@register(
+    "order_measures_unpivot",
+    oracle="""
+    SELECT o_orderkey, metric, CAST(value AS DOUBLE) AS value
+    FROM (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS totalprice,
+             CAST(o_custkey AS DOUBLE) AS custkey
+      FROM orders WHERE o_orderkey % 100 = 0
+    ) t
+    UNPIVOT (value FOR metric IN (totalprice, custkey))
+    """,
+)
+def order_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (wide → long): the inverse of the catalog's
+    ``priority_status_pivot``.  ``DataFrame.unpivot`` maps to Spark's
+    Unpivot node (a projection + generator, shuffle-free); the oracle
+    uses DuckDB's native UNPIVOT with identical aliases."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 100 == 0
+    )
+    wide = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return wide.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "nullsafe_segment_match",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
+      FROM customer
+    ), b AS (
+      SELECT DISTINCT
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
+      FROM customer
+    )
+    SELECT a.c_custkey, a.seg
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    """,
+)
+def nullsafe_segment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics a
+    dimension join needs when "unknown" is itself a category.  Spark
+    plans eqNullSafe as an ordinary hash-join key (no null-skew
+    fallout here: one NULL group), and the oracle runs the standard
+    SQL spelling."""
+    cust = load_table(spark, sf_dir, "customer")
+    seg = F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("c_mktsegment")
+    )
+    a = cust.select("c_custkey", seg.alias("seg"))
+    b = a.select("seg").distinct().withColumnRenamed("seg", "b_seg")
+    return a.join(b, a["seg"].eqNullSafe(b["b_seg"])).select("c_custkey", "seg")
