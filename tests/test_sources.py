@@ -749,3 +749,32 @@ def test_collect_file_stats_matches_footers(spark, sf_dir, tmp_path):
             assert r["n_nulls"] == nulls
             assert r["min_str"] == str(min(mns))
             assert r["max_str"] == str(max(mxs))
+
+
+def test_write_with_audit_single_pass_metrics(spark, sf_dir, tmp_path):
+    """Audit metrics ride the write job itself (df.observe): the
+    returned dict matches a direct recomputation, and the written data
+    round-trips."""
+    from tweets_spark_top_10_spark.sources.writers import write_with_audit
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    out = str(tmp_path / "audited")
+    got = write_with_audit(
+        orders,
+        out,
+        metrics={
+            "revenue": F.round(F.sum("o_totalprice"), 4),
+            "null_priority": F.count_if(F.col("o_orderpriority").isNull()),
+            "max_key": F.max("o_orderkey"),
+        },
+    )
+    direct = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        F.count_if(F.col("o_orderpriority").isNull()).alias("null_priority"),
+        F.max("o_orderkey").alias("max_key"),
+    ).collect()[0].asDict()
+    assert got == direct
+    assert spark.read.parquet(out).count() == got["n_rows"] > 0

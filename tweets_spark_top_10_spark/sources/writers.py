@@ -236,3 +236,30 @@ def write_zorder_clustered(
         .format(fmt)
         .save(path)
     )
+
+
+def write_with_audit(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, object] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> dict:
+    """Write AND audit in one pass: ``df.observe`` attaches aggregate
+    metrics to the write job itself, so row counts / sums / null
+    counts come back without a second scan of the data — at 100 TB
+    the difference between "audited" and "audited for double the
+    cost".  Metrics must be aggregate expressions over the observed
+    plan (Spark's Observation contract); ``n_rows`` is always
+    included.  Returns the realized metric dict.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    exprs = [F.count(F.lit(1)).alias("n_rows")] + [
+        c.alias(name) for name, c in (metrics or {}).items()
+    ]
+    audited = df.observe(obs, *exprs)
+    audited.write.mode(mode).format(fmt).save(path)
+    return obs.get
