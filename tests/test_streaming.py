@@ -1597,3 +1597,93 @@ def test_streaming_resample_matches_batch_locf(spark, sf_dir, tmp_path):
         if prev is not None:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     assert snap() == want
+
+
+def test_stream_static_pit_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    """pit_join works unchanged as a stream-static join: a probe
+    STREAM enriched against static SCD2 history equals the batch
+    pit_join on the same probes (inner join + interval filter are both
+    stream-static safe; no state, no watermark needed)."""
+    import pandas as pd
+
+    from tweets_spark_top_10_spark.operators.merge import pit_join, scd2_history
+    from tweets_spark_top_10_spark.streaming.sinks import run_to_memory
+
+    orders = load_table(spark, sf_dir, "orders").limit(400)
+    k = F.col("o_orderkey")
+    base = orders.select("o_orderkey", "o_orderstatus")
+    changes = (
+        base.withColumns({"op": F.lit("I"), "seq": F.lit(0)})
+        .unionByName(
+            base.where(k % 2 == 0).withColumns(
+                {"o_orderstatus": F.lit("X"), "op": F.lit("U"), "seq": F.lit(1)}
+            )
+        )
+    )
+    hist = scd2_history(changes, "o_orderkey").drop("is_current")
+
+    probes = orders.select(
+        "o_orderkey", (k % 2).cast("int").alias("at")
+    )
+    src = tmp_path / "pit_probes"
+    src.mkdir()
+    probes.toPandas().to_parquet(src / "p.parquet", index=False)
+    stream = file_stream(spark, str(src), probes.schema)
+    enriched = pit_join(stream, hist, "o_orderkey", "at")
+    q = run_to_memory(enriched, "pit_mem")
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table("pit_mem").collect()))
+    want = sorted(map(tuple, pit_join(probes, hist, "o_orderkey", "at").collect()))
+    assert got == want and got
+
+
+def test_compact_bucket_partials_preserves_series(spark, sf_dir, tmp_path):
+    """Folding pre-horizon batch partitions into batch_id=-1 leaves the
+    resampled series bit-identical, shrinks the partition count, and a
+    replayed at-horizon batch still overwrites itself (idempotence
+    preserved above the horizon)."""
+    import glob as _glob
+
+    import pandas as pd
+
+    from tweets_spark_top_10_spark.streaming.resample import (
+        compact_bucket_partials,
+        maintain_bucket_partials,
+        read_resampled,
+    )
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "value")
+        .where(F.col("user_id") < 20)
+    )
+    pdf = events.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "cp_obs"
+    src.mkdir()
+    third = len(pdf) // 3
+    for i in range(3):
+        pdf.iloc[i * third : (i + 1) * third if i < 2 else len(pdf)].to_parquet(
+            src / f"b{i}.parquet", index=False
+        )
+    partials = str(tmp_path / "cp_partials")
+    q = maintain_bucket_partials(
+        file_stream(spark, str(src), events.schema, max_files_per_trigger=1),
+        partials, checkpoint=str(tmp_path / "cp_ckpt"),
+        key_col="user_id", ts_col="ts", value_col="value",
+    )
+    q.awaitTermination()
+
+    def snap():
+        return sorted(
+            map(tuple, read_resampled(spark, partials, "user_id").collect())
+        )
+
+    before = snap()
+    n_parts_before = len(_glob.glob(f"{partials}/batch_id=*"))
+    assert n_parts_before == 3
+    assert compact_bucket_partials(spark, partials, batch_horizon=2) == 2
+    assert len(_glob.glob(f"{partials}/batch_id=*")) == 2  # {-1, 2}
+    assert snap() == before
+    # idempotent: nothing left to fold below the horizon but -1 itself
+    assert compact_bucket_partials(spark, partials, batch_horizon=2) == 0

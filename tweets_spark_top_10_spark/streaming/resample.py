@@ -123,3 +123,49 @@ def read_resampled(
         F.last("v_obs", ignorenulls=True).over(w).alias("v"),
         F.col("v_obs").isNull().alias("is_gap"),
     )
+
+
+def compact_bucket_partials(
+    spark, partials_path: str, batch_horizon: int
+) -> int:
+    """Fold batch partitions below the replay horizon into one
+    consolidated ``batch_id=-1`` partition.
+
+    Without compaction the partials dir grows one partition per
+    micro-batch forever and every read re-merges them.  Batches below
+    ``batch_horizon`` can no longer be replayed (caller's contract
+    with the checkpoint — same horizon semantics as
+    ``compact_cdc_table``), so their partials are summed into the
+    consolidated partition; partitions at/above the horizon are kept
+    verbatim, preserving the batch-id-keyed overwrite idempotence for
+    anything still replayable.  Atomic dir swap; returns how many
+    batch partitions were folded.
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(partials_path)
+    group_cols = [c for c in df.columns if c not in ("v_sum", "v_cnt", "batch_id")]
+    old = df.where(F.col("batch_id") < batch_horizon)
+    n_folded = old.select("batch_id").distinct().count()
+    if n_folded <= 1:
+        return 0
+    merged = (
+        old.groupBy(*group_cols)
+        .agg(F.sum("v_sum").alias("v_sum"), F.sum("v_cnt").alias("v_cnt"))
+        .withColumn("batch_id", F.lit(-1))
+    )
+    keep = df.where(F.col("batch_id") >= batch_horizon)
+    out = merged.unionByName(keep.select(merged.columns)).localCheckpoint(
+        eager=True
+    )
+    staging = partials_path.rstrip("/") + "__stage"
+    aside = partials_path.rstrip("/") + "__old"
+    for p in (staging, aside):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    out.write.mode("overwrite").partitionBy("batch_id").parquet(staging)
+    os.rename(partials_path, aside)
+    os.rename(staging, partials_path)
+    shutil.rmtree(aside)
+    return n_folded
