@@ -1687,3 +1687,55 @@ def test_compact_bucket_partials_preserves_series(spark, sf_dir, tmp_path):
     assert snap() == before
     # idempotent: nothing left to fold below the horizon but -1 itself
     assert compact_bucket_partials(spark, partials, batch_horizon=2) == 0
+
+
+def test_streaming_scd2_history_matches_batch(spark, sf_dir, tmp_path):
+    """History maintained per micro-batch over an in-order multi-batch
+    change stream with a REPLAYED batch == batch scd2_history over the
+    full log: same versions, same intervals, same open rows. Deletes
+    arriving in a later batch close the stored open version without
+    emitting one."""
+    import pandas as pd
+
+    from tweets_spark_top_10_spark.operators.merge import scd2_history
+    from tweets_spark_top_10_spark.streaming.scd2 import maintain_scd2_history
+
+    keys = list(range(1, 41))
+    log = []
+    for k in keys:
+        log.append((k, f"v0_{k}", "I", 1))          # batch 1: births
+    for k in keys[::2]:
+        log.append((k, f"v1_{k}", "U", 2))          # batch 2: updates
+    for k in keys[::4]:
+        log.append((k, f"dead_{k}", "D", 3))        # batch 3: deletes
+    for k in keys[1::4]:
+        log.append((k, f"v2_{k}", "U", 3))          # batch 3: more updates
+    schema = "k long, v string, op string, seq long"
+    changes = spark.createDataFrame(log, schema)
+
+    src = tmp_path / "scd2_changes"
+    src.mkdir()
+    pdf = pd.DataFrame(log, columns=["k", "v", "op", "seq"])
+    for i, s in enumerate([1, 2, 3]):
+        pdf[pdf["seq"] == s].to_parquet(src / f"b{i}.parquet", index=False)
+    pdf[pdf["seq"] == 2].to_parquet(src / "b3.parquet", index=False)  # replay
+
+    hist_path = str(tmp_path / "scd2_hist")
+    q = maintain_scd2_history(
+        file_stream(spark, str(src), changes.schema, max_files_per_trigger=1),
+        hist_path, checkpoint=str(tmp_path / "scd2_ckpt"), key="k",
+    )
+    q.awaitTermination()
+
+    got = sorted(map(tuple, spark.read.parquet(hist_path).select(
+        "k", "v", "valid_from", "valid_to", "is_current").collect()))
+    want = sorted(map(tuple, scd2_history(changes, "k").select(
+        "k", "v", "valid_from", "valid_to", "is_current").collect()))
+    assert got == want and got
+    # spot-check semantics: k=1 (born, updated, deleted) has two closed
+    # versions and no open one; k=2 (born, updated seq3) has an open v2
+    by_k = {}
+    for k, v, vf, vt, cur in got:
+        by_k.setdefault(k, []).append((v, vf, vt, cur))
+    assert by_k[1] == [("v0_1", 1, 2, False), ("v1_1", 2, 3, False)]
+    assert ("v2_2", 3, None, True) in by_k[2]

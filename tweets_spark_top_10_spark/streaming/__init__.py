@@ -38,6 +38,10 @@ from tweets_spark_top_10_spark.streaming.resample import (
     maintain_bucket_partials,
     read_resampled,
 )
+from tweets_spark_top_10_spark.streaming.scd2 import (
+    maintain_scd2_history,
+    merge_scd2_batch,
+)
 from tweets_spark_top_10_spark.streaming.sinks import foreach_batch_overwrite, run_to_memory
 from tweets_spark_top_10_spark.streaming.stateful import (
     sessionize_transform_with_state,
@@ -64,6 +68,8 @@ __all__ = [
     "rebuild_view",
     "maintain_bucket_partials",
     "read_resampled",
+    "maintain_scd2_history",
+    "merge_scd2_batch",
     "foreach_batch_overwrite",
     "run_to_memory",
 ]
