@@ -63,3 +63,37 @@ def test_catalog_priority_tiers_are_valid():
     n_new = sum(1 for r in rounds if r == 0)
     prefix = list(QUERIES)[:n_new]
     assert all(_LAST_CHECKED.get(n, 0) == 0 for n in prefix)
+
+
+def test_no_new_shuffles(spark, sf_dir):
+    """Plan-shape regression tripwire: no catalog query may plan MORE
+    Exchange operators (shuffles/broadcasts, reuse excluded) than the
+    recorded golden — an accidental extra shuffle is invisible at test
+    scale and a cliff at 100 TB.  Fewer than golden is an improvement:
+    re-record. Run ``python tools/record_plan_shapes.py`` after any
+    intentional plan change."""
+    import json
+    import pathlib
+
+    golden_path = (
+        pathlib.Path(__file__).resolve().parent.parent / "tools" / "plan_shapes.json"
+    )
+    golden = json.loads(golden_path.read_text())
+    from tools.record_plan_shapes import count_exchanges
+
+    missing = [n for n in QUERIES if n not in golden]
+    assert not missing, (
+        f"queries without golden plan shape (run tools/record_plan_shapes.py): {missing}"
+    )
+    worse = {}
+    for name in sorted(QUERIES):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n = count_exchanges(plan)
+        if n > golden[name]:
+            worse[name] = (golden[name], n)
+    assert not worse, f"plans grew shuffles (golden, now): {worse}"

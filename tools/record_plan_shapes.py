@@ -1,0 +1,59 @@
+"""Record the golden shuffle count per catalog query.
+
+Writes ``tools/plan_shapes.json``: ``{query: n_exchanges}`` where
+n_exchanges counts ``Exchange`` operators (shuffles + broadcasts,
+excluding ``ReusedExchange`` — reuse is free) in the executed plan at
+the test scale factor.  ``tests/test_plan_audit.py::
+test_no_new_shuffles`` fails any query whose plan grows MORE exchanges
+than recorded here — the plan-shape regression tripwire: an edit that
+silently adds a shuffle is a perf bug at 100 TB long before it is a
+wall-clock blip at sf0.001.
+
+Run after intentionally changing a query's plan (or adding a query)::
+
+    python tools/record_plan_shapes.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+OUT = Path(__file__).resolve().parent / "plan_shapes.json"
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def count_exchanges(plan: str) -> int:
+    return plan.count("Exchange") - plan.count("ReusedExchange")
+
+
+def main() -> int:
+    from tweets_spark_top_10_spark.queries import QUERIES
+    from tweets_spark_top_10_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="plan-shapes",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    shapes = {}
+    for name in sorted(QUERIES):
+        plan = (
+            QUERIES[name](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        shapes[name] = count_exchanges(plan)
+    OUT.write_text(json.dumps(shapes, indent=1, sort_keys=True) + "\n")
+    print(f"recorded {len(shapes)} plan shapes -> {OUT}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
