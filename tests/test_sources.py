@@ -778,3 +778,62 @@ def test_write_with_audit_single_pass_metrics(spark, sf_dir, tmp_path):
     ).collect()[0].asDict()
     assert got == direct
     assert spark.read.parquet(out).count() == got["n_rows"] > 0
+
+
+def test_prune_files_by_range_matches_footers(spark, sf_dir, tmp_path):
+    """Manifest range pruning keeps exactly the files whose footer box
+    intersects the predicate range — and reading only those files
+    yields the same rows as the full-scan filter."""
+    from tweets_spark_top_10_spark.sources.maintenance import (
+        collect_file_stats,
+        prune_files_by_range,
+    )
+    from tweets_spark_top_10_spark.sources.writers import write_clustered
+
+    out = str(tmp_path / "range_tbl")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_clustered(li, out, ["l_orderkey"], num_files=8)
+    stats = collect_file_stats(spark, out, ["l_orderkey"]).cache()
+
+    ok_max = li.agg(F.max("l_orderkey")).collect()[0][0]
+    lo, hi = ok_max * 0.4, ok_max * 0.5
+    files = prune_files_by_range(stats, "l_orderkey", lo, hi)
+    all_files = [r["file"] for r in stats.select("file").distinct().collect()]
+    assert 0 < len(files) < len(all_files)
+    got = (
+        spark.read.parquet(*files)
+        .where(F.col("l_orderkey").between(lo, hi))
+        .count()
+    )
+    want = spark.read.parquet(out).where(
+        F.col("l_orderkey").between(lo, hi)
+    ).count()
+    assert got == want > 0
+    stats.unpersist()
+
+
+def test_read_json_quarantine_splits_good_and_bad(spark, tmp_path):
+    """Malformed JSON rows land in quarantine with their raw text;
+    good rows parse; nothing is dropped."""
+    import pyspark.sql.types as T
+
+    from tweets_spark_top_10_spark.sources.readers import read_json_quarantine
+
+    p = tmp_path / "feed.json"
+    p.write_text(
+        '{"id": 1, "txt": "ok"}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": 2, "txt": "fine"}\n'
+        '{"id": "not_an_int", "txt": 3}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("txt", T.StringType())]
+    )
+    good, bad = read_json_quarantine(spark, str(p), schema)
+    assert sorted((r["id"], r["txt"]) for r in good.collect()) == [
+        (1, "ok"),
+        (2, "fine"),
+    ]
+    raws = [r["raw_record"] for r in bad.collect()]
+    assert len(raws) == 2 and "THIS IS NOT JSON" in raws[0] + raws[1]
+    assert good.count() + bad.count() == 4

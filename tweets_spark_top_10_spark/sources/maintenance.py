@@ -162,3 +162,28 @@ def collect_file_stats(
             " min_str string, max_str string"
         ),
     )
+
+
+def prune_files_by_range(
+    stats: DataFrame, column: str, lo, hi, cast: str = "double"
+) -> list[str]:
+    """Files whose footer [min, max] box for ``column`` intersects
+    [lo, hi] — the manifest-side replay of the pruning parquet scans
+    do per row group, usable to hand a bounded file list to a reader
+    (or to AUDIT that a clustered layout actually prunes: the z-order
+    test math, as a library call).
+
+    ``stats`` is ``collect_file_stats`` output; min/max strings are
+    cast back via ``cast``.  Files with no stats for the column are
+    KEPT (unknown never prunes — same no-false-negative contract as
+    the Bloom sidecar).
+    """
+    from pyspark.sql import functions as F
+
+    col_stats = stats.where(F.col("column") == column)
+    mn = F.col("min_str").cast(cast)
+    mx = F.col("max_str").cast(cast)
+    hit = col_stats.where(
+        mn.isNull() | mx.isNull() | ((mx >= F.lit(lo)) & (mn <= F.lit(hi)))
+    )
+    return [r["file"] for r in hit.select("file").distinct().collect()]

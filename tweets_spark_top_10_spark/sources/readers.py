@@ -197,3 +197,34 @@ def read_snapshot(
             f"snapshot {version} not published under {base_path}; have {versions}"
         )
     return spark.read.parquet(f"{base_path.rstrip('/')}/snapshot={version}")
+
+
+def read_json_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSON ingest split into (good, quarantined) frames.
+
+    A 100 TB crawl feed always contains malformed rows; failing the
+    job (FAILFAST) or silently nulling them (plain PERMISSIVE) are
+    both wrong for a training pipeline — the contract here is: good
+    rows flow, bad rows land in a quarantine frame carrying the RAW
+    line for repair/triage, and nothing is dropped.  Implemented with
+    Spark's corrupt-record column (the schema is extended internally;
+    callers pass only their data schema).
+    """
+    corrupt = "_sg_corrupt"
+    full = T.StructType(schema.fields + [T.StructField(corrupt, T.StringType())])
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .json(path)
+        .cache()  # split consumes it twice; permissive parse is per-pass
+    )
+    good = df.where(F.col(corrupt).isNull()).drop(corrupt)
+    bad = df.where(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw_record")
+    )
+    return good, bad
