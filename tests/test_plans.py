@@ -89,3 +89,24 @@ def test_shingle_df_cap_is_skew_safe(spark, sf_dir):
     plan = _plan(df)
     assert "Window" not in plan, plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
+    """Join-strategy hints are honored: merge -> SortMergeJoin,
+    shuffle_hash -> ShuffledHashJoin, broadcast -> BroadcastHashJoin —
+    the explicit-control surface when AQE's choice must be overridden
+    (e.g. forcing SMJ for a spill-prone build side at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from tweets_spark_top_10_spark.sources.registry import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def plan_of(hinted):
+        j = orders.join(hinted, orders["o_custkey"] == hinted["c_custkey"])
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    assert "SortMergeJoin" in plan_of(cust.hint("merge"))
+    assert "ShuffledHashJoin" in plan_of(cust.hint("shuffle_hash"))
+    assert "BroadcastHashJoin" in plan_of(F.broadcast(cust))

@@ -187,3 +187,27 @@ def pii_count(text: Column | str) -> Column:
         n = n + F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
         cur = F.regexp_replace(cur, pat, tag)
     return n.cast("long")
+
+
+def pseudonymize(col: Column | str, secret: str, length: int = 16) -> Column:
+    """Deterministic keyed pseudonym: ``sha256(secret || ':' || value)``
+    truncated to ``length`` hex chars.
+
+    The privacy primitive redaction (``pii_redact``) can't provide:
+    the identifier becomes unrecognizable but STABLE, so joins,
+    group-bys, and dedup keyed on it still work across tables and
+    runs — pseudonymization in the GDPR sense, with the secret as the
+    re-identification key held outside the data.  Pure JVM (sha2),
+    replayable in any engine with sha256, which is what the oracle
+    does.  NULL stays NULL (a pseudonym for "unknown" would collide
+    all unknowns into one identity).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        c.isNotNull(),
+        F.substring(
+            F.sha2(F.concat(F.lit(secret + ":"), c.cast("string")), 256),
+            1,
+            length,
+        ),
+    )

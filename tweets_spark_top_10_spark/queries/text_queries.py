@@ -1285,3 +1285,38 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return weighted_hash_sample(docs, "doc_id", "n_chars", k=100)
+
+
+@register(
+    "customer_pseudonymized_spend",
+    oracle="""
+    WITH tok AS (
+      SELECT substr(sha256('sg-secret:' || CAST(c.c_custkey AS VARCHAR)), 1, 16)
+               AS cust_token,
+             o.o_totalprice
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    )
+    SELECT cust_token, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS spend
+    FROM tok GROUP BY cust_token
+    """,
+)
+def customer_pseudonymized_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization (``functions/text.pseudonymize``): the
+    customer key is replaced by a stable sha256 token BEFORE the
+    aggregate, and the per-token rollup still works because the token
+    is deterministic — the privacy transform that keeps joins and
+    group-bys alive.  DuckDB replays the identical hash."""
+    from tweets_spark_top_10_spark.functions.text import pseudonymize
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    tok = cust.select(
+        pseudonymize("c_custkey", "sg-secret").alias("cust_token"),
+        F.col("c_custkey").alias("__k"),
+    )
+    j = orders.join(tok, orders["o_custkey"] == F.col("__k"))
+    return j.groupBy("cust_token").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("spend"),
+    )
