@@ -249,3 +249,41 @@ def heavy_hitters_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
     return exact_top_k_two_pass(toks, "token", k=10, capacity=512)
+
+
+@register(
+    "hourly_heavy_hitters",
+    oracle=r"""
+    SELECT hour, token, n FROM (
+      SELECT hour, token, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY hour ORDER BY n DESC, token ASC
+             ) AS rn
+      FROM (
+        SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+               event_type AS token, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+      ) c
+    ) r
+    WHERE rn <= 3
+    """,
+)
+def hourly_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED heavy hitters: exact top-3 event types per hour via the
+    same per-group MG certification as ``grouped_heavy_hitters`` — the
+    group key is simply the time bucket, so "top-K per window without
+    a full-cardinality shuffle" is the grouped operator applied to a
+    derived column, not new machinery.  (With event-type cardinality
+    this low every group certifies trivially; the oracle check is
+    about the plumbing: bucket-derived groups, string-cast stability.)
+    """
+    from tweets_spark_top_10_spark.functions.heavy_hitters import (
+        grouped_exact_top_k,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    toks = events.select(
+        F.date_trunc("hour", "ts").cast("string").alias("hour"),
+        F.col("event_type").alias("token"),
+    )
+    return grouped_exact_top_k(toks, "hour", "token", k=3, capacity=64)
