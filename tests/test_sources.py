@@ -837,3 +837,45 @@ def test_read_json_quarantine_splits_good_and_bad(spark, tmp_path):
     raws = [r["raw_record"] for r in bad.collect()]
     assert len(raws) == 2 and "THIS IS NOT JSON" in raws[0] + raws[1]
     assert good.count() + bad.count() == 4
+
+
+def test_synthetic_events_datasource(spark):
+    """Custom Python DataSource: rows are a pure function of
+    (partition, index) — two reads identical, partition count drives
+    task parallelism, generation rule replayable in pure Python, bad
+    options fail loud."""
+    import datetime
+
+    import pytest
+
+    from tweets_spark_top_10_spark.sources.pyds import (
+        EPOCH_2024,
+        EVENT_TYPES,
+        register_synthetic_events,
+    )
+
+    register_synthetic_events(spark)
+
+    def load(parts, rows):
+        return (
+            spark.read.format("synthetic_events")
+            .option("partitions", str(parts))
+            .option("rows_per_partition", str(rows))
+            .load()
+        )
+
+    df = load(3, 50)
+    assert df.rdd.getNumPartitions() == 3
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == sorted(map(tuple, load(3, 50).collect()))  # deterministic
+    assert len(rows) == 150
+    rid = 77
+    assert rows[rid] == (
+        rid,
+        datetime.datetime.utcfromtimestamp(EPOCH_2024 + rid),
+        (rid * 2654435761) % 97,
+        EVENT_TYPES[rid % 5],
+        (rid * 31 % 1000) / 10.0,
+    )
+    with pytest.raises(Exception, match="must be >= 1"):
+        load(0, 10).collect()

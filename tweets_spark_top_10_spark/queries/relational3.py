@@ -1446,3 +1446,43 @@ def nullsafe_segment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = cust.select("c_custkey", seg.alias("seg"))
     b = a.select("seg").distinct().withColumnRenamed("seg", "b_seg")
     return a.join(b, a["seg"].eqNullSafe(b["b_seg"])).select("c_custkey", "seg")
+
+
+@register(
+    "synthetic_events_by_type",
+    oracle="""
+    WITH gen AS (
+      SELECT r.range AS id,
+             ['click','view','purchase','scroll','share'][(r.range % 5) + 1]
+               AS event_type,
+             CAST(r.range * 31 % 1000 AS DOUBLE) / 10.0 AS value,
+             (r.range * 2654435761) % 97 AS user_id
+      FROM range(0, 4000) r
+    )
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value,
+           COUNT(DISTINCT user_id) AS nd_users
+    FROM gen GROUP BY event_type
+    """,
+)
+def synthetic_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 API): 4 partitions x 1000
+    deterministic synthetic events generated executor-side with zero
+    I/O (``sources/pyds.py``), then aggregated.  The oracle replays
+    the documented generation rule as SQL arithmetic over ``range()``
+    — checking a source DuckDB cannot run by checking the function
+    that defines it."""
+    from tweets_spark_top_10_spark.sources.pyds import register_synthetic_events
+
+    register_synthetic_events(spark)
+    ev = (
+        spark.read.format("synthetic_events")
+        .option("partitions", "4")
+        .option("rows_per_partition", "1000")
+        .load()
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.count_distinct("user_id").alias("nd_users"),
+    )
