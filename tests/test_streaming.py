@@ -1739,3 +1739,44 @@ def test_streaming_scd2_history_matches_batch(spark, sf_dir, tmp_path):
         by_k.setdefault(k, []).append((v, vf, vt, cur))
     assert by_k[1] == [("v0_1", 1, 2, False), ("v1_1", 2, 3, False)]
     assert ("v2_2", 3, None, True) in by_k[2]
+
+
+def test_synthetic_stream_source_exactly_once_vs_batch(spark, tmp_path):
+    """Custom streaming Python DataSource: draining the bounded stream
+    yields every generated row EXACTLY once across micro-batches, and
+    the content equals the batch source's for the same id range (one
+    generation rule, two engines' worth of plumbing)."""
+    from tweets_spark_top_10_spark.sources.pyds import (
+        register_synthetic_events,
+        register_synthetic_stream,
+    )
+
+    register_synthetic_events(spark)
+    register_synthetic_stream(spark)
+
+    stream = (
+        spark.readStream.format("synthetic_events_stream")
+        .option("rows_per_batch", "64")
+        .option("max_rows", "300")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("syn_stream_t")
+        .option("checkpointLocation", str(tmp_path / "syn_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(map(tuple, spark.table("syn_stream_t").collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.format("synthetic_events")
+            .option("partitions", "3")
+            .option("rows_per_partition", "100")
+            .load()
+            .collect(),
+        )
+    )
+    assert got == want and len(got) == 300

@@ -287,3 +287,47 @@ def hourly_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("token"),
     )
     return grouped_exact_top_k(toks, "hour", "token", k=3, capacity=64)
+
+
+@register(
+    "embedding_arrow_norms",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 5) AS l2
+    FROM embeddings
+    """,
+)
+def embedding_arrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the zero-copy record-batch surface below
+    mapInPandas — the kernel receives pyarrow RecordBatches and does
+    the math in numpy on the batch's buffers, skipping the
+    pandas materialization entirely.  Right altitude for per-row
+    vector math over wide array columns at 100 TB: Arrow batch in,
+    Arrow batch out, no Python-object rows anywhere.  Same result as
+    the JVM-side ``embedding_norms`` twin (different column name so
+    both stay in the catalog)."""
+    import pyarrow as pa
+
+    def l2_batches(batches):
+        import numpy as np
+
+        for batch in batches:
+            vec_col = batch.column(batch.schema.get_field_index("embedding"))
+            ids = batch.column(batch.schema.get_field_index("vec_id"))
+            # work on the list array's flat values buffer (zero-copy),
+            # reshaping by the uniform embedding dimension
+            flat = vec_col.combine_chunks() if hasattr(vec_col, "combine_chunks") else vec_col
+            values = np.asarray(flat.flatten(), dtype=np.float64)
+            n = len(vec_col)
+            d = values.size // n
+            if d * n != values.size:
+                raise ValueError("ragged embedding lengths in batch")
+            mat = values.reshape(n, d)
+            l2 = np.round(np.sqrt((mat * mat).sum(axis=1)), 5)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(l2, pa.float64())], names=["vec_id", "l2"]
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(l2_batches, schema="vec_id long, l2 double")

@@ -28,7 +28,12 @@ Generation rule (documented because the oracle depends on it)::
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 EVENT_TYPES = ["click", "view", "purchase", "scroll", "share"]
 EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
@@ -88,3 +93,66 @@ class SyntheticEventsDataSource(DataSource):
 def register_synthetic_events(spark) -> None:
     """Idempotent registration (re-register is a no-op overwrite)."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+def _gen_row(rid: int):
+    import datetime
+
+    return (
+        rid,
+        datetime.datetime.utcfromtimestamp(EPOCH_2024 + rid),
+        (rid * 2654435761) % 97,
+        EVENT_TYPES[rid % 5],
+        (rid * 31 % 1000) / 10.0,
+    )
+
+
+class _SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """SimpleDataSourceStreamReader over the same generation rule.
+
+    Offsets are plain dicts (``{"pos": n}``) checkpointed by the
+    engine; ``read`` advances by ``rows_per_batch`` up to ``max_rows``
+    and ``readBetweenOffsets`` regenerates any committed range
+    deterministically — replay after failure yields byte-identical
+    batches, which is exactly why the rows are a pure function of id.
+    """
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", "100"))
+        self.max_rows = int(options.get("max_rows", "1000"))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        pos = int(start["pos"])
+        end = min(pos + self.rows_per_batch, self.max_rows)
+        return iter([_gen_row(i) for i in range(pos, end)]), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [_gen_row(i) for i in range(int(start["pos"]), int(end["pos"]))]
+        )
+
+
+class SyntheticEventsStreamDataSource(DataSource):
+    """``spark.readStream.format("synthetic_events_stream")`` — the
+    streaming twin of :class:`SyntheticEventsDataSource` (same rule,
+    same schema), for load-testing streaming pipelines without Kafka."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self) -> str:
+        return (
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        )
+
+    def simpleStreamReader(self, schema):
+        return _SyntheticStreamReader(self.options)
+
+
+def register_synthetic_stream(spark) -> None:
+    spark.dataSource.register(SyntheticEventsStreamDataSource)
