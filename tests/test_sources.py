@@ -879,3 +879,42 @@ def test_synthetic_events_datasource(spark):
     )
     with pytest.raises(Exception, match="must be >= 1"):
         load(0, 10).collect()
+
+
+def test_jsonl_sink_commit_protocol(spark, tmp_path):
+    """Custom Python sink: committed files only (staged temps renamed
+    at driver commit, none left behind), overwrite replaces prior
+    parts, content round-trips through spark.read.json, and abort
+    sweeps staged files."""
+    import glob as _glob
+
+    from tweets_spark_top_10_spark.sources.pyds import (
+        _JsonlCommit,
+        _JsonlWriter,
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    d = str(tmp_path / "jsonl_out")
+    df = spark.range(100).selectExpr("id", "id * 2 AS dbl")
+    df.repartition(4).write.format("jsonl_dir").option("path", d).mode(
+        "append"
+    ).save()
+    assert len(_glob.glob(f"{d}/part-*.jsonl")) == 4
+    assert not _glob.glob(f"{d}/.staged-*")
+    back = spark.read.json(f"{d}/part-*.jsonl")
+    assert sorted((r["id"], r["dbl"]) for r in back.collect()) == [
+        (i, 2 * i) for i in range(100)
+    ]
+    # overwrite replaces the old parts
+    df.limit(10).repartition(1).write.format("jsonl_dir").option(
+        "path", d
+    ).mode("overwrite").save()
+    assert len(_glob.glob(f"{d}/part-*.jsonl")) == 1
+    assert spark.read.json(f"{d}/part-*.jsonl").count() == 10
+    # abort sweeps staged files
+    w = _JsonlWriter({"path": d}, overwrite=False)
+    staged = tmp_path / "jsonl_out" / ".staged-manual.jsonl"
+    staged.write_text("{}\n")
+    w.abort([_JsonlCommit(str(staged)), None])
+    assert not staged.exists()

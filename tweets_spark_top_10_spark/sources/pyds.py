@@ -31,8 +31,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 EVENT_TYPES = ["click", "view", "purchase", "scroll", "share"]
@@ -156,3 +158,71 @@ class SyntheticEventsStreamDataSource(DataSource):
 
 def register_synthetic_stream(spark) -> None:
     spark.dataSource.register(SyntheticEventsStreamDataSource)
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, staged: str):
+        self.staged = staged
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Task side: stage to a dot-prefixed temp file, report it in the
+    commit message.  Nothing becomes visible until the DRIVER commits —
+    a failed or speculative task's staged file is simply never renamed
+    (and ``abort`` sweeps it), so the sink is exactly-once at the file
+    level without any coordination between tasks."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_dir writer requires option 'path'")
+        self.overwrite = overwrite
+
+    def write(self, rows):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(self.path, f".staged-{uuid.uuid4().hex}.jsonl")
+        with open(staged, "w") as fh:
+            for row in rows:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+        return _JsonlCommit(staged)
+
+    def commit(self, messages):
+        import glob as _glob
+        import os
+
+        if self.overwrite:
+            for old in _glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                os.remove(old)
+        for i, m in enumerate(messages):
+            os.rename(
+                m.staged, os.path.join(self.path, f"part-{i:05d}.jsonl")
+            )
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
+class JsonlDirDataSource(DataSource):
+    """``df.write.format("jsonl_dir").option("path", d)`` — a custom
+    SINK with the full stage/commit/abort protocol (the write-side
+    completion of the custom-source story: batch read, stream read,
+    and now write)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonlWriter(self.options, overwrite)
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(JsonlDirDataSource)
