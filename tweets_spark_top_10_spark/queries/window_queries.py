@@ -185,3 +185,89 @@ def user_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, key_col="user_id", ts_col="ts", value_col="value",
         interval="1 hour",
     )
+
+
+@register(
+    "user_value_anomalies",
+    oracle="""
+    WITH scored AS (
+      SELECT user_id, event_id, value,
+             AVG(value) OVER w AS mu,
+             STDDEV_SAMP(value) OVER w AS sd,
+             COUNT(*) OVER w AS n_win
+      FROM events
+      WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT user_id, event_id,
+           ROUND((value - mu) / sd, 4) AS z
+    FROM scored
+    WHERE n_win >= 10 AND sd > 0 AND ABS((value - mu) / sd) > 3
+    """,
+)
+def user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against its
+    user's TRAILING 20-event window (PRECEDING only — no peeking at
+    the value being scored), flagged beyond 3 sigma once the window
+    has >= 10 observations.  One keyed window, no self-join; the
+    online-monitoring shape (same frame works on a stream via the
+    partials table + read-side window)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    scored = events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return scored.where(
+        (F.col("n_win") >= 10) & (F.col("sd") > 0) & (F.abs(z) > 3)
+    ).select("user_id", "event_id", F.round(z, 4).alias("z"))
+
+
+@register(
+    "event_value_moments",
+    oracle="""
+    WITH mu AS (
+      SELECT event_type, AVG(value) AS m FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(CORR(value, user_id), 6) AS corr_vu,
+           ROUND(COVAR_SAMP(value, user_id), 4) AS covar_vu,
+           ROUND((SUM(POWER(value - m, 3)) / COUNT(*))
+                 / POWER(SUM(POWER(value - m, 2)) / COUNT(*), 1.5), 6)
+             AS skew_v,
+           ROUND((SUM(POWER(value - m, 4)) / COUNT(*))
+                 / POWER(SUM(POWER(value - m, 2)) / COUNT(*), 2) - 3, 6)
+             AS kurt_v
+    FROM events e JOIN mu ON mu.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher statistical aggregates (corr / covar_samp / skewness /
+    kurtosis) per event type — one map-side-combinable aggregate pass;
+    completes the aggregate-function surface beyond sum/avg/stddev.
+    Estimator convention is part of the contract: Spark reports the
+    POPULATION moment estimators (g1, excess g2) while DuckDB's
+    built-ins are bias-corrected (G1, G2) — they disagreed in the
+    third digit here, so the oracle replays Spark's definition from
+    raw central moments instead of calling the mismatched built-in."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.corr("value", "user_id"), 6).alias("corr_vu"),
+        F.round(F.covar_samp("value", "user_id"), 4).alias("covar_vu"),
+        F.round(F.skewness("value"), 6).alias("skew_v"),
+        F.round(F.kurtosis("value"), 6).alias("kurt_v"),
+    )
