@@ -45,24 +45,33 @@ def test_plan_invariants(name, spark, sf_dir):
 
 
 def test_catalog_priority_tiers_are_valid():
-    """The stale-first rotation must be sound: every name in
-    ``_LAST_CHECKED`` exists in the registry (a typo would silently
-    mis-tier a query), and the registry iterates in monotone ascending
-    last-checked-round order so the driver's ~50-row budget always
-    lands on the stalest rows first."""
-    from tweets_spark_top_10_spark.queries.catalog import _LAST_CHECKED
+    """The red-first/stale-first rotation must be sound: every name in
+    ``_LAST_CHECKED`` / ``_RED_LATEST`` exists in the registry (a typo
+    would silently mis-tier a query), and the registry iterates red
+    rows first, then monotone ascending last-checked-round order, so
+    the driver's ~50-row budget always lands on red-latest fixes before
+    anything else (round-6 verdict item 1c)."""
+    from tweets_spark_top_10_spark.queries.catalog import (
+        _LAST_CHECKED,
+        _RED_LATEST,
+    )
 
     unknown = [n for n in _LAST_CHECKED if n not in QUERIES]
     assert not unknown, f"_LAST_CHECKED names not in registry: {unknown}"
-    rounds = [_LAST_CHECKED.get(n, 0) for n in QUERIES]
-    assert rounds == sorted(rounds), (
-        "registry not in stale-first order: "
-        f"{[(n, _LAST_CHECKED.get(n, 0)) for n in QUERIES]}"
+    unknown_red = [n for n in _RED_LATEST if n not in QUERIES]
+    assert not unknown_red, f"_RED_LATEST names not in registry: {unknown_red}"
+
+    def tier(n):
+        return -1 if n in _RED_LATEST else _LAST_CHECKED.get(n, 0)
+
+    tiers = [tier(n) for n in QUERIES]
+    assert tiers == sorted(tiers), (
+        "registry not in red-first/stale-first order: "
+        f"{[(n, tier(n)) for n in QUERIES]}"
     )
-    # never-checked queries (round 0) must occupy the prefix
-    n_new = sum(1 for r in rounds if r == 0)
-    prefix = list(QUERIES)[:n_new]
-    assert all(_LAST_CHECKED.get(n, 0) == 0 for n in prefix)
+    # red-latest queries must occupy the prefix, ahead of never-checked
+    names = list(QUERIES)
+    assert set(names[: len(_RED_LATEST)]) == set(_RED_LATEST)
 
 
 def test_no_new_shuffles(spark, sf_dir):

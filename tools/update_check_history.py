@@ -1,11 +1,21 @@
-"""Regenerate ``_LAST_CHECKED`` in queries/catalog.py from driver artifacts.
+"""Regenerate ``_LAST_CHECKED`` / ``_RED_LATEST`` in queries/catalog.py
+from driver artifacts.
 
 The correctness driver writes ``CORRECTNESS_r{NN}.json`` at the repo
-root each round, one key per checked query.  The stale-first rotation
-in ``tweets_spark_top_10_spark/queries/catalog.py`` keys every query by
-the LAST round a driver row exists for it; this tool recomputes that
-mapping from the artifacts and rewrites the dict literal in place, so
-the rotation never drifts from reality.
+root each round, one key per checked query.  The rotation in
+``tweets_spark_top_10_spark/queries/catalog.py`` orders the catalog so
+the driver's ~50-row budget lands on the most informative rows:
+
+1. queries whose LATEST driver row is red (ERR / hash-fail /
+   ``no_oracle``) — a fix has landed locally and needs driver proof;
+2. queries never driver-checked (new this round);
+3. everything else, stalest round first.
+
+This tool recomputes both structures from the artifacts and rewrites
+the dict/set literals in place, so the rotation never drifts from
+reality.  (Round-6 verdict item 1c: red-latest must outrank
+never-checked — ``user_trailing_hour_value`` missed the budget two
+rounds running under the old stale-first-only ordering.)
 
 Usage (from the repo root, after a new CORRECTNESS file lands)::
 
@@ -24,19 +34,34 @@ REPO = Path(__file__).resolve().parent.parent
 CATALOG = REPO / "tweets_spark_top_10_spark" / "queries" / "catalog.py"
 
 
-def collect_last_checked() -> dict[str, int]:
+def _is_green(row: dict) -> bool:
+    return (
+        row.get("err") is None
+        and row.get("rows_match") is True
+        and row.get("schema_match") is True
+        and row.get("hash_match") is True
+    )
+
+
+def collect() -> tuple[dict[str, int], set[str]]:
+    """(last round with a driver row per query, queries red in their
+    latest row)."""
     last: dict[str, int] = {}
+    latest_green: dict[str, bool] = {}
     for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
         m = re.match(r"CORRECTNESS_r(\d+)\.json", path.name)
         if not m:
             continue
         rnd = int(m.group(1))
-        for name in json.loads(path.read_text()):
-            last[name] = max(last.get(name, 0), rnd)
-    return last
+        for name, row in json.loads(path.read_text()).items():
+            if rnd >= last.get(name, 0):
+                last[name] = rnd
+                latest_green[name] = _is_green(row)
+    red = {n for n, green in latest_green.items() if not green}
+    return last, red
 
 
-def render(last: dict[str, int]) -> str:
+def render_last(last: dict[str, int]) -> str:
     by_round: dict[int, list[str]] = {}
     for name, rnd in last.items():
         by_round.setdefault(rnd, []).append(name)
@@ -49,26 +74,41 @@ def render(last: dict[str, int]) -> str:
     return "\n".join(lines)
 
 
+def render_red(red: set[str]) -> str:
+    if not red:
+        return "_RED_LATEST: set[str] = set()"
+    lines = ["_RED_LATEST: set[str] = {"]
+    for name in sorted(red):
+        lines.append(f'    "{name}",')
+    lines.append("}")
+    return "\n".join(lines)
+
+
 def main(argv: list[str]) -> int:
     src = CATALOG.read_text()
-    block = re.compile(
+    last_block = re.compile(
         r"_LAST_CHECKED: dict\[str, int\] = \{.*?\n\}", re.DOTALL
     )
-    if not block.search(src):
-        print(f"no _LAST_CHECKED block found in {CATALOG}", file=sys.stderr)
+    red_block = re.compile(
+        r"_RED_LATEST: set\[str\] = (?:set\(\)|\{.*?\n\})", re.DOTALL
+    )
+    if not last_block.search(src) or not red_block.search(src):
+        print(f"expected blocks not found in {CATALOG}", file=sys.stderr)
         return 2
-    new_src = block.sub(render(collect_last_checked()).replace("\\", r"\\"), src)
+    last, red = collect()
+    new_src = last_block.sub(render_last(last).replace("\\", r"\\"), src)
+    new_src = red_block.sub(render_red(red).replace("\\", r"\\"), new_src)
     if "--check" in argv:
         if new_src != src:
-            print("_LAST_CHECKED is stale; run tools/update_check_history.py")
+            print("catalog history is stale; run tools/update_check_history.py")
             return 1
-        print("_LAST_CHECKED is up to date")
+        print("catalog history is up to date")
         return 0
     if new_src != src:
         CATALOG.write_text(new_src)
-        print(f"rewrote _LAST_CHECKED in {CATALOG}")
+        print(f"rewrote _LAST_CHECKED/_RED_LATEST in {CATALOG}")
     else:
-        print("_LAST_CHECKED already up to date")
+        print("catalog history already up to date")
     return 0
 
 

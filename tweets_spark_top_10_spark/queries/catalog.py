@@ -6,19 +6,21 @@ registered queries per round (r1: 50 of 66, r2: 50 of 80), so
 whatever the harness's budget, the queries whose verdicts carry the
 most NEW information must come first.
 
-Rotation policy (round-2 verdict item 1): **stale-first**.  Every
-query is keyed by the last round in which the driver recorded a row
-for it (``_LAST_CHECKED``; absent = never checked = round 0).  The
-catalog orders ascending by that round, so
+Rotation policy (round-2 item 1, amended by round-6 item 1c):
+**red-first, then stale-first**.  Every query is keyed by the last
+round in which the driver recorded a row for it (``_LAST_CHECKED``;
+absent = never checked = round 0), and by whether that latest row was
+red — ERR / hash-fail / ``no_oracle`` (``_RED_LATEST``).  Order:
 
-1. never-driver-checked queries (new this round) run first,
-2. then the queries whose only green row is oldest,
-3. then progressively fresher tiers,
+1. red-latest queries first (a local fix needs driver proof — these
+   carry the most information and must never miss the budget),
+2. then never-driver-checked queries (new this round),
+3. then progressively staler green tiers, oldest first,
 
 and within a tier the original registration order is preserved.  Under
-a ~50-row budget this guarantees no query's driver row ages more than
-~2 rounds.  After each round, fold that round's CORRECTNESS_r{N}.json
-keys into ``_LAST_CHECKED`` (see ``tools/update_check_history.py``).
+a ~50-row budget this guarantees a red row gets re-checked the very
+next round.  After each round, fold that round's CORRECTNESS_r{N}.json
+into both structures (``tools/update_check_history.py``).
 ``tests/test_plan_audit.py`` asserts the rotation is monotone.
 """
 
@@ -47,28 +49,6 @@ from tweets_spark_top_10_spark.queries.registry import ORACLE, QUERIES
 # all green in r1).
 _LAST_CHECKED: dict[str, int] = {
     # --- last driver row: round 4 ---
-    "nations_cust_and_supp": 4,
-    "urgent_only_customers": 4,
-    "lineitem_rollup": 4,
-    "monthly_revenue": 4,
-    "segment_order_stats": 4,
-    "supplier_distinct_parts": 4,
-    "part_predicates": 4,
-    "event_props_k": 4,
-    "customer_balance_ranks": 4,
-    "order_status_cube": 4,
-    "segment_priority_sets": 4,
-    "part_string_funcs": 4,
-    "props_map_access": 4,
-    "props_key_counts": 4,
-    "approx_distinct_users": 4,
-    "nation_activity_full_outer": 4,
-    "customer_order_counts_right": 4,
-    "part_lineitem_left": 4,
-    "quantity_bucket_ranges": 4,
-    "purchase_last_view_asof": 4,
-    "event_lag_lead": 4,
-    "priority_status_pivot": 4,
     "status_priority_grouping_sets": 4,
     "quantity_percentiles": 4,
     "user_trailing_hour_value": 4,
@@ -136,13 +116,79 @@ _LAST_CHECKED: dict[str, int] = {
     "doc_contamination": 5,
     "doc_pack_bins": 5,
     "part_name_fuzzy_pairs": 5,
+    # --- last driver row: round 6 ---
+    "nations_cust_and_supp": 6,
+    "urgent_only_customers": 6,
+    "lineitem_rollup": 6,
+    "monthly_revenue": 6,
+    "segment_order_stats": 6,
+    "supplier_distinct_parts": 6,
+    "part_predicates": 6,
+    "event_props_k": 6,
+    "customer_balance_ranks": 6,
+    "order_status_cube": 6,
+    "segment_priority_sets": 6,
+    "part_string_funcs": 6,
+    "props_map_access": 6,
+    "props_key_counts": 6,
+    "approx_distinct_users": 6,
+    "nation_activity_full_outer": 6,
+    "customer_order_counts_right": 6,
+    "part_lineitem_left": 6,
+    "quantity_bucket_ranges": 6,
+    "purchase_last_view_asof": 6,
+    "event_lag_lead": 6,
+    "priority_status_pivot": 6,
+    "nation_trade_pagerank": 6,
+    "metrics_order_summary": 6,
+    "metrics_event_by_type": 6,
+    "media_audio_stats": 6,
+    "bloom_semi_revenue": 6,
+    "orders_cdc_merge": 6,
+    "orders_quality_audit": 6,
+    "orders_snapshot_diff": 6,
+    "orders_scd2_history": 6,
+    "concurrent_part_shipments": 6,
+    "orders_pit_lookup": 6,
+    "priority_revenue_ivm": 6,
+    "priority_price_minmax_ivm": 6,
+    "customer_ancestry_depth_sql": 6,
+    "order_measures_unpivot": 6,
+    "nullsafe_segment_match": 6,
+    "synthetic_events_by_type": 6,
+    "doc_chunks": 6,
+    "doc_token_ids": 6,
+    "doc_weighted_sample": 6,
+    "customer_pseudonymized_spend": 6,
+    "grouped_heavy_hitters": 6,
+    "heavy_hitters_top10": 6,
+    "hourly_heavy_hitters": 6,
+    "embedding_arrow_norms": 6,
+    "user_hourly_gapfill": 6,
+    "user_value_anomalies": 6,
+    "event_value_moments": 6,
+}
+
+
+# Queries whose LATEST driver row was red (ERR / hash-fail /
+# no_oracle).  Maintained by tools/update_check_history.py; these sort
+# ahead of everything, including never-checked queries.
+_RED_LATEST: set[str] = {
+    "doc_token_ids",
+    "lsh_knn_top5",
+    "priority_revenue_ivm",
+    "simhash_near_dups",
+    "user_trailing_hour_value",
 }
 
 
 def _reorder() -> None:
-    """Stable sort of the registry: ascending last-checked round,
-    registration order preserved within a round."""
-    names = sorted(QUERIES, key=lambda n: _LAST_CHECKED.get(n, 0))
+    """Stable sort of the registry: red-latest first, then ascending
+    last-checked round, registration order preserved within a tier."""
+    names = sorted(
+        QUERIES,
+        key=lambda n: -1 if n in _RED_LATEST else _LAST_CHECKED.get(n, 0),
+    )
     ordered = {n: QUERIES[n] for n in names}
     QUERIES.clear()
     QUERIES.update(ordered)

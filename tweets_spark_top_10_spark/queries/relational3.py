@@ -1205,7 +1205,8 @@ def orders_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base b FULL OUTER JOIN latest l ON b.o_orderkey = l.o_orderkey
       WHERE l.op IS NULL OR l.op <> 'D'
     )
-    SELECT o_orderpriority, COUNT(*) AS n, SUM(cents) AS sum_cents
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
     FROM merged GROUP BY o_orderpriority
     """,
 )

@@ -1204,11 +1204,17 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) - 1 AS BIGINT) AS id
       FROM (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token HAVING COUNT(*) >= 5)
     )
-    SELECT t.doc_id,
-           list(COALESCE(v.id, -1) ORDER BY t.pos) AS token_ids,
-           CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
-    FROM toks t LEFT JOIN vocab v USING (token)
-    GROUP BY t.doc_id
+    SELECT doc_id,
+           md5(array_to_string(token_ids, ' ')) AS token_ids_md5,
+           CAST(len(token_ids) AS BIGINT) AS n_tok,
+           n_oov
+    FROM (
+      SELECT t.doc_id,
+             list(COALESCE(v.id, -1) ORDER BY t.pos) AS token_ids,
+             CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      FROM toks t LEFT JOIN vocab v USING (token)
+      GROUP BY t.doc_id
+    )
     """,
 )
 def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1217,6 +1223,13 @@ def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     into per-document id arrays with OOV = -1 — the tokenize→ids step
     of training-data prep.
 
+    The registered output carries the id array as a driver-hashable
+    surrogate — ``md5(concat_ws(' ', token_ids))`` plus the array
+    length — because the correctness driver's pandas canonicalizer
+    cannot sort/factorize raw ``array<long>`` cells (r6 ERR).  The
+    array computation itself stays under test via
+    ``doc_token_id_arrays`` (see ``tests/test_text_ops.py``).
+
     Scale notes: the rank-id window runs on the AGGREGATED vocabulary
     (map-side-combined groupBy first), not the corpus; the encode join
     broadcasts the vocab; per-doc arrays reassemble via
@@ -1224,6 +1237,22 @@ def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id.  At 100 TB vocabularies, swap the rank window for hash ids
     and the broadcast for a bucketed join; the plan shape is otherwise
     unchanged."""
+    ids = doc_token_id_arrays(spark, sf_dir)
+    return ids.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.transform("token_ids", lambda t: t.cast("string"))
+            )
+        ).alias("token_ids_md5"),
+        F.size("token_ids").cast("long").alias("n_tok"),
+        "n_oov",
+    )
+
+
+def doc_token_id_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document ``array<long>`` token ids (OOV = -1) — the real
+    pipeline output; ``doc_token_ids`` hashes it for the driver gate."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "token")
