@@ -263,3 +263,19 @@ def test_lloyd_iterations_converge(spark, sf_dir):
         s1["mean_shift"],
         s2["mean_shift"],
     )
+
+
+def test_serving_path_matches_inline_adc(spark, sf_dir):
+    """The prebuilt serving split (driver-computed LUT over stored wide
+    codes, functions/pq.pq_adc_serving_topk) must return BITWISE the
+    same rows as the inline-build ADC (pq_adc_topk): same deterministic
+    index, same left-associated float64 arithmetic, same tie-breaks.
+    Round-6 verdict item 3 — the catalog query measures serving cost,
+    this test proves it changes nothing about the answer."""
+    from tweets_spark_top_10_spark.queries.catalog import QUERIES
+
+    prebuilt = sorted(
+        map(tuple, QUERIES["pq_adc_top5_prebuilt"](spark, sf_dir).collect())
+    )
+    inline = sorted(map(tuple, QUERIES["pq_adc_top5"](spark, sf_dir).collect()))
+    assert prebuilt == inline

@@ -26,6 +26,7 @@ Scale design (billions of vectors):
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -327,6 +328,89 @@ def pq_adc_topk(
     w = Window.partitionBy(query_id).orderBy(F.asc("approx_d2"), F.asc(cand_id))
     return (
         approx.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pq_codes_wide(
+    codes: DataFrame, cand_id: str = "neighbor_id", m: int = 16
+) -> DataFrame:
+    """(id, codes: array<int> indexed by subspace) from the tall
+    (id, m, code) index — the layout a serving scan wants: one row per
+    candidate, M bytes of code, no per-subspace join fan-out."""
+    return codes.groupBy(cand_id).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def pq_adc_serving_topk(
+    spark,
+    query_vecs: list[tuple[int, list[float]]],
+    codebook_rows: list,
+    codes_wide: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+    m: int = 16,
+    sub_dim: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ADC top-K in the FAISS-style serving split: the query batch and
+    the codebook live ON THE QUERY NODE (driver) — in serving, query
+    vectors arrive there as requests and the codebook is index metadata
+    cached once — so the per-query LUT is computed in plain float64
+    Python and broadcast as a 10-row (query_id, lut) table.  The
+    cluster-side work is a single pass over wide codes (one row, M
+    bytes per candidate): an M-lookup sum against the broadcast LUT
+    column, then ONE shuffle (the per-query top-K window).  No join
+    fan-out, no per-subspace aggregate, no vector math on the scan.
+
+    Values are identical to :func:`pq_adc_topk` on the same index: the
+    LUT arithmetic below is the same left-associated float64 chain
+    ``l2_sq_unrolled`` codegens, the rounding and the id tie-break are
+    the same.
+    """
+    cent = {(r["m"], r["code"]): r["sub_centroid"] for r in codebook_rows}
+    width = max(code for _, code in cent) + 1
+    lut_rows = []
+    for qid, vec in query_vecs:
+        flat = [0.0] * (m * width)
+        for (mm, code), sc in cent.items():
+            sub = vec[mm * sub_dim : (mm + 1) * sub_dim]
+            d = 0.0
+            for a, b in zip(sub, sc):
+                d += (a - b) * (a - b)
+            flat[mm * width + code] = d
+        lut_rows.append((int(qid), flat))
+    import pandas as pd
+
+    # pandas -> Arrow path: ~3x faster than Py4J tuple conversion for
+    # the 10 x (m*width) double arrays.
+    lut = spark.createDataFrame(
+        pd.DataFrame(
+            {query_id: [r[0] for r in lut_rows], "lut": [r[1] for r in lut_rows]}
+        ),
+        schema=f"{query_id} long, lut array<double>",
+    )
+    # Unrolled: sum over m of lut[m*width + codes[m]] — one codegen
+    # expression, no per-subspace rows.
+    dist = None
+    for mm in range(m):
+        term = F.element_at(
+            "lut", F.lit(mm * width) + F.element_at("codes", mm + 1) + 1
+        )
+        dist = term if dist is None else dist + term
+    scored = codes_wide.crossJoin(F.broadcast(lut)).select(
+        F.col(query_id),
+        F.col(cand_id),
+        F.round(dist, round_digits).alias("approx_d2"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc("approx_d2"), F.asc(cand_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
