@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from tweets_spark_top_10_spark.sources.registry import SCHEMAS, load_table
 from tweets_spark_top_10_spark.streaming import (
@@ -1780,3 +1781,95 @@ def test_synthetic_stream_source_exactly_once_vs_batch(spark, tmp_path):
         )
     )
     assert got == want and len(got) == 300
+
+
+def test_kafka_unavailable_is_loud_not_silent(spark):
+    """The Kafka source is jar-gated (round-6 verdict item 4): without
+    spark-sql-kafka on the classpath it must raise
+    KafkaConnectorUnavailable carrying the exact --packages deploy hint
+    — never a silent fallback, because no Python shim can preserve
+    Kafka's offset/partition semantics.  With the jar present, the
+    reader must construct (broker connection errors surface at stream
+    start, not here)."""
+    from tweets_spark_top_10_spark.streaming import (
+        KafkaConnectorUnavailable,
+        kafka_stream,
+    )
+
+    try:
+        df = kafka_stream(spark, "localhost:9092", "tweets")
+    except KafkaConnectorUnavailable as e:
+        assert "--packages org.apache.spark:spark-sql-kafka" in str(e), e
+        pytest.skip(
+            "spark-sql-kafka not on classpath (expected in this container); "
+            "gate verified loud"
+        )
+    # Jar present: the source schema is Kafka's fixed 7-column contract.
+    assert {"key", "value", "topic", "partition", "offset"} <= set(df.columns)
+
+
+def test_kafka_shaped_payload_parity_with_file_stream(
+    spark, sf_dir, tmp_path
+):
+    """Differential for the payload path shared by Kafka and replay:
+    kafka_json_values must decode a Kafka-SHAPED stream (binary value
+    column of JSON) to exactly the rows the original batch holds.  The
+    same projection runs unchanged on the real Kafka source; when a
+    broker + jar are available (SPARK_GRAFT_KAFKA_BOOTSTRAP), the
+    second half replays the same payloads through format('kafka') and
+    compares — mirroring the native-Avro gating convention."""
+    import json
+    import os
+
+    from tweets_spark_top_10_spark.streaming import (
+        KafkaConnectorUnavailable,
+        kafka_json_values,
+        kafka_stream,
+        run_to_memory,
+    )
+
+    events = load_table(spark, sf_dir, "events").limit(200)
+    payloads = events.select(
+        F.to_json(F.struct("event_id", "user_id", "event_type", "value")).alias(
+            "value"
+        )
+    )
+    src = str(tmp_path / "kafka_shaped")
+    payloads.coalesce(1).write.mode("overwrite").format("text").save(src)
+
+    schema = (
+        "event_id long, user_id long, event_type string, value double"
+    )
+    stream = (
+        spark.readStream.format("text")
+        .schema("value string")
+        .load(src)
+    )
+    decoded = kafka_json_values(stream, T._parse_datatype_string(schema))
+    q = run_to_memory(decoded, "kafka_parity")
+    q.awaitTermination()
+    got = spark.table("kafka_parity").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    expect = events.select("event_id", "user_id", "event_type", "value")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+
+    bootstrap = os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP")
+    if not bootstrap:
+        pytest.skip(
+            "no SPARK_GRAFT_KAFKA_BOOTSTRAP broker configured; file-shaped "
+            "payload parity verified, real-Kafka differential skipped"
+        )
+    try:
+        kdf = kafka_stream(spark, bootstrap, "tweets_spark_graft_test")
+    except KafkaConnectorUnavailable:
+        pytest.skip("broker configured but spark-sql-kafka jar missing")
+    kq = run_to_memory(
+        kafka_json_values(kdf, T._parse_datatype_string(schema)), "kafka_real"
+    )
+    kq.awaitTermination()
+    assert sorted(map(tuple, spark.table("kafka_real").collect())) == sorted(
+        map(tuple, expect.collect())
+    )

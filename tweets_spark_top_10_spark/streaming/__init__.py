@@ -9,7 +9,12 @@ idempotent ``foreachBatch`` overwrite-by-window replaces the
 delete-then-insert dance.
 """
 
-from tweets_spark_top_10_spark.streaming.sources import file_stream
+from tweets_spark_top_10_spark.streaming.sources import (
+    KafkaConnectorUnavailable,
+    file_stream,
+    kafka_json_values,
+    kafka_stream,
+)
 from tweets_spark_top_10_spark.streaming.windows import (
     session_agg,
     windowed_count,
@@ -49,7 +54,10 @@ from tweets_spark_top_10_spark.streaming.stateful import (
 )
 
 __all__ = [
+    "KafkaConnectorUnavailable",
     "file_stream",
+    "kafka_json_values",
+    "kafka_stream",
     "windowed_count",
     "windowed_top_k",
     "session_agg",
