@@ -11,6 +11,7 @@ batch side to windows closed by the final watermark.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1872,4 +1873,70 @@ def test_kafka_shaped_payload_parity_with_file_stream(
     kq.awaitTermination()
     assert sorted(map(tuple, spark.table("kafka_real").collect())) == sorted(
         map(tuple, expect.collect())
+    )
+
+
+def test_streaming_grouped_heavy_hitters_matches_batch(spark, sf_dir, tmp_path):
+    """Grouped MG maintenance (round-6 verdict item 6): after draining
+    the doc stream in micro-batches, per-group candidates from the
+    stored (group, token, est) summary + exact rerank must equal the
+    per-group batch exact top-k for EVERY group, and the stored state
+    must stay bounded at (capacity+1) rows per group."""
+    from tweets_spark_top_10_spark.functions.text import language_id, tokenize
+    from tweets_spark_top_10_spark.streaming.heavy_hitters import (
+        grouped_top_k_from_summary,
+        maintain_grouped_heavy_hitters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    third = len(pdf) // 3
+    src = tmp_path / "ghh_docs"
+    src.mkdir()
+    pdf.iloc[:third].to_parquet(src / "b1.parquet", index=False)
+    pdf.iloc[third : 2 * third].to_parquet(src / "b2.parquet", index=False)
+    pdf.iloc[2 * third :].to_parquet(src / "b3.parquet", index=False)
+
+    def grouped_tokens(df):
+        toks = df.select(tokenize(F.col("text")).alias("toks"))
+        return toks.select(
+            language_id(F.col("toks")).alias("lang"),
+            F.explode(F.col("toks")).alias("token"),
+        )
+
+    stream = file_stream(spark, str(src), docs.schema, max_files_per_trigger=1)
+    table = str(tmp_path / "grouped_mg")
+    cap = 512
+    q = maintain_grouped_heavy_hitters(
+        grouped_tokens(stream),
+        table,
+        checkpoint=str(tmp_path / "ghh_ckpt"),
+        group_col="lang",
+        capacity=cap,
+    )
+    q.awaitTermination()
+
+    summary = spark.read.parquet(table)
+    per_group = (
+        summary.groupBy("lang").agg(F.count(F.lit(1)).alias("rows")).collect()
+    )
+    assert per_group and all(r.rows <= cap + 1 for r in per_group), per_group
+    # one NULL-token total row per group
+    totals = summary.where(F.col("token").isNull()).groupBy("lang").count()
+    assert all(r["count"] == 1 for r in totals.collect())
+
+    corpus = grouped_tokens(docs)
+    got = grouped_top_k_from_summary(
+        spark, table, corpus, group_col="lang", k=5, capacity=cap
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    want = (
+        corpus.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
     )

@@ -327,6 +327,11 @@ def lsh_exact_rerank(
     )
 
 
+#: Rounds the last :func:`connected_components` call took to converge —
+#: read by the deep-chain A/B test; not part of the stable API.
+_last_cc_rounds: int = 0
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
@@ -335,76 +340,120 @@ def connected_components(
 ) -> DataFrame:
     """Dedup clusters: connected components over a near-dup pair list.
 
-    Iterative min-label propagation (the standard large-graph CC on a
-    relational engine): every node starts as its own component, each
-    round sends its label to neighbors and keeps the min, until a fixed
-    point.  Converges in O(component diameter) rounds — near-dup
-    clusters are shallow, so this is a handful of shuffles, each keyed
-    by node id.  ``localCheckpoint`` truncates the growing lineage each
-    round (at 100 TB this would be a persisted iteration table).
-    Convergence is probed every 2nd round to halve driver-side actions
-    (see the loop comment).
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) — each round is two
+    grouped-min + join passes over the edge set, and the edge set
+    contracts toward min-rooted stars in **O(log d)** rounds instead of
+    the O(d) of min-label propagation.  That difference is the whole
+    point at 100 TB: an adversarial near-dup CHAIN (template docs each
+    one edit apart) has diameter ~cluster size, and label propagation
+    would run hundreds of shuffles where this runs ~10
+    (``tests/test_dedup.py::test_cc_deep_chain_converges_in_log_rounds``).
 
-    Output: (node, component) — component = min doc id reachable.
-    Deterministic given any pair list; only nodes appearing in pairs
-    are labeled (isolated docs are trivially their own cluster).
+    Per round: large-star hangs every neighbor LARGER than the center
+    off the center's 1-hop minimum (cuts long tails onto small ids
+    without losing connectivity); small-star re-points every smaller
+    neighbor at that minimum (flattens the resulting tree).  Fixed
+    point = every edge (u, m) points directly at its component's
+    minimum id.  ``localCheckpoint`` truncates the growing lineage each
+    round (at 100 TB this would be a persisted iteration table);
+    convergence is probed with a single-row checksum aggregate
+    (count + hash-sum) — one cheap action per round, with ``max_iter``
+    as the hard bound.
+
+    Output: (node, component) — component = min doc id reachable;
+    identical labels/semantics to the propagation version this
+    replaced, so the recursive-CTE oracle is unchanged.  Only nodes
+    appearing in pairs are labeled (isolated docs are trivially their
+    own cluster).
     """
-    # Symmetrize with one explode, NOT a self-union: a union of two
-    # selects evaluates the (often expensive) upstream pair plan twice.
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
-                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
-                )
-            ).alias("e")
-        )
-        .select("e.a", "e.b")
-        .distinct()
-        .persist()
+    global _last_cc_rounds
+    # Materialize the (often expensive) upstream pair plan exactly ONCE;
+    # everything below — node inventory included — reads the checkpoint,
+    # so the returned plan never re-evaluates candidate generation.
+    e0 = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e0.select(F.explode(F.array("u", "v")).alias("node")).distinct()
     )
-    # Initialize with the 1-hop minimum (min of self and neighbors)
-    # instead of self: near-dup components are shallow (pairs/cliques),
-    # so most converge immediately and the loop below only confirms.
-    comp = (
-        edges.select(F.col("a").alias("n"), F.col("b").alias("comp"))
-        .unionByName(edges.select(F.col("a").alias("n"), F.col("a").alias("comp")))
-        .groupBy("n")
-        .agg(F.min("comp").alias("comp"))
+    e = (
+        e0.filter(F.col("u") != F.col("v"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
-    # The convergence probe (a driver-side count of changed labels)
-    # costs a full extra job, so it runs only every 2nd round: one
-    # wasted propagation round past the fixed point is one cheap
-    # shuffle, while probing every round doubles the job count for the
-    # whole run. max_iter stays the hard bound for adversarial diameters.
+    prev_sig = None
     for it in range(max_iter):
-        msgs = comp.join(edges, comp.n == edges.a).select(
-            F.col("b").alias("n"), F.col("comp")
+        # -- large-star: symmetrize (one explode, not a self-union that
+        # would evaluate the upstream twice), center = u, m = min(Γ∪{u});
+        # emit (v, m) for strictly larger neighbors.
+        sym = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                    F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
+                )
+            ).alias("x")
+        ).select(F.col("x.a").alias("u"), F.col("x.b").alias("v"))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
         )
-        new_comp = (
-            comp.unionByName(msgs)
-            .groupBy("n")
-            .agg(F.min("comp").alias("comp"))
+        # persist, not an eager checkpoint: `large` is consumed twice
+        # WITHIN this round (center-min aggregate + re-point join), so a
+        # lazy cache shares the work without paying a materialization
+        # job; its lineage dies with the round's checkpoint of `e`.
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .persist()
+        )
+        # -- small-star: canonical direction (larger -> smaller), center
+        # = larger endpoint, m = min of its smaller neighbors; re-point
+        # every neighbor and the center itself at m.
+        d = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins2 = d.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            d.join(mins2, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                        F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                    )
+                ).alias("x")
+            )
+            .filter(F.col("x.a") != F.col("x.b"))
+            .select(F.col("x.a").alias("u"), F.col("x.b").alias("v"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        prev = comp
-        comp = new_comp
-        # Even iterations: with 1-hop-min init, shallow components are
-        # already at their fixed point when it=0, so the first probe
-        # usually ends the loop after a single confirmation round.
-        if it % 2 == 0 or it == max_iter - 1:
-            changed = (
-                new_comp.alias("x")
-                .join(prev.alias("y"), "n")
-                .filter(F.col("x.comp") != F.col("y.comp"))
-                .count()
-            )
-            if changed == 0:
-                break
-    edges.unpersist()
-    return comp.select(F.col("n").alias("node"), F.col("comp").alias("component"))
+        # Convergence: the (distinct) edge set is a fixed point iff its
+        # (count, order-independent hash-xor) signature stopped moving —
+        # one single-row aggregate instead of a full set-difference
+        # join.  XOR, not SUM: overflow-free under ANSI mode.
+        sig = tuple(
+            e.agg(
+                F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
+            ).collect()[0]
+        )
+        large.unpersist(blocking=False)
+        _last_cc_rounds = it + 1
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    comp_map = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return (
+        nodes.join(comp_map, "node", "left")
+        .groupBy("node")
+        .agg(F.min("component").alias("c"))
+        .select("node", F.coalesce("c", "node").alias("component"))
+    )
 
 
 def simhash64(

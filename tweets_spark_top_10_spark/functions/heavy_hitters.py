@@ -244,6 +244,28 @@ def grouped_exact_top_k(
     summaries = persist_tracked(
         mg_partition_summaries_grouped(df, group_col, token_col, capacity)
     )
+    return grouped_candidate_rerank(
+        summaries, df, group_col, token_col, k, capacity
+    )
+
+
+def grouped_candidate_rerank(
+    summaries: DataFrame,
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    k: int,
+    capacity: int,
+) -> DataFrame:
+    """Steps 2-3 of the grouped two-pass: merge (group, token) summary
+    rows, certify per group, rerank exactly over ``df`` restricted to
+    [certified candidates UNION uncertified groups' full rows].
+
+    Shared by the batch operator (per-partition summaries) and the
+    streaming maintenance path (one stored pre-merged summary per
+    group, ``streaming/heavy_hitters.grouped_top_k_from_summary``) —
+    mergeability means the same reduction works on either shape.
+    """
     merged = summaries.where(F.col(token_col).isNotNull()).groupBy(
         group_col, token_col
     ).agg(F.sum("est").alias("est"))

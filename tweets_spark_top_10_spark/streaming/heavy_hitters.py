@@ -125,6 +125,161 @@ def maintain_heavy_hitters(
     )
 
 
+def _swap_in(table_path: str, write) -> None:
+    """Atomic stage → aside → live replacement for a summary dir, with
+    crash recovery (same protocol as :func:`merge_mg_batch`)."""
+    aside = table_path.rstrip("/") + "__old"
+    staging = table_path.rstrip("/") + "__stage"
+    if os.path.exists(aside):
+        if not os.path.exists(table_path):
+            os.rename(aside, table_path)
+        else:
+            shutil.rmtree(aside)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    write(staging)
+    if os.path.exists(table_path):
+        os.rename(table_path, aside)
+    os.rename(staging, table_path)
+    if os.path.exists(aside):
+        shutil.rmtree(aside)
+
+
+def merge_mg_batch_grouped(
+    spark,
+    batch_df: DataFrame,
+    table_path: str,
+    group_col: str,
+    token_col: str = "token",
+    capacity: int = 512,
+) -> None:
+    """Fold one micro-batch into per-GROUP stored MG summaries.
+
+    The grouped twin of :func:`merge_mg_batch` — one independent
+    capacity-``capacity`` sketch per group value, all in one table
+    ``(group, token, est)`` with a NULL-token total row per group.
+    Unlike the flat merge (whose prune threshold is a single scalar,
+    collected), the per-group thresholds stay IN the plan: the
+    (capacity+1)-th largest est per group comes from a row_number
+    window and joins back — no driver collect at all, state stays
+    <= (capacity+1) x groups rows.
+    """
+    from pyspark.sql import Window
+
+    batch_df = batch_df.where(
+        F.col(group_col).isNotNull() & F.col(token_col).isNotNull()
+    )
+    batch_summary = (
+        batch_df.groupBy(group_col, token_col).agg(
+            F.count(F.lit(1)).alias("est")
+        )
+    ).unionByName(
+        batch_df.groupBy(group_col).agg(
+            F.lit(None).cast("string").alias(token_col),
+            F.count(F.lit(1)).alias("est"),
+        )
+    )
+    if os.path.exists(table_path):
+        merged = spark.read.parquet(table_path).unionByName(batch_summary)
+    else:
+        merged = batch_summary
+    merged = merged.groupBy(group_col, token_col).agg(
+        F.sum("est").alias("est")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(F.desc("est"), F.asc(token_col))
+    )
+    kth = (
+        merged.where(F.col(token_col).isNotNull())
+        .withColumn("rn", rn)
+        .where(F.col("rn") == capacity + 1)
+        .select(group_col, F.col("est").alias("kth"))
+    )
+    pruned = (
+        merged.join(kth, group_col, "left")
+        .where(
+            F.col(token_col).isNull()
+            | F.col("kth").isNull()
+            | (F.col("est") > F.col("kth"))
+        )
+        .select(
+            group_col,
+            token_col,
+            F.when(
+                F.col(token_col).isNull() | F.col("kth").isNull(),
+                F.col("est"),
+            )
+            .otherwise(F.col("est") - F.col("kth"))
+            .alias("est"),
+        )
+    )
+    _swap_in(
+        table_path,
+        lambda staging: pruned.coalesce(1).write.mode("overwrite").parquet(
+            staging
+        ),
+    )
+
+
+def maintain_grouped_heavy_hitters(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    group_col: str,
+    token_col: str = "token",
+    capacity: int = 512,
+):
+    """Attach the grouped MG merge to a (group, token) stream via
+    foreachBatch (availableNow trigger, as the other maintained
+    indexes)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_mg_batch_grouped(
+            batch_df.sparkSession,
+            batch_df,
+            table_path,
+            group_col,
+            token_col,
+            capacity,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def grouped_top_k_from_summary(
+    spark,
+    table_path: str,
+    corpus: DataFrame,
+    group_col: str,
+    token_col: str = "token",
+    k: int = 10,
+    capacity: int = 512,
+) -> DataFrame:
+    """Exact per-group top-``k`` using the maintained grouped summary
+    for candidates and ``corpus`` for the exact rerank — the streaming
+    read side of ``functions/heavy_hitters.grouped_exact_top_k``
+    (identical certify-or-degrade contract, via the shared
+    ``grouped_candidate_rerank``)."""
+    from tweets_spark_top_10_spark.functions.heavy_hitters import (
+        grouped_candidate_rerank,
+    )
+
+    summary = spark.read.parquet(table_path)
+    corpus = corpus.where(
+        F.col(group_col).isNotNull() & F.col(token_col).isNotNull()
+    )
+    return grouped_candidate_rerank(
+        summary, corpus, group_col, token_col, k, capacity
+    )
+
+
 def top_k_from_summary(
     spark,
     table_path: str,
