@@ -274,8 +274,10 @@ def test_serving_path_matches_inline_adc(spark, sf_dir):
     this test proves it changes nothing about the answer."""
     from tweets_spark_top_10_spark.queries.catalog import QUERIES
 
-    prebuilt = sorted(
-        map(tuple, QUERIES["pq_adc_top5_prebuilt"](spark, sf_dir).collect())
-    )
-    inline = sorted(map(tuple, QUERIES["pq_adc_top5"](spark, sf_dir).collect()))
-    assert prebuilt == inline
+    for pre, inl in [
+        ("pq_adc_top5_prebuilt", "pq_adc_top5"),
+        ("opq_adc_top5_prebuilt", "pq_adc_opq_top5"),
+    ]:
+        prebuilt = sorted(map(tuple, QUERIES[pre](spark, sf_dir).collect()))
+        inline = sorted(map(tuple, QUERIES[inl](spark, sf_dir).collect()))
+        assert prebuilt == inline, pre

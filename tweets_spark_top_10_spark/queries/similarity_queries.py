@@ -593,6 +593,44 @@ def pq_adc_top5_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CODEBOOK_ROWS: dict[str, list] = {}
 
 
+def ensure_opq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Build-once the OPQ index artifacts — permutation (64 metadata
+    rows), one-Lloyd-refined codebook in the permuted space, wide codes
+    — and return their parquet paths.  The offline half of
+    ``opq_adc_top5_prebuilt``; everything is deterministic (variance
+    snake, rounded Lloyd, rounded-distance encode), so rebuilds are
+    byte-stable and the value oracle is ``pq_adc_opq_top5``'s."""
+    from tweets_spark_top_10_spark.functions.pq import (
+        apply_permutation,
+        opq_permutation,
+        pq_codebook,
+        pq_codebook_refine,
+        pq_codes_wide,
+        pq_encode,
+    )
+
+    base = _pq_index_dir(sf_dir)
+    paths = {
+        n: str(base / n) for n in ("opq_perm", "opq_codebook", "opq_codes_wide")
+    }
+    if not all((base / n / "_SUCCESS").exists() for n in paths):
+        emb = load_table(spark, sf_dir, "embeddings")
+        c0 = _normed(emb, "neighbor_id", 10, None)
+        perm = opq_permutation(c0).localCheckpoint(eager=False)
+        perm.write.mode("overwrite").parquet(paths["opq_perm"])
+        perm = spark.read.parquet(paths["opq_perm"])
+        cands = apply_permutation(c0, "neighbor_id", perm).repartition(
+            spark.sparkContext.defaultParallelism
+        ).transform(persist_tracked)
+        refined = pq_codebook_refine(cands, pq_codebook(cands))
+        refined.write.mode("overwrite").parquet(paths["opq_codebook"])
+        refined = spark.read.parquet(paths["opq_codebook"])
+        pq_codes_wide(pq_encode(cands, refined, "neighbor_id")).write.mode(
+            "overwrite"
+        ).parquet(paths["opq_codes_wide"])
+    return paths["opq_perm"], paths["opq_codebook"], paths["opq_codes_wide"]
+
+
 def _query_batch(sf_dir: str, lo: int = 0, hi: int = 10) -> list:
     """The 10 fixture query vectors, L2-normalized in plain float64 —
     loaded at the query node (in serving, queries ARRIVE there; no
@@ -879,9 +917,9 @@ def ivfpq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_adc_topk(queries, cands, k=5)
 
 
-@register(
-    "pq_adc_opq_top5",
-    oracle=f"""
+# Shared verbatim by the inline-build query and its prebuilt serving
+# twin: identical values, one oracle definition.
+_OPQ_ADC_ORACLE = f"""
     WITH v AS (
       SELECT vec_id, {_NORM_VEC} AS vec FROM embeddings
     ), cand0 AS (
@@ -912,7 +950,12 @@ def ivfpq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
                    unnest(range(1, 65)) AS pos FROM q0) t
       JOIN perm ON t.pos = perm.old_pos
       GROUP BY query_id
-    ){_PQ_LLOYD_TAIL}""",
+    ){_PQ_LLOYD_TAIL}"""
+
+
+@register(
+    "pq_adc_opq_top5",
+    oracle=_OPQ_ADC_ORACLE,
 )
 def pq_adc_opq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC in an OPQ-style permuted space (functions/pq.
@@ -950,3 +993,53 @@ def pq_adc_opq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = pq_codebook(cands)
     refined = pq_codebook_refine(cands, seed).localCheckpoint(eager=False)
     return pq_adc_topk(queries, cands, k=5, codebook=refined)
+
+
+def _opq_permute_driver(perm_rows: list, vec: list) -> list:
+    """Apply the stored (old_pos, new_pos) permutation to one
+    driver-held vector — out[new-1] = vec[old-1], same mapping
+    ``apply_permutation`` runs relationally."""
+    out = [0.0] * len(vec)
+    for r in perm_rows:
+        out[r["new_pos"] - 1] = vec[r["old_pos"] - 1]
+    return out
+
+
+@register(
+    "opq_adc_top5_prebuilt",
+    oracle=_OPQ_ADC_ORACLE,
+)
+def opq_adc_top5_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ/ADC top-5 against the PREBUILT permuted-space index
+    (:func:`ensure_opq_index`): permutation + refined codebook are
+    driver-cached metadata, queries are permuted at the query node, and
+    the scan is the same one-pass wide-codes ADC as
+    ``pq_adc_top5_prebuilt``.  This is the serving-cost twin of
+    ``pq_adc_opq_top5`` (which measures the full build: variance snake,
+    Lloyd, encode — its 8s at sf0.1 is index construction, amortized in
+    production): identical values, same oracle, ~10x less query-time
+    work."""
+    from tweets_spark_top_10_spark.functions.pq import pq_adc_serving_topk
+
+    perm_path, cb_path, codes_path = ensure_opq_index(spark, sf_dir)
+    perm_rows = _CODEBOOK_ROWS.get(perm_path)
+    if perm_rows is None:
+        perm_rows = _CODEBOOK_ROWS[perm_path] = spark.read.parquet(
+            perm_path
+        ).collect()
+    cb_rows = _CODEBOOK_ROWS.get(cb_path)
+    if cb_rows is None:
+        cb_rows = _CODEBOOK_ROWS[cb_path] = spark.read.parquet(
+            cb_path
+        ).collect()
+    qv = [
+        (qid, _opq_permute_driver(perm_rows, vec))
+        for qid, vec in _query_batch(sf_dir)
+    ]
+    return pq_adc_serving_topk(
+        spark,
+        query_vecs=qv,
+        codebook_rows=cb_rows,
+        codes_wide=spark.read.parquet(codes_path),
+        k=5,
+    )
