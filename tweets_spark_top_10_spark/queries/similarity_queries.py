@@ -1043,3 +1043,104 @@ def opq_adc_top5_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes_wide=spark.read.parquet(codes_path),
         k=5,
     )
+
+
+@register(
+    "semantic_dedup_keep",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {_DOUBLE_VEC} AS vec FROM embeddings
+    ), cents AS (
+      SELECT CAST(vec_id // 97 AS INT) AS cell_id, vec AS centroid
+      FROM v WHERE vec_id % 97 = 0 AND vec_id // 97 BETWEEN 1 AND 16
+    ), cells AS (
+      SELECT vec_id, vec, cell_id FROM (
+        SELECT v.vec_id, v.vec, ct.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_COS.format(a='v.vec', b='ct.centroid', d=9)} DESC,
+                          ct.cell_id ASC) AS r
+        FROM v CROSS JOIN cents ct
+      ) WHERE r = 1
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cells a JOIN cells b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      WHERE {_COS.format(a='a.vec', b='b.vec', d=6)} >= 0.3
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), walk AS (
+      WITH RECURSIVE w(n, m) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT w.n, e.b FROM w JOIN edges e ON w.m = e.a
+      ) SELECT n, MIN(m) AS component FROM w GROUP BY n
+    )
+    SELECT v.vec_id,
+           COALESCE(walk.component, v.vec_id) AS cluster,
+           (COALESCE(walk.component, v.vec_id) = v.vec_id) AS keep
+    FROM v LEFT JOIN walk ON v.vec_id = walk.n
+    """,
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    cluster the embedding space coarsely, mark near-duplicate PAIRS
+    only within a cluster, connect them into semantic groups, keep one
+    canonical member (min id) per group.
+
+    100 TB shape end to end: the coarse quantizer is a broadcast argmin
+    (``ivf_assign_cells`` — no shuffle of the corpus beyond its
+    replicated window), the candidate join is blocked by cell id (never
+    all-pairs), and the grouping is the O(log d) star-contraction CC.
+    Every stage is deterministic (strided centroids, rounded cosines,
+    id tie-breaks), so the whole pipeline — including the transitive
+    closure — replays in the DuckDB oracle."""
+    from tweets_spark_top_10_spark.functions.dedup import connected_components
+    from tweets_spark_top_10_spark.functions.similarity import (
+        dot,
+        ivf_assign_cells,
+        ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    cents = ivf_centroids(vecs, cand_id="vec_id", vec_col="vec")
+    cells = persist_tracked(
+        ivf_assign_cells(vecs, cents, "vec_id", vec_col="vec", n_probe=1)
+    )
+    a = cells.select(
+        F.col("cell_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("vec").alias("va"),
+        l2_norm(F.col("vec")).alias("na"),
+    )
+    b = cells.select(
+        F.col("cell_id"),
+        F.col("vec_id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        l2_norm(F.col("vec")).alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "__cos",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("__cos") >= 0.3)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    return (
+        vecs.select("vec_id")
+        .join(comp, vecs["vec_id"] == comp["node"], "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", "vec_id").alias("cluster"),
+            (F.coalesce("component", "vec_id") == F.col("vec_id")).alias("keep"),
+        )
+    )

@@ -1349,3 +1349,225 @@ def customer_pseudonymized_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("spend"),
     )
+
+
+@register(
+    "doc_gopher_repetition",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS arr
+      FROM documents
+    ), eligible AS (
+      SELECT doc_id, arr FROM toks WHERE len(arr) >= 3
+    ), g AS (
+      SELECT doc_id, 2 AS n,
+             unnest(list_transform(range(1, len(arr)),
+                                   i -> arr[i] || ' ' || arr[i + 1])) AS gram
+      FROM eligible
+      UNION ALL
+      SELECT doc_id, 3 AS n,
+             unnest(list_transform(range(1, len(arr) - 1),
+                                   i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2])) AS gram
+      FROM eligible
+    ), c AS (
+      SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3
+    ), s AS (
+      SELECT doc_id, n, SUM(cnt) AS total, COUNT(*) AS n_distinct,
+             MAX(cnt) AS mx
+      FROM c GROUP BY 1, 2
+    ), wide AS (
+      SELECT doc_id,
+             ROUND(1.0 - MAX(CASE WHEN n = 2 THEN n_distinct END)
+                       / MAX(CASE WHEN n = 2 THEN total END), 6) AS dup_2gram_frac,
+             ROUND(1.0 - MAX(CASE WHEN n = 3 THEN n_distinct END)
+                       / MAX(CASE WHEN n = 3 THEN total END), 6) AS dup_3gram_frac,
+             ROUND(MAX(CASE WHEN n = 2 THEN mx END) * 1.0
+                   / MAX(CASE WHEN n = 2 THEN total END), 6) AS top_2gram_frac
+      FROM s GROUP BY doc_id
+    )
+    SELECT doc_id, dup_2gram_frac, dup_3gram_frac, top_2gram_frac,
+           (dup_2gram_frac <= 0.2 AND dup_3gram_frac <= 0.18
+            AND top_2gram_frac <= 0.2) AS gopher_pass
+    FROM wide
+    """,
+)
+def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filters in the style of the Gopher
+    rules (Rae et al. 2021, app. A1.1): per-document duplicate-2-gram
+    and duplicate-3-gram fractions plus the most-common-2-gram mass,
+    thresholded into one pass flag — the cheap structural screen every
+    LLM corpus runs before expensive scoring.
+
+    Shape: one generate (both gram orders tagged in a single explode)
+    -> (doc, n, gram) count -> (doc, n) rollup -> conditional-agg
+    pivot.  Two shuffles, both keyed by doc_id-prefixed keys (uniform);
+    no UDFs; scales with corpus bytes.  Docs under 3 tokens carry no
+    repetition signal and are excluded on BOTH engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("arr")).where(
+        F.size("arr") >= 3
+    )
+    tag = lambda n_val, col: F.transform(  # noqa: E731
+        col, lambda gm: F.struct(F.lit(n_val).alias("n"), gm.alias("gram"))
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(tag(2, ngrams(F.col("arr"), 2)), tag(3, ngrams(F.col("arr"), 3)))
+        ).alias("x"),
+    ).select("doc_id", "x.n", "x.gram")
+    counts = grams.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = counts.groupBy("doc_id", "n").agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("mx"),
+    )
+    pick = lambda n_val, c: F.max(F.when(F.col("n") == n_val, F.col(c)))  # noqa: E731
+    wide = stats.groupBy("doc_id").agg(
+        F.round(
+            F.lit(1.0) - pick(2, "n_distinct") / pick(2, "total"), 6
+        ).alias("dup_2gram_frac"),
+        F.round(
+            F.lit(1.0) - pick(3, "n_distinct") / pick(3, "total"), 6
+        ).alias("dup_3gram_frac"),
+        F.round(pick(2, "mx") * F.lit(1.0) / pick(2, "total"), 6).alias(
+            "top_2gram_frac"
+        ),
+    )
+    return wide.select(
+        "doc_id",
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        "top_2gram_frac",
+        (
+            (F.col("dup_2gram_frac") <= 0.2)
+            & (F.col("dup_3gram_frac") <= 0.18)
+            & (F.col("top_2gram_frac") <= 0.2)
+        ).alias("gopher_pass"),
+    )
+
+
+@register(
+    "lang_token_budget_sample",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR) || ':tb') AS h
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, lang, n_tok,
+             CAST(SUM(n_tok) OVER (
+               PARTITION BY lang ORDER BY h ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tok
+      FROM scored
+    )
+    SELECT doc_id, lang, n_tok, cum_tok
+    FROM cum WHERE cum_tok - n_tok < 2000
+    """,
+)
+def lang_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling per language: admit documents in a
+    deterministic pseudo-random order (salted md5 of doc_id) until each
+    language's cumulative token count crosses a 2000-token budget — the
+    mixture-allocation step of corpus construction (sample N tokens per
+    language/domain, not N documents, so verbose languages don't crowd
+    the mixture).
+
+    One running-sum window per language partition (uniform keys, no
+    global sort) over per-row token counts; the admit rule
+    ``cum - n_tok < budget`` takes the straddling document, so every
+    language with any data reaches its budget.  Fully deterministic:
+    the same corpus always yields the same sample, independent of
+    partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        token_count(tokenize(F.col("text"))).alias("n_tok"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":tb"))).alias("h"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.asc("h"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = scored.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return cum.where(F.col("cum_tok") - F.col("n_tok") < 2000).select(
+        "doc_id", "lang", "n_tok", "cum_tok"
+    )
+
+
+@register(
+    "doc_dup_spans",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS arr
+      FROM documents
+    ), wins AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(arr) - 6),
+               i -> array_to_string(arr[i : i + 7], ' ')
+             )) AS gram
+      FROM toks WHERE len(arr) >= 8
+    ), multi AS (
+      SELECT gram FROM wins GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT w.doc_id,
+           COUNT(*) AS n_windows,
+           CAST(SUM(CASE WHEN m.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           ROUND(SUM(CASE WHEN m.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS dup_span_frac
+    FROM wins w LEFT JOIN multi m ON w.gram = m.gram
+    GROUP BY w.doc_id
+    """,
+)
+def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detection — the fixed-width
+    approximation of exact-substring dedup (Lee et al. 2022): slide an
+    8-token window over every document, find windows that occur in TWO
+    OR MORE distinct documents, and report per document how much of it
+    is made of such shared spans.  High ``dup_span_frac`` docs are
+    boilerplate/templates that survive document-level dedup.
+
+    Three uniform shuffles: window counts keyed by gram (map-side
+    combined), the multi-doc filter joined back on gram, the per-doc
+    rollup keyed by doc_id.  No all-pairs anything — cost is linear in
+    corpus windows; the one skew risk (a mega-common window) only fans
+    into the JOIN side, where it is a semi-join-shaped left join
+    against a deduplicated gram list."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("arr")).where(
+        F.size("arr") >= 8
+    )
+    wins = toks.select(
+        "doc_id", F.explode(ngrams(F.col("arr"), 8)).alias("gram")
+    )
+    wins = persist_tracked(wins)
+    multi = (
+        wins.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram", F.lit(1).alias("__hit"))
+    )
+    shared = F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+    return (
+        wins.join(multi, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            shared.cast("long").alias("n_shared"),
+            F.round(shared * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+                "dup_span_frac"
+            ),
+        )
+    )
