@@ -415,6 +415,107 @@ def pq_adc_serving_topk(
     )
 
 
+def ivfpq_adc_serving_topk(
+    spark,
+    query_vecs: list[tuple[int, list[float]]],
+    cents_rows: list,
+    codebook_rows: list,
+    codes_wide: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+    m: int = 16,
+    sub_dim: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVFADC in the serving split: coarse centroids and the residual
+    codebook are query-node metadata; cell probing, residual
+    subtraction and LUT construction all happen driver-side per
+    request, and the cluster runs ONE equi-join of the broadcast
+    (query, probed-cell, LUT) table against wide codes — the cell_id
+    key restricts the scan to probed cells by construction, then M
+    lookups per surviving candidate and a top-K window.
+
+    Per-step arithmetic (left-associated float64 dot/norm, half-up
+    9-digit rounding of the probe cosine, residual L2 chains) mirrors
+    the relational :func:`ivfpq_adc_topk` exactly, so results are
+    bitwise identical on the same stored index.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def _norm(a):
+        acc = 0.0
+        for x in a:
+            acc += x * x
+        return acc**0.5
+
+    def _r9(x):
+        # Spark's round() is HALF_UP over the shortest decimal repr
+        # (BigDecimal.valueOf); Python's round() is banker's — use
+        # Decimal to match tie behavior exactly.
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1E-9"), rounding=ROUND_HALF_UP)
+        )
+
+    cents = [
+        (int(r["cell_id"]), [float(v) for v in r["centroid"]])
+        for r in cents_rows
+    ]
+    cent = {(r["m"], r["code"]): r["sub_centroid"] for r in codebook_rows}
+    width = max(code for _, code in cent) + 1
+    lut_rows = []
+    for qid, vec in query_vecs:
+        nq = _norm(vec)
+        probes = sorted(
+            ((-_r9(_dot(vec, c) / (nq * _norm(c))), cid, c) for cid, c in cents)
+        )[:n_probe]
+        for _, cid, c in probes:
+            res = [a - b for a, b in zip(vec, c)]
+            flat = [0.0] * (m * width)
+            for (mm, code), sc in cent.items():
+                sub = res[mm * sub_dim : (mm + 1) * sub_dim]
+                d = 0.0
+                for a, b in zip(sub, sc):
+                    d += (a - b) * (a - b)
+                flat[mm * width + code] = d
+            lut_rows.append((int(qid), cid, flat))
+    import pandas as pd
+
+    lut = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                query_id: [r[0] for r in lut_rows],
+                "cell_id": [r[1] for r in lut_rows],
+                "lut": [r[2] for r in lut_rows],
+            }
+        ),
+        schema=f"{query_id} long, cell_id int, lut array<double>",
+    )
+    dist = None
+    for mm in range(m):
+        term = F.element_at(
+            "lut", F.lit(mm * width) + F.element_at("codes", mm + 1) + 1
+        )
+        dist = term if dist is None else dist + term
+    scored = codes_wide.join(F.broadcast(lut), "cell_id").select(
+        F.col(query_id),
+        F.col(cand_id),
+        F.round(dist, round_digits).alias("approx_d2"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc("approx_d2"), F.asc(cand_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivfpq_adc_topk(
     queries: DataFrame,
     candidates: DataFrame,

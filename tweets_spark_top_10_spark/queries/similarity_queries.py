@@ -816,9 +816,9 @@ def pq_adc_lloyd_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(queries, cands, k=5, codebook=refined)
 
 
-@register(
-    "ivfpq_adc_top5",
-    oracle=f"""
+# Shared verbatim by the inline-build IVFADC query and its prebuilt
+# serving twin: identical values, one oracle definition.
+_IVFPQ_ADC_ORACLE = f"""
     WITH v AS (
       SELECT vec_id, {_NORM_VEC} AS vec FROM embeddings
     ), cand AS (
@@ -896,7 +896,12 @@ def pq_adc_lloyd_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) AS BIGINT) AS rank
       FROM approx
     ) WHERE rank <= 5
-    """,
+    """
+
+
+@register(
+    "ivfpq_adc_top5",
+    oracle=_IVFPQ_ADC_ORACLE,
 )
 def ivfpq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ composition (IVFADC, Jegou'11 §IV): coarse cells prune
@@ -1143,4 +1148,86 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("component", "vec_id").alias("cluster"),
             (F.coalesce("component", "vec_id") == F.col("vec_id")).alias("keep"),
         )
+    )
+
+
+def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Build-once the IVFADC index artifacts — coarse centroids (16
+    metadata rows), residual codebook, wide codes tagged with their
+    cell — and return their parquet paths.  Offline half of
+    ``ivfpq_adc_top5_prebuilt``; candidate-side pipeline is exactly
+    ``functions/pq.ivfpq_adc_topk``'s (deterministic strided books,
+    rounded argmins), so rebuilds are byte-stable and the value oracle
+    is ``ivfpq_adc_top5``'s."""
+    from tweets_spark_top_10_spark.functions.pq import (
+        pq_codebook,
+        pq_codes_wide,
+        pq_encode,
+    )
+    from tweets_spark_top_10_spark.functions.similarity import (
+        ivf_assign_cells,
+        ivf_centroids,
+    )
+
+    base = _pq_index_dir(sf_dir)
+    paths = {
+        n: str(base / n)
+        for n in ("ivfpq_cents", "ivfpq_codebook", "ivfpq_codes_wide")
+    }
+    if not all((base / n / "_SUCCESS").exists() for n in paths):
+        emb = load_table(spark, sf_dir, "embeddings")
+        cands = _normed(emb, "neighbor_id", 10, None).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        cents = ivf_centroids(cands, "neighbor_id")
+        cents.write.mode("overwrite").parquet(paths["ivfpq_cents"])
+        cents = spark.read.parquet(paths["ivfpq_cents"])
+        assigned = ivf_assign_cells(cands, cents, "neighbor_id", n_probe=1)
+        residual = F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda a, b: a.cast("double") - b.cast("double"),
+        )
+        cand_res = persist_tracked(
+            assigned.join(
+                F.broadcast(cents.withColumnRenamed("cell_id", "__cc")),
+                F.col("cell_id") == F.col("__cc"),
+            ).select(F.col("neighbor_id"), F.col("cell_id"), residual.alias("res"))
+        )
+        cb = pq_codebook(cand_res, "neighbor_id", "res")
+        cb.write.mode("overwrite").parquet(paths["ivfpq_codebook"])
+        cb = spark.read.parquet(paths["ivfpq_codebook"])
+        codes = pq_encode(cand_res, cb, "neighbor_id", "res")
+        pq_codes_wide(codes).join(
+            cand_res.select("neighbor_id", "cell_id"), "neighbor_id"
+        ).write.mode("overwrite").parquet(paths["ivfpq_codes_wide"])
+    return paths["ivfpq_cents"], paths["ivfpq_codebook"], paths["ivfpq_codes_wide"]
+
+
+@register(
+    "ivfpq_adc_top5_prebuilt",
+    oracle=_IVFPQ_ADC_ORACLE,
+)
+def ivfpq_adc_top5_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-5 against the PREBUILT two-level index
+    (:func:`ensure_ivfpq_index`): centroids + residual codebook are
+    driver-cached metadata; the query probes its 4 cells, subtracts
+    residuals and builds per-cell LUTs at the query node; the cluster
+    runs one cell-keyed equi-join over wide codes
+    (``functions/pq.ivfpq_adc_serving_topk``).  Serving-cost twin of
+    ``ivfpq_adc_top5`` (~4s inline at sf0.1 = index construction):
+    identical values, same oracle."""
+    from tweets_spark_top_10_spark.functions.pq import ivfpq_adc_serving_topk
+
+    cents_path, cb_path, codes_path = ensure_ivfpq_index(spark, sf_dir)
+    for pth in (cents_path, cb_path):
+        if pth not in _CODEBOOK_ROWS:
+            _CODEBOOK_ROWS[pth] = spark.read.parquet(pth).collect()
+    return ivfpq_adc_serving_topk(
+        spark,
+        query_vecs=_query_batch(sf_dir),
+        cents_rows=_CODEBOOK_ROWS[cents_path],
+        codebook_rows=_CODEBOOK_ROWS[cb_path],
+        codes_wide=spark.read.parquet(codes_path),
+        k=5,
     )
