@@ -155,3 +155,43 @@ def test_avro_codec_roundtrip_property(recs, codec):
     assert len(got) == len(recs)
     for want, have in zip(recs, got):
         assert have == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Star-contraction CC == a trivial driver-side union-find on
+    arbitrary random graphs (self-loops, duplicates, disjoint bits):
+    every node must be labeled with the minimum id reachable from it.
+    Property-based gate for the Kiveris'14 rewrite — the oracle queries
+    only cover near-dup-shaped graphs; this covers adversarial ones."""
+    from tweets_spark_top_10_spark.functions.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    assert got == want
