@@ -33,6 +33,7 @@ CROSS_JOIN_OK = {
     "pq_adc_top5_prebuilt",  # broadcast 10-row query-LUT x wide-codes scan
     "opq_adc_top5_prebuilt",  # same serving shape, permuted space
     "semantic_dedup_keep",  # broadcast centroid assignment (<=16 rows)
+    "lang_mixture_weights",  # broadcast 1-row total into the share computation
 }
 
 

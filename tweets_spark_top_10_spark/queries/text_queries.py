@@ -1571,3 +1571,177 @@ def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "curriculum_interleave",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             md5(CAST(doc_id AS VARCHAR) || ':cur') AS h
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY h ASC, doc_id ASC
+             ) AS BIGINT) AS slot
+      FROM scored
+    )
+    SELECT doc_id, lang, slot,
+           CAST(ROW_NUMBER() OVER (ORDER BY slot ASC, lang ASC, doc_id ASC)
+                AS BIGINT) AS position
+    FROM ranked
+    """,
+)
+def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fair language interleaving for training order: shuffle each
+    language deterministically (salted hash), then emit round-robin —
+    slot 1 of every language first, then slot 2, ... — so a consumer
+    reading in ``position`` order never sees a long monolingual run
+    regardless of how skewed the language mix is.
+
+    No single-partition window anywhere: the per-language rank and the
+    within-slot rank are both partitioned windows (uniform keys), and
+    the dense global position is within-slot rank + a cumulative
+    offset joined from the per-slot size table — which has one row per
+    slot (= max docs in any one language), metadata-sized, so ITS
+    running sum is the only unpartitioned window and it never sees
+    data volume."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cur"))).alias("h"),
+    )
+    slot_w = Window.partitionBy("lang").orderBy(F.asc("h"), F.asc("doc_id"))
+    ranked = persist_tracked(
+        scored.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(slot_w).cast("long").alias("slot"),
+        )
+    )
+    # Offsets: docs in earlier slots. One row per slot; the running sum
+    # runs over slot COUNT rows, not document rows.
+    off_w = (
+        Window.orderBy("slot").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranked.groupBy("slot")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("offset", F.coalesce(F.sum("n").over(off_w), F.lit(0)))
+        .select("slot", "offset")
+    )
+    in_slot_w = Window.partitionBy("slot").orderBy(F.asc("lang"), F.asc("doc_id"))
+    return (
+        ranked.join(F.broadcast(offsets), "slot")
+        .select(
+            "doc_id",
+            "lang",
+            "slot",
+            (F.row_number().over(in_slot_w) + F.col("offset"))
+            .cast("long")
+            .alias("position"),
+        )
+    )
+
+
+@register(
+    "lang_mixture_weights",
+    oracle=r"""
+    WITH tok AS (
+      SELECT lang,
+             CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                      t -> t <> ''))) AS BIGINT) AS n_tok
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT SUM(n_tok) AS total, COUNT(*) AS n_langs FROM tok
+    )
+    SELECT lang, n_tok,
+           ROUND(n_tok * 1.0 / total, 6) AS actual_share,
+           ROUND(1.0 / n_langs, 6) AS target_share,
+           ROUND((1.0 / n_langs) / (n_tok * 1.0 / total), 6) AS weight
+    FROM tok CROSS JOIN tot
+    """,
+)
+def lang_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture re-weighting: per-language token share vs a uniform
+    target, emitting the sampling weight (target/actual) a weighted
+    sampler applies to hit the target token distribution — the
+    DoReMi-without-the-proxy-model baseline every mixture pipeline
+    starts from.
+
+    One map-side-combined aggregate per language plus a broadcast of
+    the one-row total; output is |languages| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("lang").agg(
+        F.sum(token_count(tokenize(F.col("text")))).alias("n_tok")
+    )
+    tot = tok.agg(
+        F.sum("n_tok").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    actual = F.col("n_tok") * F.lit(1.0) / F.col("total")
+    target = F.lit(1.0) / F.col("n_langs")
+    return tok.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tok",
+        F.round(actual, 6).alias("actual_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(target / actual, 6).alias("weight"),
+    )
+
+
+@register(
+    "doc_length_batches",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR) || ':lb') AS h
+      FROM documents
+    ), bucketed AS (
+      SELECT doc_id, n_tok, h,
+             CAST(CASE WHEN n_tok < 32 THEN 0
+                       WHEN n_tok < 64 THEN 1
+                       WHEN n_tok < 128 THEN 2
+                       ELSE 3 END AS BIGINT) AS bucket
+      FROM toks
+    )
+    SELECT doc_id, n_tok, bucket,
+           CAST((ROW_NUMBER() OVER (
+             PARTITION BY bucket ORDER BY h ASC, doc_id ASC
+           ) - 1) // 16 AS BIGINT) AS batch_idx
+    FROM bucketed
+    """,
+)
+def doc_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching: group documents into [0,32), [32,64),
+    [64,128), [128,∞) token buckets and deal each bucket's docs (in
+    deterministic salted-hash order) into fixed-size batches of 16 —
+    the padding-efficiency trick: batches hold similar-length
+    sequences, so pad-to-longest wastes bounded compute.
+
+    One partitioned window per bucket (4 uniform partitions here; at
+    scale the bucket count grows with the length histogram and the
+    window stays uniform).  Fully deterministic batch assignment."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        token_count(tokenize(F.col("text"))).alias("n_tok"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":lb"))).alias("h"),
+    )
+    bucket = (
+        F.when(F.col("n_tok") < 32, 0)
+        .when(F.col("n_tok") < 64, 1)
+        .when(F.col("n_tok") < 128, 2)
+        .otherwise(3)
+    )
+    b = toks.withColumn("bucket", bucket.cast("long"))
+    w = Window.partitionBy("bucket").orderBy(F.asc("h"), F.asc("doc_id"))
+    return b.select(
+        "doc_id",
+        "n_tok",
+        "bucket",
+        F.floor((F.row_number().over(w) - 1) / 16).cast("long").alias("batch_idx"),
+    )
