@@ -1487,3 +1487,187 @@ def synthetic_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("total_value"),
         F.count_distinct("user_id").alias("nd_users"),
     )
+
+
+@register(
+    "nation_pair_trade_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    WHERE sn.n_nationkey <> cn.n_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped six-table join: cross-border trade volume per
+    (supplier nation, customer nation, ship year).
+
+    Join topology for scale: supplier+nation and customer+nation are
+    pre-reduced to key→nation maps and BROADCAST (both dimension-sized);
+    the only shuffle is the lineitem→orders fact-fact equi-join on
+    orderkey.  The two nation lookups use the SAME dimension table
+    twice under different aliases — Catalyst plans them as two
+    independent broadcasts, no self-join shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cust_nation = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select(
+        "c_custkey",
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select(
+        "s_suppkey",
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_custkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    return (
+        fact.join(F.broadcast(cust_nation), fact.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), fact.l_suppkey == F.col("s_suppkey"))
+        .where(F.col("s_nk") != F.col("c_nk"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "returned_item_losses",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS lost_revenue,
+           COUNT(*) AS n_returned
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY lost_revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: top-20 customers by
+    revenue lost to returns.  The returnflag filter pushes to the
+    lineitem scan (PushedFilters), the customer/nation dims broadcast,
+    and the ordered top-20 plans as TakeOrderedAndProject — no global
+    sort materializes."""
+    from tweets_spark_top_10_spark.operators.topk import top_k
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dims = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "n_name")
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_custkey", "l_extendedprice", "l_discount"
+    )
+    agg = (
+        fact.join(F.broadcast(dims), fact.o_custkey == dims.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("lost_revenue"),
+            F.count(F.lit(1)).alias("n_returned"),
+        )
+    )
+    return top_k(agg, [F.desc("lost_revenue"), F.asc("c_custkey")], k=20)
+
+
+@register(
+    "user_conversion_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           (c.user_id IS NOT NULL) AS reached_click,
+           (p.user_id IS NOT NULL) AS converted
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> first click at-or-after the
+    first view -> first purchase at-or-after that click): the sequence
+    constraint makes this a chain of three keyed MIN aggregates, each
+    stage's threshold joined into the next stage's filter — no window
+    over full event history, no per-user event collection.
+
+    Scale: three shuffles, all keyed by user_id (uniform); each stage's
+    input shrinks to users who survived the previous stage.  The same
+    chain extends to any funnel depth."""
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.col("t_click").isNotNull().alias("reached_click"),
+            F.col("t_purchase").isNotNull().alias("converted"),
+        )
+    )
