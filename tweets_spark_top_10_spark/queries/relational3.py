@@ -1671,3 +1671,68 @@ def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t_purchase").isNotNull().alias("converted"),
         )
     )
+
+
+@register(
+    "user_hourly_ohlc",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, value, ts, event_id
+      FROM events
+    ), rn AS (
+      SELECT user_id, hour, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, hour ORDER BY ts ASC, event_id ASC
+             ) AS ra,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, hour ORDER BY ts DESC, event_id DESC
+             ) AS rd
+      FROM e
+    )
+    SELECT user_id, hour,
+           ROUND(MAX(CASE WHEN ra = 1 THEN value END), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(MAX(CASE WHEN rd = 1 THEN value END), 6) AS close,
+           COUNT(*) AS n_events
+    FROM rn GROUP BY user_id, hour
+    """,
+)
+def user_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling bars per (user, hour) — the time-series
+    compaction that turns raw event streams into fixed-rate features
+    (open/close need event ORDER, high/low are plain aggregates).
+
+    Open/close come from first/last row numbers with a full (ts,
+    event_id) tie-break — ``first_value`` without a deterministic
+    order is a nondeterminism bug at any scale — then one rollup per
+    (user, hour).  Both windows and the final aggregate share the
+    (user_id, hour)-prefixed key, so AQE plans a single exchange."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    wa = Window.partitionBy("user_id", "hour").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    wd = Window.partitionBy("user_id", "hour").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    rn = e.select(
+        "user_id",
+        "hour",
+        "value",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return rn.groupBy("user_id", "hour").agg(
+        F.round(F.max(F.when(F.col("ra") == 1, F.col("value"))), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max(F.when(F.col("rd") == 1, F.col("value"))), 6).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1745,3 +1745,67 @@ def doc_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.floor((F.row_number().over(w) - 1) / 16).cast("long").alias("batch_idx"),
     )
+
+
+@register(
+    "doc_quality_tiers",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS arr
+      FROM documents
+    ), m AS (
+      SELECT doc_id, lang,
+             len(arr) AS n_tok,
+             CASE WHEN len(arr) > 0
+                  THEN CAST(length(array_to_string(arr, '')) AS DOUBLE) / len(arr)
+                  ELSE 0.0 END AS mean_len,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                            AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS pr
+      FROM t
+    ), q AS (
+      SELECT doc_id, lang,
+             ROUND(
+               0.4 * (CASE WHEN n_tok BETWEEN 10 AND 5000 THEN 1.0
+                           WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END)
+             + 0.3 * (CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0
+                           THEN 1.0 ELSE 0.5 END)
+             + 0.3 * (1.0 - least(pr * 4.0, 1.0)), 6) AS quality
+      FROM m
+    ), tiered AS (
+      SELECT lang, quality,
+             CAST(NTILE(4) OVER (
+               PARTITION BY lang ORDER BY quality DESC, doc_id ASC
+             ) AS BIGINT) AS tier
+      FROM q
+    )
+    SELECT lang, tier, COUNT(*) AS n_docs,
+           ROUND(MIN(quality), 6) AS min_q,
+           ROUND(MAX(quality), 6) AS max_q,
+           ROUND(AVG(quality), 6) AS avg_q
+    FROM tiered GROUP BY lang, tier
+    """,
+)
+def doc_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality tiering for curriculum construction: NTILE(4) over the
+    heuristic quality score per language (deterministic tie-break on
+    doc_id), rolled up to per-(lang, tier) count/min/max/mean — the
+    "train on top quartiles first, anneal on tier 1" selection table.
+
+    One partitioned window (uniform language keys) + one rollup; the
+    score itself is the same fixed blend ``doc_quality`` gates."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    q = docs.select(
+        "doc_id", "lang", quality_score(F.col("text"), toks).alias("quality")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), F.asc("doc_id"))
+    tiered = q.select("lang", "quality", F.ntile(4).over(w).cast("long").alias("tier"))
+    return tiered.groupBy("lang", "tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("quality"), 6).alias("min_q"),
+        F.round(F.max("quality"), 6).alias("max_q"),
+        F.round(F.avg("quality"), 6).alias("avg_q"),
+    )
