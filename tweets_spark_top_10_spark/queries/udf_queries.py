@@ -331,3 +331,129 @@ def embedding_arrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return emb.mapInArrow(l2_batches, schema="vec_id long, l2 double")
+
+
+@register(
+    "label_centroids_arrow",
+    oracle="""
+    WITH expanded AS (
+      SELECT label,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val,
+             unnest(range(0, len(embedding))) AS pos
+      FROM embeddings
+    )
+    SELECT label, CAST(pos AS BIGINT) AS pos, ROUND(AVG(val), 6) AS avg_val
+    FROM expanded
+    GROUP BY label, pos
+    """,
+)
+def label_centroids_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid via ``applyInArrow`` grouped-map — the
+    pandas-free Arrow table surface (Spark 4): the group's embedding
+    column arrives as an Arrow ListArray whose values buffer reshapes
+    zero-copy into the (rows, dim) matrix, no pandas object boxing at
+    all.  Same oracle as ``label_centroids`` / ``label_centroids_pandas``
+    — three implementations of one contract, one value gate each."""
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def centroid(tbl: pa.Table) -> pa.Table:
+        col = tbl.column("embedding").combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        mat = flat.reshape(len(tbl), -1)
+        mean = np.round(mat.mean(axis=0), 6)
+        dim = mat.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(
+                    [tbl.column("label")[0].as_py()] * dim, pa.int32()
+                ),
+                "pos": pa.array(np.arange(dim, dtype=np.int64)),
+                "avg_val": pa.array(mean),
+            }
+        )
+
+    return emb.groupBy("label").applyInArrow(
+        centroid, schema="label int, pos long, avg_val double"
+    )
+
+
+@register(
+    "nation_balance_drift_ks",
+    oracle="""
+    WITH a AS (
+      SELECT c_nationkey AS k, CAST(c_acctbal AS DOUBLE) AS x FROM customer
+    ), b AS (
+      SELECT s_nationkey AS k, CAST(s_acctbal AS DOUBLE) AS x FROM supplier
+    ), sizes AS (
+      SELECT k, na, nb FROM
+        (SELECT k, COUNT(*) AS na FROM a GROUP BY k) ta
+        JOIN (SELECT k, COUNT(*) AS nb FROM b GROUP BY k) tb USING (k)
+    ), u AS (
+      SELECT k, x, 1 AS ia, 0 AS ib FROM a
+      UNION ALL
+      SELECT k, x, 0, 1 FROM b
+    ), c AS (
+      SELECT u.k, u.x,
+             SUM(ia) OVER (PARTITION BY u.k ORDER BY x) AS ca,
+             SUM(ib) OVER (PARTITION BY u.k ORDER BY x) AS cb,
+             s.na, s.nb
+      FROM u JOIN sizes s ON s.k = u.k
+    )
+    SELECT k AS nationkey,
+           CAST(MAX(na) AS BIGINT) AS n_cust,
+           CAST(MAX(nb) AS BIGINT) AS n_supp,
+           ROUND(MAX(ABS(ca * 1.0 / na - cb * 1.0 / nb)), 6) AS ks
+    FROM c GROUP BY k
+    """,
+)
+def nation_balance_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between customer and
+    supplier balance distributions per nation — the keyed distribution-
+    drift check a feature pipeline runs between snapshots, done through
+    the COGROUP surface: ``customer.groupBy(nation) .cogroup(supplier
+    .groupBy(nation)).applyInPandas`` hands both sides of each key to
+    one Arrow-batched function (numpy searchsorted CDFs), no join
+    materializing the union.
+
+    The oracle replays KS relationally: tag each side, cumulative
+    RANGE-framed counts over the ordered union (ties included — the
+    default ORDER BY frame), max CDF gap.  Keys missing either side
+    carry no statistic and are dropped on both engines."""
+    import numpy as np
+
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    a = cust.select(
+        F.col("c_nationkey").alias("k"), F.col("c_acctbal").cast("double").alias("x")
+    )
+    b = supp.select(
+        F.col("s_nationkey").alias("k"), F.col("s_acctbal").cast("double").alias("x")
+    )
+
+    def ks(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"nationkey": [], "n_cust": [], "n_supp": [], "ks": []}
+            ).astype({"nationkey": "int64", "n_cust": "int64",
+                      "n_supp": "int64", "ks": "float64"})
+        xa = np.sort(left["x"].to_numpy(dtype="float64"))
+        xb = np.sort(right["x"].to_numpy(dtype="float64"))
+        support = np.union1d(xa, xb)
+        ca = np.searchsorted(xa, support, side="right")
+        cb = np.searchsorted(xb, support, side="right")
+        gap = np.max(np.abs(ca * 1.0 / len(xa) - cb * 1.0 / len(xb)))
+        return pd.DataFrame(
+            {
+                "nationkey": [int(left["k"].iloc[0])],
+                "n_cust": [len(xa)],
+                "n_supp": [len(xb)],
+                "ks": [round(float(gap), 6)],
+            }
+        )
+
+    return a.groupBy("k").cogroup(b.groupBy("k")).applyInPandas(
+        ks, schema="nationkey long, n_cust long, n_supp long, ks double"
+    )
