@@ -282,3 +282,28 @@ def test_serving_path_matches_inline_adc(spark, sf_dir):
         prebuilt = sorted(map(tuple, QUERIES[pre](spark, sf_dir).collect()))
         inline = sorted(map(tuple, QUERIES[inl](spark, sf_dir).collect()))
         assert prebuilt == inline, pre
+
+
+def test_prebuilt_index_invalidates_on_corpus_change(tmp_path, spark, sf_dir):
+    """The prebuilt-index cache dir must change when the underlying
+    embeddings file changes (regenerated fixtures at the same path
+    must NOT serve a stale index)."""
+    import shutil
+
+    from tweets_spark_top_10_spark.queries.similarity_queries import (
+        _pq_index_dir,
+    )
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/embeddings.parquet", src / "embeddings.parquet")
+    d1 = _pq_index_dir(str(src))
+    # touch -> new mtime -> new fingerprint
+    import os
+    import time
+
+    os.utime(src / "embeddings.parquet", (time.time() + 10, time.time() + 10))
+    d2 = _pq_index_dir(str(src))
+    assert d1 != d2
+    # stable when nothing changed
+    assert _pq_index_dir(str(src)) == d2

@@ -1940,3 +1940,49 @@ def test_streaming_grouped_heavy_hitters_matches_batch(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_grouped_mg_merge_recovers_from_stale_swap_dirs(spark, sf_dir, tmp_path):
+    """Crash-recovery for the grouped MG swap: a crash that left (a)
+    only the aside dir, or (b) a half-written staging dir, must not
+    lose or double-count state — the next merge restores/clears and
+    converges to the same summary a clean run produces."""
+    import os
+    import shutil
+
+    from tweets_spark_top_10_spark.functions.text import tokenize
+    from tweets_spark_top_10_spark.streaming.heavy_hitters import (
+        merge_mg_batch_grouped,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    batch = docs.select(
+        "lang", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+
+    def canon(path):
+        rows = [tuple(r) for r in spark.read.parquet(path).collect()]
+        return sorted(rows, key=lambda t: tuple((x is None, x) for x in t))
+
+    clean = str(tmp_path / "clean")
+    merge_mg_batch_grouped(spark, batch, clean, "lang", capacity=64)
+    merge_mg_batch_grouped(spark, batch, clean, "lang", capacity=64)
+    want = canon(clean)
+
+    # (a) crash after live was renamed aside but before stage promoted
+    crashed = str(tmp_path / "crashed")
+    merge_mg_batch_grouped(spark, batch, crashed, "lang", capacity=64)
+    os.rename(crashed, crashed + "__old")
+    merge_mg_batch_grouped(spark, batch, crashed, "lang", capacity=64)
+    assert canon(crashed) == want
+    assert not os.path.exists(crashed + "__old")
+
+    # (b) stale half-written staging dir must be cleared, not promoted
+    crashed2 = str(tmp_path / "crashed2")
+    merge_mg_batch_grouped(spark, batch, crashed2, "lang", capacity=64)
+    os.makedirs(crashed2 + "__stage")
+    with open(crashed2 + "__stage/garbage.parquet", "w") as fh:
+        fh.write("not parquet")
+    merge_mg_batch_grouped(spark, batch, crashed2, "lang", capacity=64)
+    assert canon(crashed2) == want
+    assert not os.path.exists(crashed2 + "__stage")

@@ -488,12 +488,31 @@ def pq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_index_dir(sf_dir: str) -> "Path":
-    """Deterministic on-disk location for the prebuilt PQ index of one
-    scale factor (codebook + codes parquet)."""
+    """Deterministic on-disk location for the prebuilt indexes of one
+    scale factor.  The directory name embeds a fingerprint of the
+    source embeddings parquet (sizes + mtimes of its data files), so a
+    REGENERATED corpus at the same path gets a fresh index instead of
+    silently serving stale codes — the failure mode that would
+    otherwise poison every ``*_prebuilt`` result."""
+    import hashlib
+    import os
     import tempfile
     from pathlib import Path
 
-    return Path(tempfile.gettempdir()) / f"sg_pq_index_{Path(sf_dir).name}"
+    src = Path(sf_dir) / "embeddings.parquet"
+    h = hashlib.md5()
+    try:
+        targets = (
+            sorted(src.iterdir()) if src.is_dir() else [src]
+        )
+        for p in targets:
+            st = os.stat(p)
+            h.update(f"{p.name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    except OSError:
+        h.update(b"missing")
+    return Path(tempfile.gettempdir()) / (
+        f"sg_pq_index_{Path(sf_dir).name}_{h.hexdigest()[:12]}"
+    )
 
 
 def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

@@ -125,9 +125,15 @@ def maintain_heavy_hitters(
     )
 
 
-def _swap_in(table_path: str, write) -> None:
-    """Atomic stage → aside → live replacement for a summary dir, with
-    crash recovery (same protocol as :func:`merge_mg_batch`)."""
+def _recover(table_path: str) -> None:
+    """Crash recovery for the swap protocol (same as
+    :func:`merge_mg_batch`): a crash between the two renames leaves
+    the only valid summary in the aside dir — restore it; a
+    half-written staging dir is garbage — drop it.  MUST run before
+    the stored summary is READ, not just before it is replaced (a
+    post-read recovery silently merges against an empty live dir and
+    halves the state — caught by
+    ``test_grouped_mg_merge_recovers_from_stale_swap_dirs``)."""
     aside = table_path.rstrip("/") + "__old"
     staging = table_path.rstrip("/") + "__stage"
     if os.path.exists(aside):
@@ -137,6 +143,13 @@ def _swap_in(table_path: str, write) -> None:
             shutil.rmtree(aside)
     if os.path.exists(staging):
         shutil.rmtree(staging)
+
+
+def _swap_in(table_path: str, write) -> None:
+    """Atomic stage → aside → live replacement for a summary dir."""
+    aside = table_path.rstrip("/") + "__old"
+    staging = table_path.rstrip("/") + "__stage"
+    _recover(table_path)
     write(staging)
     if os.path.exists(table_path):
         os.rename(table_path, aside)
@@ -166,6 +179,7 @@ def merge_mg_batch_grouped(
     """
     from pyspark.sql import Window
 
+    _recover(table_path)  # BEFORE reading state, not just before swap
     batch_df = batch_df.where(
         F.col(group_col).isNotNull() & F.col(token_col).isNotNull()
     )
