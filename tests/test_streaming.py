@@ -1986,3 +1986,114 @@ def test_grouped_mg_merge_recovers_from_stale_swap_dirs(spark, sf_dir, tmp_path)
     merge_mg_batch_grouped(spark, batch, crashed2, "lang", capacity=64)
     assert canon(crashed2) == want
     assert not os.path.exists(crashed2 + "__stage")
+
+
+def test_kafka_replay_source_exactly_once_and_payload_parity(
+    spark, sf_dir, tmp_path
+):
+    """The jar-free kafka_replay Python DataSource must deliver the
+    Kafka source contract: 6-column schema, per-partition dense
+    offsets, every payload exactly once, and kafka_json_values
+    decoding identical rows to the original batch.  Files appended
+    after a drain are picked up from the checkpoint (offset resume)
+    with no re-delivery of committed offsets."""
+    import json
+    import os
+
+    from tweets_spark_top_10_spark.sources.pyds import (
+        register_kafka_replay,
+        write_kafka_replay_dump,
+    )
+    from tweets_spark_top_10_spark.streaming import kafka_json_values
+
+    events = load_table(spark, sf_dir, "events").limit(300)
+    payloads = [
+        r["v"]
+        for r in events.select(
+            F.to_json(
+                F.struct("event_id", "user_id", "event_type", "value")
+            ).alias("v")
+        ).collect()
+    ]
+    root = str(tmp_path / "topic_dump")
+    write_kafka_replay_dump(payloads[:200], root, n_partitions=3)
+
+    register_kafka_replay(spark)
+    stream = (
+        spark.readStream.format("kafka_replay")
+        .option("path", root)
+        .option("topic", "tweets")
+        .load()
+    )
+    schema = "event_id long, user_id long, event_type string, value double"
+    decoded = kafka_json_values(stream, T._parse_datatype_string(schema))
+    ckpt = str(tmp_path / "kr_ckpt")
+    out = str(tmp_path / "kr_out")
+
+    def drain():
+        q = (
+            decoded.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def expected(ps):
+        return sorted(
+            tuple(json.loads(p)[k]
+                  for k in ("event_id", "user_id", "event_type", "value"))
+            for p in ps
+        )
+
+    drain()
+    got1 = spark.read.parquet(out).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    assert sorted(map(tuple, got1.collect())) == expected(payloads[:200])
+
+    # raw contract columns: offsets dense per partition
+    raw_q = (
+        spark.readStream.format("kafka_replay")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("kr_raw")
+        .trigger(availableNow=True)
+        .start()
+    )
+    raw_q.awaitTermination()
+    raw = spark.table("kr_raw")
+    assert set(raw.columns) == {
+        "key", "value", "topic", "partition", "offset", "timestamp"
+    }
+    per_part = (
+        raw.groupBy("partition")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("offset").alias("lo"), F.max("offset").alias("hi"))
+        .collect()
+    )
+    assert len(per_part) == 3
+    for r in per_part:
+        assert r["lo"] == 0 and r["hi"] == r["n"] - 1
+
+    # append more records -> resume from checkpoint, no re-delivery
+    by_part: dict[int, int] = {}
+    for i, _ in enumerate(payloads[:200]):
+        by_part[i % 3] = by_part.get(i % 3, 0) + 1
+    for j, p in enumerate(payloads[200:]):
+        part = j % 3
+        start = by_part.get(part, 0)
+        path = os.path.join(
+            root, f"partition={part}", f"{start}-{start + 1}.jsonl"
+        )
+        with open(path, "w") as fh:
+            fh.write(p + "\n")
+        by_part[part] = start + 1
+    drain()
+    got2 = spark.read.parquet(out).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    # exactly once across BOTH drains: 300 rows total, no duplicates
+    assert sorted(map(tuple, got2.collect())) == expected(payloads)

@@ -86,8 +86,9 @@ def kafka_stream(
         raise KafkaConnectorUnavailable(
             "spark-sql-kafka connector not on the classpath; deploy with "
             "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark "
-            "version>, or use streaming.sources.file_stream to replay "
-            "captured payloads"
+            "version>, or replay a captured topic with the jar-free "
+            "format('kafka_replay') source (sources/pyds.py) / "
+            "streaming.sources.file_stream"
         ) from exc
 
 
