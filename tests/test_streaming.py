@@ -2097,3 +2097,61 @@ def test_kafka_replay_source_exactly_once_and_payload_parity(
     )
     # exactly once across BOTH drains: 300 rows total, no duplicates
     assert sorted(map(tuple, got2.collect())) == expected(payloads)
+
+
+def test_streaming_semantic_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Incrementally maintained semantic-dedup state == the batch
+    semantic_dedup_keep pipeline: drain the vector corpus in 3
+    micro-batches against the same fixed coarse quantizer, then the
+    state-derived (id, cluster, keep) must match the batch query
+    row-for-row.  Draining the SAME data again (duplicate delivery)
+    must leave the state unchanged."""
+    from tweets_spark_top_10_spark.functions.similarity import ivf_centroids
+    from tweets_spark_top_10_spark.queries.catalog import QUERIES
+    from tweets_spark_top_10_spark.streaming.semantic_dedup import (
+        maintain_semantic_dedup,
+        semantic_clusters_from_state,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    cents = ivf_centroids(vecs, cand_id="vec_id", vec_col="vec")
+
+    pdf = vecs.toPandas().sort_values("vec_id").reset_index(drop=True)
+    third = len(pdf) // 3
+    src = tmp_path / "vec_stream"
+    src.mkdir()
+    pdf.iloc[:third].to_parquet(src / "b1.parquet", index=False)
+    pdf.iloc[third : 2 * third].to_parquet(src / "b2.parquet", index=False)
+    pdf.iloc[2 * third :].to_parquet(src / "b3.parquet", index=False)
+
+    stream = file_stream(
+        spark, str(src), vecs.schema, max_files_per_trigger=1
+    )
+    cells = str(tmp_path / "sd_cells")
+    pairs = str(tmp_path / "sd_pairs")
+    q = maintain_semantic_dedup(
+        stream, cents, cells, pairs, checkpoint=str(tmp_path / "sd_ckpt")
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        map(tuple, semantic_clusters_from_state(spark, cells, pairs).collect())
+    )
+    want = sorted(
+        map(tuple, QUERIES["semantic_dedup_keep"](spark, sf_dir).collect())
+    )
+    assert got == want
+
+    # duplicate delivery: fresh checkpoint, same files -> same state
+    q2 = maintain_semantic_dedup(
+        stream, cents, cells, pairs, checkpoint=str(tmp_path / "sd_ckpt2")
+    )
+    q2.awaitTermination()
+    again = sorted(
+        map(tuple, semantic_clusters_from_state(spark, cells, pairs).collect())
+    )
+    assert again == want
