@@ -25,6 +25,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tweets_spark_top_10_spark.functions.text import tokenize
 from tweets_spark_top_10_spark.queries.registry import register
 from tweets_spark_top_10_spark.sources.registry import load_table
 
@@ -1735,4 +1736,191 @@ def user_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("low"),
         F.round(F.max(F.when(F.col("rd") == 1, F.col("value"))), 6).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "user_value_trend",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, (epoch_us(ts) - 1704067200000000) / 3600.0e6 AS x, value AS y FROM events
+    ), sums AS (
+      SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM e GROUP BY user_id HAVING COUNT(*) >= 2
+    )
+    SELECT user_id, n,
+           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
+             AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * sx)
+                 / n, 6) AS intercept
+    FROM sums
+    """,
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of value over time — closed-form
+    simple regression from raw power sums on both engines (normal
+    equations: n·Σxy−ΣxΣy over n·Σx²−(Σx)² — NOT covar_pop/var_pop,
+    whose streaming co-moment updates differ across engines at ~1e-7
+    relative and leak past 6-digit rounding via the intercept),
+    computed in ONE map-side-combined aggregate per user: the distributed form of
+    per-key model fitting (no per-key data collection, no iteration).
+
+    The x origin is pinned (fractional HOURS since 2024-01-01, derived
+    from MICROSECONDS on both engines — ``unix_timestamp`` truncates
+    sub-second time and silently shifts every x) so the intercept is a
+    number both engines derive from identical inputs;
+    users with a single event carry no slope and drop on both sides."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        (
+            (F.unix_micros("ts") - F.lit(1704067200000000)) / F.lit(3600.0e6)
+        ).alias("x"),
+        F.col("value").alias("y"),
+    )
+    sums = (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    denom = F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    return sums.select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+@register(
+    "doc_feature_hashing",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        t -> t <> '')) AS token
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             CAST((CASE substr(md5(token), 1, 1)
+                     WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2
+                     WHEN '3' THEN 3 WHEN '4' THEN 4 WHEN '5' THEN 5
+                     WHEN '6' THEN 6 WHEN '7' THEN 7 WHEN '8' THEN 8
+                     WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11
+                     WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14
+                     ELSE 15 END) * 16
+                  + (CASE substr(md5(token), 2, 1)
+                     WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2
+                     WHEN '3' THEN 3 WHEN '4' THEN 4 WHEN '5' THEN 5
+                     WHEN '6' THEN 6 WHEN '7' THEN 7 WHEN '8' THEN 8
+                     WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11
+                     WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14
+                     ELSE 15 END) AS BIGINT) AS fidx,
+             CASE WHEN substr(md5(token), 3, 1) IN
+                       ('0','1','2','3','4','5','6','7')
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks
+    ), vec AS (
+      SELECT doc_id, fidx, CAST(SUM(sgn) AS BIGINT) AS w
+      FROM feats GROUP BY doc_id, fidx
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) FILTER (WHERE w <> 0) AS BIGINT) AS nnz,
+           ROUND(SQRT(SUM(CAST(w AS DOUBLE) * w)), 6) AS l2,
+           CAST(SUM(fidx * w) AS BIGINT) AS checksum
+    FROM vec GROUP BY doc_id
+    """,
+)
+def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): every token maps to
+    one of 256 feature indices via md5 with a separate hash bit for the
+    sign, per-document sparse vectors built by signed counting — the
+    fixed-width featurization that needs NO vocabulary pass at all
+    (contrast ``doc_token_ids``), which is why it scales to unbounded
+    token spaces.
+
+    Output summarizes each sparse vector (nnz / l2 / index-weighted
+    checksum) so the driver's scalar hasher can gate it; both engines
+    derive index and sign from the same md5 hex digits."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    hexd = F.md5(F.col("token"))
+    d1 = F.conv(F.substring(hexd, 1, 2), 16, 10).cast("long")
+    sgn = F.when(
+        F.substring(hexd, 3, 1).isin(*"01234567"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    vec = (
+        toks.select("doc_id", d1.alias("fidx"), sgn.alias("sgn"))
+        .groupBy("doc_id", "fidx")
+        .agg(F.sum("sgn").cast("long").alias("w"))
+    )
+    return vec.groupBy("doc_id").agg(
+        F.count(F.when(F.col("w") != 0, 1)).cast("long").alias("nnz"),
+        F.round(F.sqrt(F.sum(F.col("w").cast("double") * F.col("w"))), 6).alias(
+            "l2"
+        ),
+        F.sum(F.col("fidx") * F.col("w")).cast("long").alias("checksum"),
+    )
+
+
+@register(
+    "event_value_winsorized",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           ROUND(AVG(e.value), 6) AS raw_mean,
+           ROUND(AVG(LEAST(GREATEST(e.value, b.lo), b.hi)), 6) AS wins_mean,
+           CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events e JOIN b ON b.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized means per event type: clip to the [p05, p95] band
+    before averaging — the outlier-robust aggregate feature pipelines
+    use instead of raw means.  Two passes: exact interpolated
+    percentile bounds per type (dimension-sized result, broadcast
+    back), then one clipped aggregate over the fact stream."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        events.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("raw_mean"),
+            F.round(F.avg(clipped), 6).alias("wins_mean"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("lo"))
+                    | (F.col("value") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clipped"),
+        )
     )
