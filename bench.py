@@ -109,7 +109,12 @@ def main() -> None:
     # the number cross-round comparison should use.  The raw
     # current-run measurement is kept alongside as `value_this_run`.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    stable = _stable_total(repo_dir, float(sf), set(timings), total)
+    # A current run with failures (-1 markers) has a deflated total —
+    # keep it out of the min so it can't become the headline.
+    clean_run = all(t >= 0 for t in timings.values())
+    stable = _stable_total(
+        repo_dir, float(sf), set(timings), total if clean_run else None
+    )
     out = {
         "metric": "catalog_total_wall",
         "value": stable if stable is not None else total,
@@ -160,13 +165,17 @@ def main() -> None:
         pass
 
 
-def _stable_total(repo_dir: str, sf: float, query_set: set, current: float):
-    """Min total across BENCH_HISTORY.jsonl runs at this sf whose query
-    set is IDENTICAL to the current catalog (older/newer catalogs are
-    not comparable), the current run included. None if no history."""
+def _stable_total(
+    repo_dir: str, sf: float, query_set: set, current: float | None
+):
+    """Min total across failure-free BENCH_HISTORY.jsonl runs at this sf
+    whose query set is IDENTICAL to the current catalog (older/newer
+    catalogs are not comparable), the current run included when it is
+    itself failure-free (pass None otherwise). None if nothing
+    comparable exists."""
     path = os.path.join(repo_dir, "BENCH_HISTORY.jsonl")
-    best = current
-    found = False
+    best = current if current is not None else float("inf")
+    found = current is not None
     try:
         with open(path) as fh:
             for line in fh:
@@ -179,6 +188,13 @@ def _stable_total(repo_dir: str, sf: float, query_set: set, current: float):
                     float(rec.get("sf", -1)) == sf
                     and isinstance(q, dict)
                     and set(q) == query_set
+                    # a run with ANY failed query (timing -1, excluded
+                    # from its total) is not comparable: its deflated
+                    # total would become the headline min forever
+                    and all(
+                        isinstance(t, (int, float)) and t >= 0
+                        for t in q.values()
+                    )
                     and isinstance(rec.get("total"), (int, float))
                 ):
                     found = True

@@ -85,8 +85,9 @@ def _driver_canon_column(s: pd.Series) -> pd.Series:
     unwrap list/array cells (those must raise)."""
     kind = s.dtype.kind
     if kind == "M":  # datetime64[any unit], tz-aware or naive
-        dt = s.dt.tz_localize(None) if getattr(s.dtype, "tz", None) else s.dt
-        return dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        if getattr(s.dtype, "tz", None) is not None:
+            s = s.dt.tz_localize(None)  # returns a Series: re-enter .dt
+        return s.dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
     if kind == "f":
         return s.map(
             lambda v: 0.0 if v == 0 else float(f"{v:.12g}"),

@@ -192,3 +192,30 @@ def test_weighted_hash_sample_properties(spark):
     # above the light rows' rate
     assert heavy_hits / (20 * 10) > 0.8
     assert light_hits / (20 * 190) < 0.25
+
+
+def test_doc_token_id_arrays_match_surrogate(spark, sf_dir):
+    """The raw array<long> vocabulary encoding must agree with the
+    registered md5-surrogate query row-for-row: re-hashing each array
+    the same way reproduces token_ids_md5 and n_tok exactly (the array
+    path stays correct even though the driver gate sees only the
+    surrogate)."""
+    from tweets_spark_top_10_spark.queries.catalog import QUERIES
+    from tweets_spark_top_10_spark.queries.text_queries import (
+        doc_token_id_arrays,
+    )
+
+    arrays = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_oov"])
+        for r in doc_token_id_arrays(spark, sf_dir).collect()
+    }
+    surrogate = QUERIES["doc_token_ids"](spark, sf_dir).collect()
+    assert len(surrogate) == len(arrays) > 0
+    import hashlib
+
+    for row in surrogate:
+        ids, n_oov = arrays[row["doc_id"]]
+        md5 = hashlib.md5(" ".join(map(str, ids)).encode()).hexdigest()
+        assert row["token_ids_md5"] == md5
+        assert row["n_tok"] == len(ids)
+        assert row["n_oov"] == n_oov

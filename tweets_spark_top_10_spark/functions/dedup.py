@@ -348,7 +348,7 @@ def connected_components(
     point at 100 TB: an adversarial near-dup CHAIN (template docs each
     one edit apart) has diameter ~cluster size, and label propagation
     would run hundreds of shuffles where this runs ~10
-    (``tests/test_dedup.py::test_cc_deep_chain_converges_in_log_rounds``).
+    (``tests/test_components.py::test_cc_deep_chain_converges_in_log_rounds``).
 
     Per round: large-star hangs every neighbor LARGER than the center
     off the center's 1-hop minimum (cuts long tails onto small ids

@@ -26,7 +26,6 @@ Scale design (billions of vectors):
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -346,6 +345,45 @@ def pq_codes_wide(
     )
 
 
+def _lut_flat(
+    vec: list, cent: dict, width: int, m: int, sub_dim: int
+) -> list:
+    """One query's flat ADC lookup table (index m*width+code) from a
+    driver-held vector and codebook dict — the same left-associated
+    float64 chain ``l2_sq_unrolled`` codegens.  Shared by every serving
+    path so the bitwise-identity contract has exactly one home."""
+    flat = [0.0] * (m * width)
+    for (mm, code), sc in cent.items():
+        sub = vec[mm * sub_dim : (mm + 1) * sub_dim]
+        d = 0.0
+        for a, b in zip(sub, sc):
+            d += (a - b) * (a - b)
+        flat[mm * width + code] = d
+    return flat
+
+
+def _adc_lookup_sum(width: int, m: int) -> Column:
+    """Unrolled sum over m of lut[m*width + codes[m]] — one codegen
+    expression over a (lut, codes) row, no per-subspace fan-out."""
+    dist = None
+    for mm in range(m):
+        term = F.element_at(
+            "lut", F.lit(mm * width) + F.element_at("codes", mm + 1) + 1
+        )
+        dist = term if dist is None else dist + term
+    return dist
+
+
+def _serving_topk(
+    scored: DataFrame, k: int, query_id: str, cand_id: str
+) -> DataFrame:
+    w = Window.partitionBy(query_id).orderBy(F.asc("approx_d2"), F.asc(cand_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def pq_adc_serving_topk(
     spark,
     query_vecs: list[tuple[int, list[float]]],
@@ -375,16 +413,10 @@ def pq_adc_serving_topk(
     """
     cent = {(r["m"], r["code"]): r["sub_centroid"] for r in codebook_rows}
     width = max(code for _, code in cent) + 1
-    lut_rows = []
-    for qid, vec in query_vecs:
-        flat = [0.0] * (m * width)
-        for (mm, code), sc in cent.items():
-            sub = vec[mm * sub_dim : (mm + 1) * sub_dim]
-            d = 0.0
-            for a, b in zip(sub, sc):
-                d += (a - b) * (a - b)
-            flat[mm * width + code] = d
-        lut_rows.append((int(qid), flat))
+    lut_rows = [
+        (int(qid), _lut_flat(vec, cent, width, m, sub_dim))
+        for qid, vec in query_vecs
+    ]
     import pandas as pd
 
     # pandas -> Arrow path: ~3x faster than Py4J tuple conversion for
@@ -395,24 +427,12 @@ def pq_adc_serving_topk(
         ),
         schema=f"{query_id} long, lut array<double>",
     )
-    # Unrolled: sum over m of lut[m*width + codes[m]] — one codegen
-    # expression, no per-subspace rows.
-    dist = None
-    for mm in range(m):
-        term = F.element_at(
-            "lut", F.lit(mm * width) + F.element_at("codes", mm + 1) + 1
-        )
-        dist = term if dist is None else dist + term
     scored = codes_wide.crossJoin(F.broadcast(lut)).select(
         F.col(query_id),
         F.col(cand_id),
-        F.round(dist, round_digits).alias("approx_d2"),
+        F.round(_adc_lookup_sum(width, m), round_digits).alias("approx_d2"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.asc("approx_d2"), F.asc(cand_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return _serving_topk(scored, k, query_id, cand_id)
 
 
 def ivfpq_adc_serving_topk(
@@ -478,14 +498,9 @@ def ivfpq_adc_serving_topk(
         )[:n_probe]
         for _, cid, c in probes:
             res = [a - b for a, b in zip(vec, c)]
-            flat = [0.0] * (m * width)
-            for (mm, code), sc in cent.items():
-                sub = res[mm * sub_dim : (mm + 1) * sub_dim]
-                d = 0.0
-                for a, b in zip(sub, sc):
-                    d += (a - b) * (a - b)
-                flat[mm * width + code] = d
-            lut_rows.append((int(qid), cid, flat))
+            lut_rows.append(
+                (int(qid), cid, _lut_flat(res, cent, width, m, sub_dim))
+            )
     import pandas as pd
 
     lut = spark.createDataFrame(
@@ -498,22 +513,12 @@ def ivfpq_adc_serving_topk(
         ),
         schema=f"{query_id} long, cell_id int, lut array<double>",
     )
-    dist = None
-    for mm in range(m):
-        term = F.element_at(
-            "lut", F.lit(mm * width) + F.element_at("codes", mm + 1) + 1
-        )
-        dist = term if dist is None else dist + term
     scored = codes_wide.join(F.broadcast(lut), "cell_id").select(
         F.col(query_id),
         F.col(cand_id),
-        F.round(dist, round_digits).alias("approx_d2"),
+        F.round(_adc_lookup_sum(width, m), round_digits).alias("approx_d2"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.asc("approx_d2"), F.asc(cand_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return _serving_topk(scored, k, query_id, cand_id)
 
 
 def ivfpq_adc_topk(

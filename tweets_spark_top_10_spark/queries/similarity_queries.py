@@ -597,9 +597,7 @@ def pq_adc_top5_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The collected codebook is index METADATA a serving node caches
     # once (m*n_codes rows); re-collecting it per query would bill an
     # extra Spark job to every request for bytes that never change.
-    rows = _CODEBOOK_ROWS.get(cb_path)
-    if rows is None:
-        rows = _CODEBOOK_ROWS[cb_path] = spark.read.parquet(cb_path).collect()
+    rows = _cached_rows(spark, cb_path)
     return pq_adc_serving_topk(
         spark,
         query_vecs=_query_batch(sf_dir),
@@ -610,6 +608,19 @@ def pq_adc_top5_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CODEBOOK_ROWS: dict[str, list] = {}
+
+
+def _cached_rows(spark: SparkSession, path: str) -> list:
+    """Collect-and-cache small index-metadata tables (codebooks,
+    centroids, permutations) keyed by their fingerprinted path.
+    Bounded: corpus regeneration mints new fingerprints, so old entries
+    are evicted once the cache holds more than a handful of tables."""
+    rows = _CODEBOOK_ROWS.get(path)
+    if rows is None:
+        if len(_CODEBOOK_ROWS) > 16:
+            _CODEBOOK_ROWS.clear()
+        rows = _CODEBOOK_ROWS[path] = spark.read.parquet(path).collect()
+    return rows
 
 
 def ensure_opq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
@@ -1046,16 +1057,8 @@ def opq_adc_top5_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_spark_top_10_spark.functions.pq import pq_adc_serving_topk
 
     perm_path, cb_path, codes_path = ensure_opq_index(spark, sf_dir)
-    perm_rows = _CODEBOOK_ROWS.get(perm_path)
-    if perm_rows is None:
-        perm_rows = _CODEBOOK_ROWS[perm_path] = spark.read.parquet(
-            perm_path
-        ).collect()
-    cb_rows = _CODEBOOK_ROWS.get(cb_path)
-    if cb_rows is None:
-        cb_rows = _CODEBOOK_ROWS[cb_path] = spark.read.parquet(
-            cb_path
-        ).collect()
+    perm_rows = _cached_rows(spark, perm_path)
+    cb_rows = _cached_rows(spark, cb_path)
     qv = [
         (qid, _opq_permute_driver(perm_rows, vec))
         for qid, vec in _query_batch(sf_dir)
@@ -1239,14 +1242,11 @@ def ivfpq_adc_top5_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_spark_top_10_spark.functions.pq import ivfpq_adc_serving_topk
 
     cents_path, cb_path, codes_path = ensure_ivfpq_index(spark, sf_dir)
-    for pth in (cents_path, cb_path):
-        if pth not in _CODEBOOK_ROWS:
-            _CODEBOOK_ROWS[pth] = spark.read.parquet(pth).collect()
     return ivfpq_adc_serving_topk(
         spark,
         query_vecs=_query_batch(sf_dir),
-        cents_rows=_CODEBOOK_ROWS[cents_path],
-        codebook_rows=_CODEBOOK_ROWS[cb_path],
+        cents_rows=_cached_rows(spark, cents_path),
+        codebook_rows=_cached_rows(spark, cb_path),
         codes_wide=spark.read.parquet(codes_path),
         k=5,
     )

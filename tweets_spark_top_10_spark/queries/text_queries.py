@@ -1228,7 +1228,8 @@ def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     length — because the correctness driver's pandas canonicalizer
     cannot sort/factorize raw ``array<long>`` cells (r6 ERR).  The
     array computation itself stays under test via
-    ``doc_token_id_arrays`` (see ``tests/test_text_ops.py``).
+    ``doc_token_id_arrays`` (``tests/test_pipeline_ops.py::
+    test_doc_token_id_arrays_match_surrogate``).
 
     Scale notes: the rank-id window runs on the AGGREGATED vocabulary
     (map-side-combined groupBy first), not the corpus; the encode join
