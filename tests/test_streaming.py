@@ -2155,3 +2155,67 @@ def test_streaming_semantic_dedup_matches_batch(spark, sf_dir, tmp_path):
         map(tuple, semantic_clusters_from_state(spark, cells, pairs).collect())
     )
     assert again == want
+
+
+def test_streaming_grouped_heavy_hitters_order_independent_exactness(
+    spark, sf_dir, tmp_path
+):
+    """MG summaries are ORDER-DEPENDENT (different micro-batch order ->
+    different surviving counters), but the certify+rerank contract must
+    stay EXACT under any delivery order: drain the same corpus with the
+    batch order reversed and the per-group top-5 must still equal the
+    batch-exact answer."""
+    from tweets_spark_top_10_spark.functions.text import language_id, tokenize
+    from tweets_spark_top_10_spark.streaming.heavy_hitters import (
+        grouped_top_k_from_summary,
+        maintain_grouped_heavy_hitters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    third = len(pdf) // 3
+    src = tmp_path / "ghh_rev"
+    src.mkdir()
+    # REVERSED chunk order vs the in-order test; mtimes force the
+    # file stream to replay newest-content first.
+    import os
+
+    chunks = [pdf.iloc[2 * third :], pdf.iloc[third : 2 * third], pdf.iloc[:third]]
+    for i, c in enumerate(chunks):
+        p = src / f"b{i}.parquet"
+        c.to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    def grouped_tokens(df):
+        toks = df.select(tokenize(F.col("text")).alias("toks"))
+        return toks.select(
+            language_id(F.col("toks")).alias("lang"),
+            F.explode(F.col("toks")).alias("token"),
+        )
+
+    stream = file_stream(spark, str(src), docs.schema, max_files_per_trigger=1)
+    table = str(tmp_path / "ghh_rev_mg")
+    q = maintain_grouped_heavy_hitters(
+        grouped_tokens(stream),
+        table,
+        checkpoint=str(tmp_path / "ghh_rev_ckpt"),
+        group_col="lang",
+        capacity=512,
+    )
+    q.awaitTermination()
+
+    corpus = grouped_tokens(docs)
+    got = grouped_top_k_from_summary(
+        spark, table, corpus, group_col="lang", k=5, capacity=512
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    want = (
+        corpus.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
