@@ -2219,3 +2219,36 @@ def test_streaming_grouped_heavy_hitters_order_independent_exactness(
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_kafka_replay_ignores_foreign_files_and_empty_dirs(spark, tmp_path):
+    """Layout robustness: non-partition dirs, malformed file names and
+    empty partitions must be skipped (not crash, not emit rows)."""
+    import os
+
+    from tweets_spark_top_10_spark.sources.pyds import register_kafka_replay
+
+    root = tmp_path / "messy_topic"
+    (root / "partition=0").mkdir(parents=True)
+    (root / "partition=1").mkdir()
+    (root / "_metadata").mkdir()
+    with open(root / "partition=0" / "0-2.jsonl", "w") as fh:
+        fh.write('{"a": 1}\n{"a": 2}\n')
+    with open(root / "partition=0" / "README.txt", "w") as fh:
+        fh.write("not a segment")
+    with open(root / "partition=1" / "garbage.jsonl", "w") as fh:
+        fh.write("badly named: no offset span")
+
+    register_kafka_replay(spark)
+    q = (
+        spark.readStream.format("kafka_replay")
+        .option("path", str(root))
+        .load()
+        .writeStream.format("memory")
+        .queryName("kr_messy")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("kr_messy").select("partition", "offset").collect()
+    assert sorted(map(tuple, rows)) == [(0, 0), (0, 1)]
