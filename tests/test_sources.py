@@ -306,13 +306,17 @@ def test_ntz_timestamp_coerced_at_load_boundary(spark, sf_dir, tmp_path):
 def test_correctness_rotation_not_stale():
     """The stale-first driver rotation (``_LAST_CHECKED``) must be
     regenerated whenever a new CORRECTNESS artifact lands; rounds 3/4
-    silently re-checked the same 50 queries because it wasn't. Failing
-    here makes staleness a test failure instead of wasted driver budget."""
+    silently re-checked the same 50 queries because it wasn't. With
+    ``--autofold`` a strictly-newer driver artifact is folded in place
+    (the driver writes CORRECTNESS after the round's last commit, so
+    round-open is otherwise always stale — rounds 5-7 each burned their
+    first commit on this); the fold then rides the round's first
+    commit. Any other mismatch still fails."""
     import subprocess
     import sys
 
     proc = subprocess.run(
-        [sys.executable, "tools/update_check_history.py", "--check"],
+        [sys.executable, "tools/update_check_history.py", "--check", "--autofold"],
         cwd="/root/repo",
         capture_output=True,
         text=True,

@@ -48,35 +48,7 @@ from tweets_spark_top_10_spark.queries.registry import ORACLE, QUERIES
 # zero fails; the r1 rows listed here are the 30 not re-checked in r2,
 # all green in r1).
 _LAST_CHECKED: dict[str, int] = {
-    # --- last driver row: round 4 ---
-    "status_priority_grouping_sets": 4,
-    "quantity_percentiles": 4,
-    "user_trailing_hour_value": 4,
-    "orders_profile": 4,
-    "deterministic_sample_stats": 4,
-    "customer_priority_lists": 4,
-    "embedding_norms": 4,
-    "knn_cosine_top5": 4,
-    "label_centroids": 4,
-    "embedding_near_dup_pairs": 4,
-    "ivf_knn_top5": 4,
-    "lsh_knn_top5": 4,
-    "dedup_exact_docs": 4,
-    "doc_token_stats": 4,
-    "doc_stopword_ratio": 4,
-    "urgent_vs_customer_avg_sql": 4,
     # --- last driver row: round 5 ---
-    "media_frame_counts": 5,
-    "media_resize_stats": 5,
-    "media_image_features": 5,
-    "ref_top10_tokens": 5,
-    "top_event_types": 5,
-    "q1_pricing_summary": 5,
-    "top_revenue_orders": 5,
-    "regional_customer_revenue": 5,
-    "top_orders_per_customer": 5,
-    "user_running_value": 5,
-    "customers_without_big_orders": 5,
     "late_shipping_priority": 5,
     "embedding_quantize_int8": 5,
     "doc_fingerprints": 5,
@@ -99,7 +71,6 @@ _LAST_CHECKED: dict[str, int] = {
     "doc_sentences_udtf": 5,
     "pq_adc_top5": 5,
     "ngram_jaccard_dup_pairs": 5,
-    "simhash_near_dups": 5,
     "simhash_invariants": 5,
     "minhash_lsh_candidates": 5,
     "customer_balance_distribution": 5,
@@ -150,14 +121,12 @@ _LAST_CHECKED: dict[str, int] = {
     "orders_scd2_history": 6,
     "concurrent_part_shipments": 6,
     "orders_pit_lookup": 6,
-    "priority_revenue_ivm": 6,
     "priority_price_minmax_ivm": 6,
     "customer_ancestry_depth_sql": 6,
     "order_measures_unpivot": 6,
     "nullsafe_segment_match": 6,
     "synthetic_events_by_type": 6,
     "doc_chunks": 6,
-    "doc_token_ids": 6,
     "doc_weighted_sample": 6,
     "customer_pseudonymized_spend": 6,
     "grouped_heavy_hitters": 6,
@@ -167,19 +136,64 @@ _LAST_CHECKED: dict[str, int] = {
     "user_hourly_gapfill": 6,
     "user_value_anomalies": 6,
     "event_value_moments": 6,
+    # --- last driver row: round 7 ---
+    "media_frame_counts": 7,
+    "media_resize_stats": 7,
+    "media_image_features": 7,
+    "ref_top10_tokens": 7,
+    "top_event_types": 7,
+    "q1_pricing_summary": 7,
+    "top_revenue_orders": 7,
+    "regional_customer_revenue": 7,
+    "top_orders_per_customer": 7,
+    "user_running_value": 7,
+    "customers_without_big_orders": 7,
+    "status_priority_grouping_sets": 7,
+    "quantity_percentiles": 7,
+    "user_trailing_hour_value": 7,
+    "orders_profile": 7,
+    "deterministic_sample_stats": 7,
+    "customer_priority_lists": 7,
+    "embedding_norms": 7,
+    "knn_cosine_top5": 7,
+    "label_centroids": 7,
+    "embedding_near_dup_pairs": 7,
+    "ivf_knn_top5": 7,
+    "lsh_knn_top5": 7,
+    "dedup_exact_docs": 7,
+    "doc_token_stats": 7,
+    "doc_stopword_ratio": 7,
+    "simhash_near_dups": 7,
+    "urgent_vs_customer_avg_sql": 7,
+    "priority_revenue_ivm": 7,
+    "doc_token_ids": 7,
+    "nation_pair_trade_volume": 7,
+    "returned_item_losses": 7,
+    "user_conversion_funnel": 7,
+    "user_hourly_ohlc": 7,
+    "user_value_trend": 7,
+    "doc_feature_hashing": 7,
+    "event_value_winsorized": 7,
+    "pq_adc_top5_prebuilt": 7,
+    "opq_adc_top5_prebuilt": 7,
+    "semantic_dedup_keep": 7,
+    "ivfpq_adc_top5_prebuilt": 7,
+    "doc_gopher_repetition": 7,
+    "lang_token_budget_sample": 7,
+    "doc_dup_spans": 7,
+    "curriculum_interleave": 7,
+    "lang_mixture_weights": 7,
+    "doc_length_batches": 7,
+    "doc_quality_tiers": 7,
+    "label_centroids_arrow": 7,
+    "nation_balance_drift_ks": 7,
 }
 
 
 # Queries whose LATEST driver row was red (ERR / hash-fail /
 # no_oracle).  Maintained by tools/update_check_history.py; these sort
 # ahead of everything, including never-checked queries.
-_RED_LATEST: set[str] = {
-    "doc_token_ids",
-    "lsh_knn_top5",
-    "priority_revenue_ivm",
-    "simhash_near_dups",
-    "user_trailing_hour_value",
-}
+_RED_LATEST: set[str] = set()
 
 
 def _reorder() -> None:
