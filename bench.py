@@ -102,31 +102,29 @@ def main() -> None:
     pq_curve = _pq_recall_curve(spark, sf_dir)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    # Noise guard for round-over-round totals (round-6 verdict item 7):
-    # this box swings 95-117s on identical code (CPU steal), so the
-    # HEADLINE `value` is the min total across recorded history runs
-    # with the IDENTICAL query set at this sf (including this run) —
-    # the number cross-round comparison should use.  The raw
-    # current-run measurement is kept alongside as `value_this_run`.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    # A current run with failures (-1 markers) has a deflated total —
-    # keep it out of the min so it can't become the headline.
+    # `value` is THIS run's measurement (null when any query failed —
+    # a deflated partial total must not masquerade as the headline;
+    # round-7 advisor finding).  The cross-round noise guard — min
+    # total across failure-free history runs with the IDENTICAL query
+    # set at this sf (this box swings 95-117s on identical code from
+    # CPU steal) — is reported separately as `value_stable`.
     clean_run = all(t >= 0 for t in timings.values())
     stable = _stable_total(
         repo_dir, float(sf), set(timings), total if clean_run else None
     )
     out = {
         "metric": "catalog_total_wall",
-        "value": stable if stable is not None else total,
+        "value": total if clean_run else None,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
         "cpus": int(cpus),
         "timing": "min_of_2_passes",
-        "value_this_run": total,
-        "value_note": "min total over history runs with identical query set"
-        if stable is not None
-        else "first run at this query set: current-run total",
+        "clean_run": clean_run,
+        "value_stable": stable,
+        "value_note": "value = this run's total (null if any query failed); "
+        "value_stable = min over history runs with identical query set",
     }
     if pq_curve:
         out["pq_curve"] = pq_curve

@@ -307,3 +307,68 @@ def test_prebuilt_index_invalidates_on_corpus_change(tmp_path, spark, sf_dir):
     assert d1 != d2
     # stable when nothing changed
     assert _pq_index_dir(str(src)) == d2
+
+
+def test_serving_topk_excludes_corrupt_code_rows(spark, sf_dir):
+    """A candidate whose stored wide-codes array is short or NULL makes
+    the ADC lookup sum NULL; under plain ``asc`` (NULLS FIRST) such a
+    row would outrank every real neighbor.  Corrupt rows must be
+    EXCLUDED, never ranked (round-7 advisor finding)."""
+    from tweets_spark_top_10_spark.functions.pq import pq_adc_serving_topk
+
+    m, sub_dim = 16, 4
+    dim = m * sub_dim
+    qvec = [1.0] * dim
+    codebook_rows = [
+        {"m": mm, "code": c, "sub_centroid": [float(c)] * sub_dim}
+        for mm in range(m)
+        for c in (0, 1)
+    ]
+    codes_wide = spark.createDataFrame(
+        [
+            (1, [1] * m),        # exact match: distance 0
+            (2, [0] * m),        # distance 16
+            (3, [1] * 3),        # short codes -> NULL lookup
+            (4, None),           # null codes -> NULL lookup
+        ],
+        schema="neighbor_id long, codes array<int>",
+    )
+    got = pq_adc_serving_topk(
+        spark, [(0, qvec)], codebook_rows, codes_wide, k=4, m=m, sub_dim=sub_dim
+    ).collect()
+    ids = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert ids == [1, 2], f"corrupt rows leaked into serving top-k: {ids}"
+    assert all(r["approx_d2"] is not None for r in got)
+
+
+def test_prebuilt_index_cache_is_per_user_and_race_safe(tmp_path, spark, sf_dir, monkeypatch):
+    """The prebuilt-index cache must live under the USER's cache dir
+    (mode 0700, ownership-checked), not the world-writable system temp
+    dir, and concurrent builders must publish via rename so a loser
+    finds the winner's complete parts (round-7 advisor finding)."""
+    import os
+
+    from tweets_spark_top_10_spark.queries import similarity_queries as sq
+
+    cache_home = tmp_path / "xdg"
+    monkeypatch.setenv("XDG_CACHE_HOME", str(cache_home))
+    root = sq._pq_cache_root()
+    assert str(root).startswith(str(cache_home))
+    assert (os.stat(root).st_mode & 0o777) == 0o700
+    assert os.stat(root).st_uid == os.getuid()
+
+    base = sq._pq_index_dir(sf_dir)
+    assert str(base).startswith(str(cache_home))
+
+    # build once through the real path, then replay a "losing" publish:
+    # rename fails against the complete winner and must NOT raise.
+    cb_path, codes_path = sq.ensure_pq_index(spark, sf_dir)
+    assert os.path.exists(os.path.join(cb_path, "_SUCCESS"))
+    staging = base.parent / "race_stage"
+    (staging / "codebook").mkdir(parents=True)
+    (staging / "codebook" / "part-0").write_text("loser bytes")
+    sq._publish_index_parts(staging, base, ["codebook"])
+    assert not staging.exists()
+    # winner's marker survived; loser's bytes did not replace it
+    assert os.path.exists(os.path.join(cb_path, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(cb_path, "part-0"))

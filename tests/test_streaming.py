@@ -2099,6 +2099,64 @@ def test_kafka_replay_source_exactly_once_and_payload_parity(
     assert sorted(map(tuple, got2.collect())) == expected(payloads)
 
 
+def test_mg_merge_replayed_batch_is_noop(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: if the state swap commits but the
+    streaming checkpoint commit does not, the SAME micro-batch is
+    redelivered with the SAME batch_id.  A second merge with an id at
+    or below the stored high-water mark must be a no-op — otherwise est
+    and the NULL-token totals double-count and the certify-or-degrade
+    contract of the summary readers silently breaks (round-7 advisor
+    finding).  Covers flat and grouped merges; a LATER id still merges."""
+    from tweets_spark_top_10_spark.functions.text import tokenize
+    from tweets_spark_top_10_spark.streaming.heavy_hitters import (
+        merge_mg_batch,
+        merge_mg_batch_grouped,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    batch = docs.select(
+        "lang", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+
+    def canon(path):
+        rows = [tuple(r) for r in spark.read.parquet(path).collect()]
+        return sorted(rows, key=lambda t: tuple((x is None, x) for x in t))
+
+    # grouped: replay of batch 0 is dropped, batch 1 merges
+    grouped = str(tmp_path / "grouped")
+    merge_mg_batch_grouped(spark, batch, grouped, "lang", capacity=64, batch_id=0)
+    once = canon(grouped)
+    merge_mg_batch_grouped(spark, batch, grouped, "lang", capacity=64, batch_id=0)
+    assert canon(grouped) == once, "replayed grouped batch double-merged"
+    merge_mg_batch_grouped(spark, batch, grouped, "lang", capacity=64, batch_id=1)
+    assert canon(grouped) != once, "later batch id must still merge"
+
+    # flat: same contract
+    flat = str(tmp_path / "flat")
+    tokens = batch.select("token")
+    merge_mg_batch(spark, tokens, flat, capacity=64, batch_id=0)
+    once = canon(flat)
+    merge_mg_batch(spark, tokens, flat, capacity=64, batch_id=0)
+    assert canon(flat) == once, "replayed flat batch double-merged"
+    merge_mg_batch(spark, tokens, flat, capacity=64, batch_id=1)
+    assert canon(flat) != once
+
+    # legacy direct calls (no batch_id) keep merging unconditionally
+    merge_mg_batch(spark, tokens, flat, capacity=64)
+    merge_mg_batch(spark, tokens, flat, capacity=64)
+
+    # the marker survives the crash-recovery rename path: promote the
+    # aside dir, then replay an old id — still a no-op
+    import os
+
+    crashed = str(tmp_path / "crashed")
+    merge_mg_batch_grouped(spark, batch, crashed, "lang", capacity=64, batch_id=5)
+    after5 = canon(crashed)
+    os.rename(crashed, crashed + "__old")
+    merge_mg_batch_grouped(spark, batch, crashed, "lang", capacity=64, batch_id=5)
+    assert canon(crashed) == after5, "replay after aside-restore double-merged"
+
+
 def test_streaming_semantic_dedup_matches_batch(spark, sf_dir, tmp_path):
     """Incrementally maintained semantic-dedup state == the batch
     semantic_dedup_keep pipeline: drain the vector corpus in 3

@@ -332,7 +332,7 @@ def pq_adc_topk(
 
 
 def pq_codes_wide(
-    codes: DataFrame, cand_id: str = "neighbor_id", m: int = 16
+    codes: DataFrame, cand_id: str = "neighbor_id"
 ) -> DataFrame:
     """(id, codes: array<int> indexed by subspace) from the tall
     (id, m, code) index — the layout a serving scan wants: one row per
@@ -364,11 +364,16 @@ def _lut_flat(
 
 def _adc_lookup_sum(width: int, m: int) -> Column:
     """Unrolled sum over m of lut[m*width + codes[m]] — one codegen
-    expression over a (lut, codes) row, no per-subspace fan-out."""
+    expression over a (lut, codes) row, no per-subspace fan-out.
+
+    ``try_element_at`` (not ``element_at``, which THROWS under ANSI on
+    an invalid index): a candidate row whose stored codes array is
+    short, null, or holds an out-of-width code must degrade to a NULL
+    distance — excluded by ``_serving_topk`` — not kill the query."""
     dist = None
     for mm in range(m):
-        term = F.element_at(
-            "lut", F.lit(mm * width) + F.element_at("codes", mm + 1) + 1
+        term = F.try_element_at(
+            "lut", F.lit(mm * width) + F.try_element_at("codes", F.lit(mm + 1)) + 1
         )
         dist = term if dist is None else dist + term
     return dist
@@ -377,10 +382,17 @@ def _adc_lookup_sum(width: int, m: int) -> Column:
 def _serving_topk(
     scored: DataFrame, k: int, query_id: str, cand_id: str
 ) -> DataFrame:
-    w = Window.partitionBy(query_id).orderBy(F.asc("approx_d2"), F.asc(cand_id))
+    # asc is NULLS FIRST: a candidate whose stored codes array is
+    # short/null makes the LUT sum NULL, and it would rank AHEAD of
+    # every real neighbor — corrupt index rows must sort last, never
+    # win (round-7 advisor finding).
+    w = Window.partitionBy(query_id).orderBy(
+        F.asc_nulls_last("approx_d2"), F.asc(cand_id)
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
+        .where(F.col("approx_d2").isNotNull())
     )
 
 
@@ -462,7 +474,7 @@ def ivfpq_adc_serving_topk(
     the relational :func:`ivfpq_adc_topk` exactly, so results are
     bitwise identical on the same stored index.
     """
-    from decimal import ROUND_HALF_UP, Decimal
+    from tweets_spark_top_10_spark.functions.numeric import round_half_up
 
     def _dot(a, b):
         acc = 0.0
@@ -477,12 +489,9 @@ def ivfpq_adc_serving_topk(
         return acc**0.5
 
     def _r9(x):
-        # Spark's round() is HALF_UP over the shortest decimal repr
-        # (BigDecimal.valueOf); Python's round() is banker's — use
-        # Decimal to match tie behavior exactly.
-        return float(
-            Decimal(repr(x)).quantize(Decimal("1E-9"), rounding=ROUND_HALF_UP)
-        )
+        # Spark's round() is HALF_UP; Python's round() is banker's —
+        # shared Decimal helper matches tie behavior exactly.
+        return round_half_up(x, 9)
 
     cents = [
         (int(r["cell_id"]), [float(v) for v in r["centroid"]])

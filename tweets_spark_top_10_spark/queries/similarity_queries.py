@@ -7,6 +7,8 @@ so ordering is deterministic and engine-independent.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -487,6 +489,30 @@ def pq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(queries, cands, k=5)
 
 
+def _pq_cache_root() -> "Path":
+    """Per-USER cache root for prebuilt indexes: ``$XDG_CACHE_HOME`` or
+    ``~/.cache``, mode 0700, ownership-verified.  NOT the shared system
+    temp dir — there another user could pre-create the predictable path
+    with a ``_SUCCESS`` file and every ``*_prebuilt`` query would
+    silently serve attacker-controlled codes (round-7 advisor
+    finding)."""
+    import os
+    from pathlib import Path
+
+    base = Path(
+        os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache")
+    ) / "spark_graft_pq_index"
+    base.mkdir(mode=0o700, parents=True, exist_ok=True)
+    st = os.stat(base)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"prebuilt-index cache {base} is owned by uid {st.st_uid}, "
+            f"not the current user ({os.getuid()}) — refusing to serve "
+            "codes from a directory another user controls"
+        )
+    return base
+
+
 def _pq_index_dir(sf_dir: str) -> "Path":
     """Deterministic on-disk location for the prebuilt indexes of one
     scale factor.  The directory name embeds a fingerprint of the
@@ -496,7 +522,6 @@ def _pq_index_dir(sf_dir: str) -> "Path":
     otherwise poison every ``*_prebuilt`` result."""
     import hashlib
     import os
-    import tempfile
     from pathlib import Path
 
     src = Path(sf_dir) / "embeddings.parquet"
@@ -510,9 +535,29 @@ def _pq_index_dir(sf_dir: str) -> "Path":
             h.update(f"{p.name}:{st.st_size}:{st.st_mtime_ns};".encode())
     except OSError:
         h.update(b"missing")
-    return Path(tempfile.gettempdir()) / (
+    return _pq_cache_root() / (
         f"sg_pq_index_{Path(sf_dir).name}_{h.hexdigest()[:12]}"
     )
+
+
+def _publish_index_parts(staging: "Path", base: "Path", parts: list) -> None:
+    """Atomically promote each built ``staging/<part>`` dir to
+    ``base/<part>``.  Concurrent builders race benignly: ``os.rename``
+    refuses to replace a non-empty dir, so exactly one builder wins per
+    part and losers discard their (byte-identical — the builds are
+    deterministic) copy.  Readers only trust a part once its
+    ``_SUCCESS`` marker exists, which rename makes appear atomically."""
+    import os
+    import shutil
+
+    base.mkdir(mode=0o700, exist_ok=True)
+    for part in parts:
+        try:
+            os.rename(staging / part, base / part)
+        except OSError:
+            if not (base / part / "_SUCCESS").exists():
+                raise  # loser must find a complete winner, not garbage
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -535,16 +580,19 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     cb_path, codes_path = str(base / "codebook"), str(base / "codes_wide")
     if not ((base / "codebook" / "_SUCCESS").exists()
             and (base / "codes_wide" / "_SUCCESS").exists()):
+        staging = base.parent / f".stage_pq_{base.name}_{os.getpid()}"
         emb = load_table(spark, sf_dir, "embeddings")
         cands = _normed(emb, "neighbor_id", 10, None).repartition(
             spark.sparkContext.defaultParallelism
         )
         cb = pq_codebook(cands)
-        cb.write.mode("overwrite").parquet(cb_path)
-        cb = spark.read.parquet(cb_path)  # encode against the stored copy
+        cb.write.mode("overwrite").parquet(str(staging / "codebook"))
+        # encode against the stored copy
+        cb = spark.read.parquet(str(staging / "codebook"))
         pq_codes_wide(pq_encode(cands, cb, "neighbor_id")).write.mode(
             "overwrite"
-        ).parquet(codes_path)
+        ).parquet(str(staging / "codes_wide"))
+        _publish_index_parts(staging, base, ["codebook", "codes_wide"])
     return cb_path, codes_path
 
 
@@ -640,24 +688,25 @@ def ensure_opq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     )
 
     base = _pq_index_dir(sf_dir)
-    paths = {
-        n: str(base / n) for n in ("opq_perm", "opq_codebook", "opq_codes_wide")
-    }
-    if not all((base / n / "_SUCCESS").exists() for n in paths):
+    parts = ("opq_perm", "opq_codebook", "opq_codes_wide")
+    paths = {n: str(base / n) for n in parts}
+    if not all((base / n / "_SUCCESS").exists() for n in parts):
+        staging = base.parent / f".stage_opq_{base.name}_{os.getpid()}"
         emb = load_table(spark, sf_dir, "embeddings")
         c0 = _normed(emb, "neighbor_id", 10, None)
         perm = opq_permutation(c0).localCheckpoint(eager=False)
-        perm.write.mode("overwrite").parquet(paths["opq_perm"])
-        perm = spark.read.parquet(paths["opq_perm"])
+        perm.write.mode("overwrite").parquet(str(staging / "opq_perm"))
+        perm = spark.read.parquet(str(staging / "opq_perm"))
         cands = apply_permutation(c0, "neighbor_id", perm).repartition(
             spark.sparkContext.defaultParallelism
         ).transform(persist_tracked)
         refined = pq_codebook_refine(cands, pq_codebook(cands))
-        refined.write.mode("overwrite").parquet(paths["opq_codebook"])
-        refined = spark.read.parquet(paths["opq_codebook"])
+        refined.write.mode("overwrite").parquet(str(staging / "opq_codebook"))
+        refined = spark.read.parquet(str(staging / "opq_codebook"))
         pq_codes_wide(pq_encode(cands, refined, "neighbor_id")).write.mode(
             "overwrite"
-        ).parquet(paths["opq_codes_wide"])
+        ).parquet(str(staging / "opq_codes_wide"))
+        _publish_index_parts(staging, base, list(parts))
     return paths["opq_perm"], paths["opq_codebook"], paths["opq_codes_wide"]
 
 
@@ -1192,18 +1241,17 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]
     )
 
     base = _pq_index_dir(sf_dir)
-    paths = {
-        n: str(base / n)
-        for n in ("ivfpq_cents", "ivfpq_codebook", "ivfpq_codes_wide")
-    }
-    if not all((base / n / "_SUCCESS").exists() for n in paths):
+    parts = ("ivfpq_cents", "ivfpq_codebook", "ivfpq_codes_wide")
+    paths = {n: str(base / n) for n in parts}
+    if not all((base / n / "_SUCCESS").exists() for n in parts):
+        staging = base.parent / f".stage_ivfpq_{base.name}_{os.getpid()}"
         emb = load_table(spark, sf_dir, "embeddings")
         cands = _normed(emb, "neighbor_id", 10, None).repartition(
             spark.sparkContext.defaultParallelism
         )
         cents = ivf_centroids(cands, "neighbor_id")
-        cents.write.mode("overwrite").parquet(paths["ivfpq_cents"])
-        cents = spark.read.parquet(paths["ivfpq_cents"])
+        cents.write.mode("overwrite").parquet(str(staging / "ivfpq_cents"))
+        cents = spark.read.parquet(str(staging / "ivfpq_cents"))
         assigned = ivf_assign_cells(cands, cents, "neighbor_id", n_probe=1)
         residual = F.zip_with(
             F.col("embedding"),
@@ -1217,12 +1265,13 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]
             ).select(F.col("neighbor_id"), F.col("cell_id"), residual.alias("res"))
         )
         cb = pq_codebook(cand_res, "neighbor_id", "res")
-        cb.write.mode("overwrite").parquet(paths["ivfpq_codebook"])
-        cb = spark.read.parquet(paths["ivfpq_codebook"])
+        cb.write.mode("overwrite").parquet(str(staging / "ivfpq_codebook"))
+        cb = spark.read.parquet(str(staging / "ivfpq_codebook"))
         codes = pq_encode(cand_res, cb, "neighbor_id", "res")
         pq_codes_wide(codes).join(
             cand_res.select("neighbor_id", "cell_id"), "neighbor_id"
-        ).write.mode("overwrite").parquet(paths["ivfpq_codes_wide"])
+        ).write.mode("overwrite").parquet(str(staging / "ivfpq_codes_wide"))
+        _publish_index_parts(staging, base, list(parts))
     return paths["ivfpq_cents"], paths["ivfpq_codebook"], paths["ivfpq_codes_wide"]
 
 

@@ -84,9 +84,12 @@ def label_centroids_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
 
+    from tweets_spark_top_10_spark.functions.numeric import round_half_up_array
+
     def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        mean = np.round(mat.mean(axis=0), 6)
+        # HALF_UP to match the oracle's ROUND (np.round is half-even)
+        mean = round_half_up_array(mat.mean(axis=0), 6)
         return pd.DataFrame(
             {
                 "label": pdf["label"].iloc[0],
@@ -312,6 +315,10 @@ def embedding_arrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     def l2_batches(batches):
         import numpy as np
 
+        from tweets_spark_top_10_spark.functions.numeric import (
+            round_half_up_array,
+        )
+
         for batch in batches:
             vec_col = batch.column(batch.schema.get_field_index("embedding"))
             ids = batch.column(batch.schema.get_field_index("vec_id"))
@@ -324,7 +331,8 @@ def embedding_arrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             if d * n != values.size:
                 raise ValueError("ragged embedding lengths in batch")
             mat = values.reshape(n, d)
-            l2 = np.round(np.sqrt((mat * mat).sum(axis=1)), 5)
+            # HALF_UP to match the oracle's ROUND (np.round is half-even)
+            l2 = round_half_up_array(np.sqrt((mat * mat).sum(axis=1)), 5)
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(l2, pa.float64())], names=["vec_id", "l2"]
             )
@@ -359,11 +367,14 @@ def label_centroids_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
 
+    from tweets_spark_top_10_spark.functions.numeric import round_half_up_array
+
     def centroid(tbl: pa.Table) -> pa.Table:
         col = tbl.column("embedding").combine_chunks()
         flat = np.asarray(col.flatten(), dtype=np.float64)
         mat = flat.reshape(len(tbl), -1)
-        mean = np.round(mat.mean(axis=0), 6)
+        # HALF_UP to match the oracle's ROUND (np.round is half-even)
+        mean = round_half_up_array(mat.mean(axis=0), 6)
         dim = mat.shape[1]
         return pa.table(
             {
@@ -424,6 +435,8 @@ def nation_balance_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry no statistic and are dropped on both engines."""
     import numpy as np
 
+    from tweets_spark_top_10_spark.functions.numeric import round_half_up
+
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
     a = cust.select(
@@ -450,7 +463,8 @@ def nation_balance_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "nationkey": [int(left["k"].iloc[0])],
                 "n_cust": [len(xa)],
                 "n_supp": [len(xb)],
-                "ks": [round(float(gap), 6)],
+                # HALF_UP to match the oracle's ROUND (round() is half-even)
+                "ks": [round_half_up(float(gap), 6)],
             }
         )
 

@@ -43,8 +43,21 @@ def merge_mg_batch(
     table_path: str,
     token_col: str = "token",
     capacity: int = 512,
+    batch_id: int | None = None,
 ) -> None:
-    """Fold one micro-batch of tokens into the stored MG summary."""
+    """Fold one micro-batch of tokens into the stored MG summary.
+
+    ``batch_id`` (when the caller is a foreachBatch sink) makes the
+    merge idempotent under at-least-once replay: the last merged id is
+    persisted INSIDE the swapped summary dir (underscore-prefixed, so
+    parquet readers skip it) and a replayed batch with id <= the stored
+    high-water mark is a no-op.  Without the marker a crash after the
+    swap commits but before the streaming checkpoint commits would
+    double-merge the batch, inflating est and the NULL-token total.
+    """
+    _recover(table_path)
+    if _already_merged(table_path, batch_id):
+        return
     batch_summary = (
         batch_tokens.groupBy(token_col).agg(F.count(F.lit(1)).alias("est"))
     ).unionByName(
@@ -53,18 +66,6 @@ def merge_mg_batch(
             F.count(F.lit(1)).alias("est"),
         )
     )
-    aside = table_path.rstrip("/") + "__old"
-    staging = table_path.rstrip("/") + "__stage"
-    # crash recovery: a crash between the two renames leaves the only
-    # valid summary in the aside dir — restore it before merging.
-    if os.path.exists(aside):
-        if not os.path.exists(table_path):
-            os.rename(aside, table_path)
-        else:
-            shutil.rmtree(aside)
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
-
     if os.path.exists(table_path):
         merged = spark.read.parquet(table_path).unionByName(batch_summary)
     else:
@@ -91,13 +92,13 @@ def merge_mg_batch(
         )
     else:
         pruned = merged
-    pruned.coalesce(1).write.mode("overwrite").parquet(staging)
+
+    def _write(staging: str) -> None:
+        pruned.coalesce(1).write.mode("overwrite").parquet(staging)
+        _stamp_batch_id(staging, batch_id)
+
+    _swap_in(table_path, _write)
     merged.unpersist(blocking=False)
-    if os.path.exists(table_path):
-        os.rename(table_path, aside)
-    os.rename(staging, table_path)
-    if os.path.exists(aside):
-        shutil.rmtree(aside)
 
 
 def maintain_heavy_hitters(
@@ -114,7 +115,12 @@ def maintain_heavy_hitters(
         if batch_df.isEmpty():
             return
         merge_mg_batch(
-            batch_df.sparkSession, batch_df, table_path, token_col, capacity
+            batch_df.sparkSession,
+            batch_df,
+            table_path,
+            token_col,
+            capacity,
+            batch_id=batch_id,
         )
 
     return (
@@ -145,6 +151,31 @@ def _recover(table_path: str) -> None:
         shutil.rmtree(staging)
 
 
+_BATCH_MARKER = "_mg_last_batch_id"
+
+
+def _stamp_batch_id(summary_dir: str, batch_id: int | None) -> None:
+    """Record the merged micro-batch id inside the summary dir so it
+    swaps atomically with the state it describes (underscore-prefixed
+    files are invisible to parquet scans)."""
+    if batch_id is not None:
+        with open(os.path.join(summary_dir, _BATCH_MARKER), "w") as fh:
+            fh.write(str(int(batch_id)))
+
+
+def _already_merged(table_path: str, batch_id: int | None) -> bool:
+    """True when a replayed micro-batch (at-least-once foreachBatch
+    redelivery after a crash between the state swap and the streaming
+    checkpoint commit) has already been folded into the live summary."""
+    if batch_id is None:
+        return False
+    marker = os.path.join(table_path, _BATCH_MARKER)
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as fh:
+        return int(batch_id) <= int(fh.read().strip())
+
+
 def _swap_in(table_path: str, write) -> None:
     """Atomic stage → aside → live replacement for a summary dir."""
     aside = table_path.rstrip("/") + "__old"
@@ -165,6 +196,7 @@ def merge_mg_batch_grouped(
     group_col: str,
     token_col: str = "token",
     capacity: int = 512,
+    batch_id: int | None = None,
 ) -> None:
     """Fold one micro-batch into per-GROUP stored MG summaries.
 
@@ -180,6 +212,8 @@ def merge_mg_batch_grouped(
     from pyspark.sql import Window
 
     _recover(table_path)  # BEFORE reading state, not just before swap
+    if _already_merged(table_path, batch_id):  # at-least-once replay
+        return
     batch_df = batch_df.where(
         F.col(group_col).isNotNull() & F.col(token_col).isNotNull()
     )
@@ -227,12 +261,11 @@ def merge_mg_batch_grouped(
             .alias("est"),
         )
     )
-    _swap_in(
-        table_path,
-        lambda staging: pruned.coalesce(1).write.mode("overwrite").parquet(
-            staging
-        ),
-    )
+    def _write(staging: str) -> None:
+        pruned.coalesce(1).write.mode("overwrite").parquet(staging)
+        _stamp_batch_id(staging, batch_id)
+
+    _swap_in(table_path, _write)
 
 
 def maintain_grouped_heavy_hitters(
@@ -257,6 +290,7 @@ def maintain_grouped_heavy_hitters(
             group_col,
             token_col,
             capacity,
+            batch_id=batch_id,
         )
 
     return (
