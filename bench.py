@@ -284,7 +284,25 @@ def _pq_recall_curve(spark, sf_dir: str) -> list[dict]:
         opq_cb = pq_codebook_refine(cp, pq_codebook(cp)).localCheckpoint(
             eager=False
         )
+        from tweets_spark_top_10_spark.functions.pq import pq_adc_rerank_topk
+
         curve = []
+        # ADC shortlist-32 + exact rerank (Jegou'11 IVFADC-R): the
+        # recall a fixed 16-byte code budget reaches once serving
+        # reranks 32 fetched vectors per query (round-8 verdict item 5)
+        start = time.perf_counter()
+        rr = {
+            (r.query_id, r.neighbor_id)
+            for r in pq_adc_rerank_topk(
+                qp, cp, k=5, shortlist=32, codebook=opq_cb,
+                rerank_queries=q, rerank_candidates=c,
+            ).collect()
+        }
+        curve.append({
+            "m": 16, "sub_dim": 4, "codebook": "opq+lloyd1+rerank32",
+            "recall_at5": round(len(exact & rr) / len(exact), 3),
+            "sec": round(time.perf_counter() - start, 3),
+        })
         for m, sub_dim, cb, qq, cc, label in [
             (4, 16, None, q, c, None),
             (8, 8, None, q, c, None),

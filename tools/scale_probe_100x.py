@@ -1,0 +1,136 @@
+"""100x flagship scale probe (round-8 verdict item 4).
+
+Replicates the documents/embeddings fixtures 100x content-disjointly
+(documents: per-replica token tagging after punctuation sanitization so
+no shingle crosses replicas; embeddings: shifted ids) and pushes the
+three queries that carry the 100 TB story through 1x vs 100x:
+
+- ``heavy_hitters_top10``  — certified two-pass top-K
+- ``pq_adc_top5_prebuilt`` — ANN serving scan over a prebuilt index
+- ``dedup_canonical_docs`` — banded near-dup pairs + star-contraction CC
+
+Reports min-of-2 wall, shuffle spill (memory+disk, summed over stages
+via the UI REST API), and CC round counts.  The 1x side uses the SAME
+sanitized/tagged text (k=0 only) so the comparison is content-fair.
+
+Usage: python tools/scale_probe_100x.py [replicas] (default 100)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def build_fixtures(work: str, replicas: int) -> tuple[str, str]:
+    import duckdb
+
+    one = os.path.join(work, "x1")
+    many = os.path.join(work, f"x{replicas}")
+    os.makedirs(one)
+    os.makedirs(many)
+    for tag, path, n in (("1x", one, 1), (f"{replicas}x", many, replicas)):
+        duckdb.sql(f"""
+          COPY (
+            SELECT d.doc_id + r.k * (SELECT MAX(doc_id)+1 FROM read_parquet('{BASE}/documents.parquet')) AS doc_id,
+                   array_to_string(
+                     list_transform(
+                       string_split(regexp_replace(d.text, '[^a-zA-Z0-9 ]', '', 'g'), ' '),
+                       x -> 'r' || r.k || x), ' ') AS text,
+                   d.lang, d.source, d.n_chars
+            FROM read_parquet('{BASE}/documents.parquet') d,
+                 (SELECT UNNEST(RANGE({n})) AS k) r
+          ) TO '{path}/documents.parquet' (FORMAT PARQUET)
+        """)
+        duckdb.sql(f"""
+          COPY (
+            SELECT e.vec_id + r.k * (SELECT MAX(vec_id)+1 FROM read_parquet('{BASE}/embeddings.parquet')) AS vec_id,
+                   e.label, e.embedding
+            FROM read_parquet('{BASE}/embeddings.parquet') e,
+                 (SELECT UNNEST(RANGE({n})) AS k) r
+          ) TO '{path}/embeddings.parquet' (FORMAT PARQUET)
+        """)
+    return one, many
+
+
+def spill_totals(ui: str) -> tuple[int, int]:
+    try:
+        apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications", timeout=5))
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages", timeout=5)
+        )
+        return (
+            sum(s.get("memoryBytesSpilled", 0) for s in stages),
+            sum(s.get("diskBytesSpilled", 0) for s in stages),
+        )
+    except Exception as exc:  # UI metrics are telemetry, not the probe
+        print(f"# spill probe failed: {exc}", file=sys.stderr)
+        return (-1, -1)
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    work = tempfile.mkdtemp(prefix="scale_probe_")
+    t0 = time.perf_counter()
+    one, many = build_fixtures(work, replicas)
+    print(f"# fixtures built in {time.perf_counter()-t0:.1f}s under {work}")
+
+    from tweets_spark_top_10_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scale-probe",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4099",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ui = "http://localhost:4099"
+
+    from tweets_spark_top_10_spark.functions import dedup
+    from tweets_spark_top_10_spark.queries.catalog import QUERIES
+
+    results: dict[str, dict] = {}
+    for name in ("heavy_hitters_top10", "pq_adc_top5_prebuilt", "dedup_canonical_docs"):
+        fn = QUERIES[name]
+        for tag, sf_dir in (("1x", one), (f"{replicas}x", many)):
+            # prebuilt serving: index construction is offline — build untimed
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            spill0 = spill_totals(ui)
+            best, rounds = None, None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                t = time.perf_counter() - t0
+                best = t if best is None else min(best, t)
+                rounds = dedup._last_cc_rounds
+            spill1 = spill_totals(ui)
+            rec = {
+                "wall_s": round(best, 2),
+                "spill_mem_mb": round(max(0, spill1[0] - spill0[0]) / 1e6, 1),
+                "spill_disk_mb": round(max(0, spill1[1] - spill0[1]) / 1e6, 1),
+            }
+            if name == "dedup_canonical_docs":
+                rec["cc_rounds"] = rounds
+            results.setdefault(name, {})[tag] = rec
+            print(f"{name} {tag}: {rec}", flush=True)
+
+    print(json.dumps(results))
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
