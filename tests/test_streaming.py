@@ -2099,6 +2099,137 @@ def test_kafka_replay_source_exactly_once_and_payload_parity(
     assert sorted(map(tuple, got2.collect())) == expected(payloads)
 
 
+def test_windowed_grouped_heavy_hitters_watermark(spark, sf_dir, tmp_path):
+    """(event-time window, group)-keyed MG maintenance under a
+    watermark (round-7 verdict item 6), three contracts in one drain:
+
+    1. EXACTNESS under out-of-order delivery: events sorted by user_id
+       (time-shuffled) drain in 3 micro-batches; with a delay wider
+       than the corpus span nothing drops, and the state-derived
+       per-(day, segment) top-3 equals batch grouped_exact_top_k over
+       the same buckets.
+    2. STATE EXPIRY past the watermark: one far-future event advances
+       the watermark beyond every original window — they must leave
+       live state (bounded!) for the finalized dir, and the reader
+       (live ∪ closed) must still produce the exact answer including
+       the new window.
+    3. LATE-BEYOND-WATERMARK DROP: an event older than the watermark
+       merges into nothing — state and answers unchanged.
+    """
+    import datetime
+
+    from tweets_spark_top_10_spark.functions.heavy_hitters import (
+        grouped_exact_top_k,
+    )
+    from tweets_spark_top_10_spark.streaming.heavy_hitters import (
+        maintain_windowed_heavy_hitters,
+        windowed_grouped_top_k_from_summary,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "ts",
+        (F.col("user_id") % 8).cast("string").alias("seg"),
+        F.col("event_type").alias("token"),
+    )
+    span_delay = 40 * 86400  # corpus spans ~30 days; nothing drops
+
+    def expected(corpus):
+        toks = corpus.select(
+            F.date_trunc("day", "ts").alias("window"), "seg", "token"
+        ).withColumn(
+            "wg",
+            F.concat_ws(
+                "|",
+                F.date_format("window", "yyyy-MM-dd HH:mm:ss"),
+                F.col("seg"),
+            ),
+        )
+        got = grouped_exact_top_k(toks, "wg", "token", k=3, capacity=64)
+        return sorted(map(tuple, got.collect()))
+
+    def observed(corpus):
+        got = windowed_grouped_top_k_from_summary(
+            spark,
+            state,
+            corpus.select(
+                F.date_trunc("day", "ts").alias("window"), "seg", "token"
+            ),
+            "seg",
+            k=3,
+            capacity=64,
+        ).select(
+            F.concat_ws(
+                "|",
+                F.date_format("window", "yyyy-MM-dd HH:mm:ss"),
+                F.col("seg"),
+            ).alias("wg"),
+            "token",
+            "n",
+        )
+        return sorted(map(tuple, got.collect()))
+
+    # out-of-order delivery: sort by user id, split in thirds — each
+    # micro-batch spans the whole month
+    pdf = events.toPandas().sort_values(["seg", "ts"]).reset_index(drop=True)
+    # pandas defaults to TIMESTAMP(NANOS), unreadable as Spark timestamp
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "ev_stream"
+    src.mkdir()
+    third = len(pdf) // 3
+    pdf.iloc[:third].to_parquet(src / "b1.parquet", index=False)
+    pdf.iloc[third : 2 * third].to_parquet(src / "b2.parquet", index=False)
+    pdf.iloc[2 * third :].to_parquet(src / "b3.parquet", index=False)
+
+    state = str(tmp_path / "win_hh")
+    stream = file_stream(spark, str(src), events.schema, max_files_per_trigger=1)
+
+    def drain(ckpt):
+        q = maintain_windowed_heavy_hitters(
+            stream,
+            state,
+            checkpoint=str(tmp_path / ckpt),
+            time_col="ts",
+            group_col="seg",
+            capacity=64,
+            delay_seconds=span_delay,
+            window="day",
+        )
+        q.awaitTermination()
+
+    drain("ck1")
+    assert observed(events) == expected(events)
+
+    # (2) a far-future event expires every original window to closed
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    future = max_ts + datetime.timedelta(days=100)
+    extra = spark.createDataFrame([(future, "0", "purchase")], events.schema)
+    epdf = extra.toPandas()
+    epdf["ts"] = epdf["ts"].astype("datetime64[us]")
+    epdf.to_parquet(src / "b4_future.parquet", index=False)
+    drain("ck2")
+    full = events.unionByName(extra)
+    live_windows = {
+        r["window"] for r in spark.read.parquet(state).select("window").distinct().collect()
+    }
+    assert live_windows == {future.replace(hour=0, minute=0, second=0, microsecond=0)}, (
+        f"live state not bounded: {sorted(live_windows)[:5]}..."
+    )
+    import os as _os
+
+    assert _os.path.exists(state + "__closed"), "no finalized summaries"
+    assert observed(full) == expected(full)
+
+    # (3) an event behind the watermark is dropped, state unchanged
+    stale = spark.createDataFrame(
+        [(max_ts, "3", "view")], events.schema  # ~100 days behind watermark
+    )
+    spdf = stale.toPandas()
+    spdf["ts"] = spdf["ts"].astype("datetime64[us]")
+    spdf.to_parquet(src / "b5_stale.parquet", index=False)
+    drain("ck3")
+    assert observed(full) == expected(full)  # the stale row never lands
+
+
 def test_mg_merge_replayed_batch_is_noop(spark, sf_dir, tmp_path):
     """foreachBatch is at-least-once: if the state swap commits but the
     streaming checkpoint commit does not, the SAME micro-batch is

@@ -189,6 +189,67 @@ def _swap_in(table_path: str, write) -> None:
         shutil.rmtree(aside)
 
 
+def _grouped_summary_merge(
+    stored: DataFrame | None,
+    batch_df: DataFrame,
+    group_cols: list[str],
+    token_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Core grouped MG fold: (batch exact counts + NULL-token totals)
+    ∪ stored summary → per-group sum → prune back to ``capacity`` by
+    subtracting each group's (capacity+1)-th counter.  Per-group
+    thresholds stay IN the plan (row_number window + join back — no
+    driver collect); state stays ≤ (capacity+1) × groups rows.  Shared
+    by the flat-grouped and the watermarked-windowed maintainers."""
+    from pyspark.sql import Window
+
+    gcols = [F.col(g) for g in group_cols]
+    batch_summary = (
+        batch_df.groupBy(*group_cols, token_col).agg(
+            F.count(F.lit(1)).alias("est")
+        )
+    ).unionByName(
+        batch_df.groupBy(*group_cols).agg(
+            F.lit(None).cast("string").alias(token_col),
+            F.count(F.lit(1)).alias("est"),
+        )
+    )
+    merged = (
+        stored.unionByName(batch_summary) if stored is not None else batch_summary
+    )
+    merged = merged.groupBy(*group_cols, token_col).agg(
+        F.sum("est").alias("est")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(*gcols).orderBy(F.desc("est"), F.asc(token_col))
+    )
+    kth = (
+        merged.where(F.col(token_col).isNotNull())
+        .withColumn("rn", rn)
+        .where(F.col("rn") == capacity + 1)
+        .select(*group_cols, F.col("est").alias("kth"))
+    )
+    return (
+        merged.join(kth, group_cols, "left")
+        .where(
+            F.col(token_col).isNull()
+            | F.col("kth").isNull()
+            | (F.col("est") > F.col("kth"))
+        )
+        .select(
+            *group_cols,
+            token_col,
+            F.when(
+                F.col(token_col).isNull() | F.col("kth").isNull(),
+                F.col("est"),
+            )
+            .otherwise(F.col("est") - F.col("kth"))
+            .alias("est"),
+        )
+    )
+
+
 def merge_mg_batch_grouped(
     spark,
     batch_df: DataFrame,
@@ -203,69 +264,221 @@ def merge_mg_batch_grouped(
     The grouped twin of :func:`merge_mg_batch` — one independent
     capacity-``capacity`` sketch per group value, all in one table
     ``(group, token, est)`` with a NULL-token total row per group.
-    Unlike the flat merge (whose prune threshold is a single scalar,
-    collected), the per-group thresholds stay IN the plan: the
-    (capacity+1)-th largest est per group comes from a row_number
-    window and joins back — no driver collect at all, state stays
-    <= (capacity+1) x groups rows.
+    Merge math in :func:`_grouped_summary_merge`.
     """
-    from pyspark.sql import Window
-
     _recover(table_path)  # BEFORE reading state, not just before swap
     if _already_merged(table_path, batch_id):  # at-least-once replay
         return
     batch_df = batch_df.where(
         F.col(group_col).isNotNull() & F.col(token_col).isNotNull()
     )
-    batch_summary = (
-        batch_df.groupBy(group_col, token_col).agg(
-            F.count(F.lit(1)).alias("est")
-        )
-    ).unionByName(
-        batch_df.groupBy(group_col).agg(
-            F.lit(None).cast("string").alias(token_col),
-            F.count(F.lit(1)).alias("est"),
-        )
+    stored = (
+        spark.read.parquet(table_path) if os.path.exists(table_path) else None
     )
-    if os.path.exists(table_path):
-        merged = spark.read.parquet(table_path).unionByName(batch_summary)
-    else:
-        merged = batch_summary
-    merged = merged.groupBy(group_col, token_col).agg(
-        F.sum("est").alias("est")
+    pruned = _grouped_summary_merge(
+        stored, batch_df, [group_col], token_col, capacity
     )
-    rn = F.row_number().over(
-        Window.partitionBy(group_col).orderBy(F.desc("est"), F.asc(token_col))
-    )
-    kth = (
-        merged.where(F.col(token_col).isNotNull())
-        .withColumn("rn", rn)
-        .where(F.col("rn") == capacity + 1)
-        .select(group_col, F.col("est").alias("kth"))
-    )
-    pruned = (
-        merged.join(kth, group_col, "left")
-        .where(
-            F.col(token_col).isNull()
-            | F.col("kth").isNull()
-            | (F.col("est") > F.col("kth"))
-        )
-        .select(
-            group_col,
-            token_col,
-            F.when(
-                F.col(token_col).isNull() | F.col("kth").isNull(),
-                F.col("est"),
-            )
-            .otherwise(F.col("est") - F.col("kth"))
-            .alias("est"),
-        )
-    )
+
     def _write(staging: str) -> None:
         pruned.coalesce(1).write.mode("overwrite").parquet(staging)
         _stamp_batch_id(staging, batch_id)
 
     _swap_in(table_path, _write)
+
+
+_HW_MARKER = "_mg_high_water_us"
+
+
+def merge_mg_batch_windowed(
+    spark,
+    batch_df: DataFrame,
+    table_path: str,
+    time_col: str,
+    group_col: str,
+    token_col: str = "token",
+    capacity: int = 512,
+    delay_seconds: int = 3600,
+    window: str = "hour",
+    batch_id: int | None = None,
+) -> None:
+    """Fold one micro-batch into (event-time window, group)-keyed MG
+    summaries with WATERMARK semantics — the streaming twin of the
+    batch ``hourly``/``grouped`` heavy hitters composed (round-7
+    verdict item 6).
+
+    Watermark = (max event time ever seen) − ``delay_seconds``, carried
+    across batches in a marker file inside the swapped live dir (so it
+    survives crashes and replays atomically with the state it bounds):
+
+    - rows LATER than their window but within the watermark merge
+      normally (out-of-order tolerated);
+    - rows older than the watermark are DROPPED, exactly like a
+      watermarked streaming aggregation would drop them;
+    - live state holds only windows whose END is past the watermark:
+      older windows are FINALIZED — their summary rows move to a
+      ``<table>__closed`` dir (dynamic partition overwrite per window,
+      so an at-least-once replay rewrites the same partition with the
+      same bytes) and leave live state, which stays bounded by
+      (windows inside the watermark horizon) × groups × (capacity+1).
+
+    A finalized window can never need its summary again: every row of
+    window W has event time < end(W) ≤ watermark, so later arrivals
+    for W are dropped by the same threshold that closed it.
+    """
+    live = table_path
+    closed = table_path.rstrip("/") + "__closed"
+    _recover(live)
+    if _already_merged(live, batch_id):
+        return
+    batch_df = batch_df.where(
+        F.col(time_col).isNotNull()
+        & F.col(group_col).isNotNull()
+        & F.col(token_col).isNotNull()
+    )
+    # high-water mark: one bounded scalar aggregate per batch
+    row = batch_df.agg(F.max(F.unix_micros(F.col(time_col))).alias("mx")).collect()[0]
+    batch_max_us = row["mx"]
+    hw_path = os.path.join(live, _HW_MARKER)
+    hw_old = None
+    if os.path.exists(hw_path):
+        with open(hw_path) as fh:
+            hw_old = int(fh.read().strip())
+    hw_new = max(x for x in (hw_old, batch_max_us) if x is not None) if (
+        hw_old is not None or batch_max_us is not None
+    ) else None
+    if hw_new is None:
+        return  # empty batch, no state yet
+    threshold_us = hw_new - delay_seconds * 1_000_000
+
+    kept = batch_df.where(
+        F.unix_micros(F.col(time_col)) >= F.lit(threshold_us)
+    ).withColumn("window", F.date_trunc(window, F.col(time_col)))
+
+    stored = spark.read.parquet(live) if os.path.exists(live) else None
+    pruned = _grouped_summary_merge(
+        stored, kept, ["window", group_col], token_col, capacity
+    )
+    # windows fully behind the watermark finalize; the rest stay live
+    window_end_us = F.unix_micros(
+        F.col("window") + F.expr(f"INTERVAL 1 {window}")
+    )
+    expired = pruned.where(window_end_us <= F.lit(threshold_us))
+    alive = pruned.where(window_end_us > F.lit(threshold_us))
+
+    expired.persist()
+    if not expired.isEmpty():
+        (
+            expired.withColumn("window_part", F.unix_micros("window"))
+            .repartition("window_part")
+            .write.partitionBy("window_part")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(closed)
+        )
+    expired.unpersist(blocking=False)
+
+    def _write(staging: str) -> None:
+        alive.coalesce(1).write.mode("overwrite").parquet(staging)
+        _stamp_batch_id(staging, batch_id)
+        with open(os.path.join(staging, _HW_MARKER), "w") as fh:
+            fh.write(str(int(hw_new)))
+
+    _swap_in(live, _write)
+
+
+def maintain_windowed_heavy_hitters(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    time_col: str,
+    group_col: str,
+    token_col: str = "token",
+    capacity: int = 512,
+    delay_seconds: int = 3600,
+    window: str = "hour",
+):
+    """Attach the watermarked (window, group) MG merge to an event
+    stream via foreachBatch (availableNow trigger)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_mg_batch_windowed(
+            batch_df.sparkSession,
+            batch_df,
+            table_path,
+            time_col,
+            group_col,
+            token_col,
+            capacity,
+            delay_seconds,
+            window,
+            batch_id=batch_id,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_grouped_top_k_from_summary(
+    spark,
+    table_path: str,
+    corpus: DataFrame,
+    group_col: str,
+    token_col: str = "token",
+    k: int = 10,
+    capacity: int = 512,
+) -> DataFrame:
+    """Exact per-(window, group) top-``k``: live + finalized summaries
+    certify candidates, ``corpus`` (with a ``window`` column) provides
+    the exact rerank — same certify-or-degrade contract as
+    :func:`grouped_top_k_from_summary`, over the composite key."""
+    from tweets_spark_top_10_spark.functions.heavy_hitters import (
+        grouped_candidate_rerank,
+    )
+
+    live = table_path
+    closed = table_path.rstrip("/") + "__closed"
+    parts = []
+    if os.path.exists(live):
+        parts.append(spark.read.parquet(live))
+    if os.path.exists(closed):
+        parts.append(
+            spark.read.parquet(closed).select(
+                F.timestamp_micros(F.col("window_part")).alias("window"),
+                group_col,
+                token_col,
+                "est",
+            )
+        )
+    if not parts:
+        raise FileNotFoundError(f"no summary state at {table_path}")
+    summary = parts[0]
+    for p in parts[1:]:
+        summary = summary.unionByName(p)
+    key = F.concat_ws(
+        "|", F.date_format("window", "yyyy-MM-dd HH:mm:ss"), F.col(group_col)
+    )
+    summary_k = summary.select(key.alias("__wg"), token_col, "est")
+    corpus_k = corpus.where(
+        F.col("window").isNotNull()
+        & F.col(group_col).isNotNull()
+        & F.col(token_col).isNotNull()
+    ).select(key.alias("__wg"), token_col)
+    out = grouped_candidate_rerank(
+        summary_k, corpus_k, "__wg", token_col, k, capacity
+    )
+    split = F.split(F.col("__wg"), r"\|", 2)
+    return out.select(
+        F.to_timestamp(split.getItem(0)).alias("window"),
+        split.getItem(1).alias(group_col),
+        token_col,
+        *[c for c in out.columns if c not in ("__wg", token_col)],
+    )
 
 
 def maintain_grouped_heavy_hitters(
