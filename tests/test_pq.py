@@ -278,6 +278,7 @@ def test_serving_path_matches_inline_adc(spark, sf_dir):
         ("pq_adc_top5_prebuilt", "pq_adc_top5"),
         ("opq_adc_top5_prebuilt", "pq_adc_opq_top5"),
         ("ivfpq_adc_top5_prebuilt", "ivfpq_adc_top5"),
+        ("opq_adc_rerank_top5_prebuilt", "pq_adc_opq_rerank_top5"),
     ]:
         prebuilt = sorted(map(tuple, QUERIES[pre](spark, sf_dir).collect()))
         inline = sorted(map(tuple, QUERIES[inl](spark, sf_dir).collect()))

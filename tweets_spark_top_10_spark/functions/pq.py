@@ -462,15 +462,38 @@ def pq_adc_rerank_topk(
         sub_dim=sub_dim,
         round_digits=round_digits,
         codebook=codebook,
-    ).select(query_id, cand_id)
+    )
     rq = queries if rerank_queries is None else rerank_queries
     rc = candidates if rerank_candidates is None else rerank_candidates
-    fetched = rc.select(
-        cand_id, F.col(vec_col).alias("__cv")
-    ).join(F.broadcast(short), cand_id)
+    return exact_rerank(
+        short, rq, rc, k, query_id, cand_id, vec_col, round_digits
+    )
+
+
+def exact_rerank(
+    short: DataFrame,
+    rerank_queries: DataFrame,
+    rerank_candidates: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    cand_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-``k`` over a (query, candidate) shortlist: the
+    shortlist (Q x C rows, KBs) broadcasts against the candidate table
+    to fetch full vectors — one broadcast semi-join, never a corpus
+    shuffle — then a per-query window ranks the exact rounded cosine.
+    Shared by the inline rerank and the prebuilt serving twin."""
     from tweets_spark_top_10_spark.functions.similarity import dot, l2_norm
 
-    qv = F.broadcast(rq.select(query_id, F.col(vec_col).alias("__qv")))
+    pairs = short.select(query_id, cand_id)
+    fetched = rerank_candidates.select(
+        cand_id, F.col(vec_col).alias("__cv")
+    ).join(F.broadcast(pairs), cand_id)
+    qv = F.broadcast(
+        rerank_queries.select(query_id, F.col(vec_col).alias("__qv"))
+    )
     exact_cos = F.round(
         dot(F.col("__qv"), F.col("__cv"))
         / (l2_norm(F.col("__qv")) * l2_norm(F.col("__cv"))),

@@ -1209,6 +1209,46 @@ def opq_adc_top5_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "opq_adc_rerank_top5_prebuilt",
+    oracle=_OPQ_RERANK_ORACLE,
+)
+def opq_adc_rerank_top5_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving twin of ``pq_adc_opq_rerank_top5``: the prebuilt OPQ
+    index produces the 32-deep ADC shortlist (driver LUTs + one
+    wide-codes pass), then the exact rerank fetches 32 original
+    vectors per query via a broadcast semi-join.  Measures what
+    recall@5 0.84 actually COSTS at query time once the index is
+    offline (~1 s at sf0.1 vs ~8 s build-inclusive); identical values,
+    same oracle."""
+    from tweets_spark_top_10_spark.functions.pq import (
+        exact_rerank,
+        pq_adc_serving_topk,
+    )
+
+    perm_path, cb_path, codes_path = ensure_opq_index(spark, sf_dir)
+    perm_rows = _cached_rows(spark, perm_path)
+    cb_rows = _cached_rows(spark, cb_path)
+    qv = [
+        (qid, _opq_permute_driver(perm_rows, vec))
+        for qid, vec in _query_batch(sf_dir)
+    ]
+    short = pq_adc_serving_topk(
+        spark,
+        query_vecs=qv,
+        codebook_rows=cb_rows,
+        codes_wide=spark.read.parquet(codes_path),
+        k=32,
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return exact_rerank(
+        short,
+        _normed(emb, "query_id", 0, 10),
+        _normed(emb, "neighbor_id", 10, None),
+        k=5,
+    )
+
+
+@register(
     "semantic_dedup_keep",
     oracle=f"""
     WITH v AS (
