@@ -226,11 +226,16 @@ def audio_waveform_stats(
                 if p is None or len(p) == 0:
                     continue
                 x = np.frombuffer(p, dtype=np.uint8).astype(np.float64)
+                from tweets_spark_top_10_spark.functions.numeric import (
+                    round_half_up,
+                )
+
                 ids.append(int(i))
                 n.append(len(x))
                 peak.append(int(x.max()))
-                mean.append(round(float(x.mean()), 6))
-                rms.append(round(float(np.sqrt(np.mean(x * x))), 6))
+                # HALF_UP to match SQL ROUND (round() is half-even)
+                mean.append(round_half_up(float(x.mean()), 6))
+                rms.append(round_half_up(float(np.sqrt(np.mean(x * x))), 6))
             yield pd.DataFrame(
                 {
                     "id": pd.Series(ids, dtype="int64"),

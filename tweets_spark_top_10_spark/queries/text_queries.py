@@ -894,6 +894,134 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_best_quality",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS arr
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(arr) - 1, 1)),
+                 i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]
+               )) AS shingle
+        FROM toks
+      ) raw
+    ), keep AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100
+    ), shk AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+    ), counts AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM shk GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN counts ca ON ca.doc_id = id_a
+      JOIN counts cb ON cb.doc_id = id_b
+      WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), walk(n, m) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT w.n, e.b FROM walk w JOIN edges e ON w.m = e.a
+    ), comp AS (
+      SELECT n AS node, MIN(m) AS component FROM walk GROUP BY n
+    ), memb AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ), q AS (
+      SELECT doc_id,
+             ROUND(
+               0.4 * (CASE WHEN n_tok BETWEEN 10 AND 5000 THEN 1.0
+                           WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END)
+             + 0.3 * (CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0
+                           THEN 1.0 ELSE 0.5 END)
+             + 0.3 * (1.0 - least(pr * 4.0, 1.0)), 6) AS quality
+      FROM (
+        SELECT t.doc_id,
+               len(t.arr) AS n_tok,
+               CASE WHEN len(t.arr) > 0
+                    THEN CAST(length(array_to_string(t.arr, '')) AS DOUBLE) / len(t.arr)
+                    ELSE 0.0 END AS mean_len,
+               CASE WHEN length(d.text) > 0
+                    THEN CAST(length(regexp_replace(d.text, '[A-Za-z0-9\s]', '', 'g'))
+                              AS DOUBLE) / length(d.text)
+                    ELSE 0.0 END AS pr
+        FROM toks t JOIN documents d USING (doc_id)
+      )
+    ), best AS (
+      SELECT cluster, doc_id AS keeper FROM (
+        SELECT m.cluster, m.doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY m.cluster
+                 ORDER BY q.quality DESC, m.doc_id ASC) AS r
+        FROM memb m JOIN q USING (doc_id)
+      ) WHERE r = 1
+    )
+    SELECT m.doc_id, m.cluster, b.keeper AS canonical_id,
+           m.doc_id = b.keeper AS is_canonical
+    FROM memb m JOIN best b USING (cluster)
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical keep: same near-dup clusters as
+    ``dedup_canonical_docs`` (Jaccard≥0.5, DF-capped shingles, star CC)
+    but the kept member is the cluster's HIGHEST-quality document
+    (``functions/text.quality_score``; ties → min doc_id) instead of
+    the min id — what a training pipeline actually wants when
+    near-duplicates differ in cleanliness (the min-id variant keeps
+    whichever copy was crawled first).  Scale shape: identical pair/CC
+    stages plus one quality projection and one cluster-keyed window —
+    clusters are tiny, so the extra window shuffles narrow rows and
+    never skews."""
+    from tweets_spark_top_10_spark.functions.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from tweets_spark_top_10_spark.functions.text import quality_score, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, max_shingle_df=100
+    )
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    memb = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+        )
+    )
+    quality = docs.select(
+        "doc_id", quality_score(F.col("text"), tokenize(F.col("text"))).alias("quality")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    best = (
+        memb.join(quality, "doc_id")
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select("cluster", F.col("doc_id").alias("canonical_id"))
+    )
+    return memb.join(best, "cluster").select(
+        "doc_id",
+        "cluster",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+    )
+
+
+@register(
     "doc_split_assignment",
     oracle="""
     WITH b AS (
