@@ -101,6 +101,14 @@ def main() -> None:
     # 64-dim space, each timed and scored against the exact cosine scan.
     pq_curve = _pq_recall_curve(spark, sf_dir)
 
+    # 10x scale trend (round-7 verdict item 8: track scale runs as bench
+    # artifacts, not one-off tables): replicate embeddings 10x
+    # content-disjointly and re-time the two scale-critical vector
+    # queries.  semantic_dedup_keep is THE query whose 10x ratio was the
+    # round-7 perf-weak item (4.5x, fixed to <2x in round 8) — tracking
+    # it here makes a regression visible the round it happens.
+    scale_10x = _scale_10x(spark, sf_dir, timings)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     # `value` is THIS run's measurement (null when any query failed —
@@ -128,6 +136,8 @@ def main() -> None:
     }
     if pq_curve:
         out["pq_curve"] = pq_curve
+    if scale_10x:
+        out["scale_10x"] = scale_10x
 
     # Regression tracking: per-query delta vs the newest prior run —
     # self-recorded history first (BENCH_HISTORY.jsonl, complete and
@@ -219,6 +229,60 @@ def _own_history_timings(repo_dir: str, sf: float):
         if float(rec.get("sf", -1)) == sf and isinstance(rec.get("queries"), dict):
             return ("bench history", rec["queries"])
     return None
+
+
+def _scale_10x(spark, sf_dir: str, timings: dict) -> dict:
+    """10x scale ratios for the scale-critical vector queries.
+
+    Embeddings are replicated 10x with shifted ids (content-disjoint)
+    into a temp dir that only holds embeddings.parquet — both probed
+    queries read nothing else.  The 1x number is the catalog timing
+    already measured this run; only the 10x side costs new wall
+    (~10-15s total).  Failure is telemetry, never a bench failure.
+    """
+    import shutil
+    import tempfile
+
+    probes = ["semantic_dedup_keep", "pq_adc_top5_prebuilt"]
+    try:
+        import duckdb
+
+        from tweets_spark_top_10_spark.queries import QUERIES
+
+        work = tempfile.mkdtemp(prefix="bench_scale10x_")
+        src = os.path.join(sf_dir, "embeddings.parquet")
+        duckdb.sql(f"""
+          COPY (
+            SELECT e.vec_id + r.k * (SELECT MAX(vec_id)+1 FROM read_parquet('{src}')) AS vec_id,
+                   e.label, e.embedding
+            FROM read_parquet('{src}') e, (SELECT UNNEST(RANGE(10)) AS k) r
+          ) TO '{work}/embeddings.parquet' (FORMAT PARQUET)
+        """)
+        out = {}
+        for name in probes:
+            t1 = timings.get(name)
+            if t1 is None or t1 < 0:
+                continue
+            fn = QUERIES[name]
+            fn(spark, work).write.format("noop").mode("overwrite").save()  # warm
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, work).write.format("noop").mode("overwrite").save()
+                t = time.perf_counter() - t0
+                best = t if best is None else min(best, t)
+            out[name] = {
+                "x1_s": t1,
+                "x10_s": round(best, 3),
+                "ratio": round(best / t1, 2) if t1 > 0 else None,
+            }
+            spark.catalog.clearCache()
+        shutil.rmtree(work, ignore_errors=True)
+        return out
+    except Exception as exc:
+        print(f"# scale_10x probe failure: {exc}", file=sys.stderr)
+        return {}
 
 
 def _pq_recall_curve(spark, sf_dir: str) -> list[dict]:
