@@ -1504,6 +1504,57 @@ def test_streaming_ivm_view_tracks_snapshot(spark, sf_dir, tmp_path):
     assert got == from_snapshot == from_log and got
 
 
+def test_ivm_replay_after_crash_between_swaps_converges(spark, tmp_path):
+    """The IVM two-swap crash window (view swapped, snapshot merge
+    crashed): replaying the SAME batch_id must converge both artifacts
+    instead of double-counting the view delta.  The view dir's
+    batch-id marker (round-8; same protocol as the MG summaries) skips
+    the replayed view update while the seq-idempotent snapshot merge
+    still runs."""
+    from tweets_spark_top_10_spark.operators.ivm import build_agg_view
+    from tweets_spark_top_10_spark.streaming.cdc import read_cdc_snapshot
+    from tweets_spark_top_10_spark.streaming import ivm as ivm_mod
+
+    schema = "k long, g string, v long, op string, seq long"
+    b1 = spark.createDataFrame(
+        [(i, f"g{i % 2}", 10 + i, "I", 1) for i in range(8)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(i, f"g{(i + 1) % 2}", 100 + i, "U", 2) for i in range(0, 8, 2)],
+        schema,
+    )
+    snap, view = str(tmp_path / "snap"), str(tmp_path / "view")
+
+    ivm_mod.ivm_step(spark, b1, snap, view, "k", ["g"], ["v"], batch_id=0)
+
+    # crash: view swap commits, snapshot merge dies
+    real_merge = ivm_mod.merge_cdc_batch
+    ivm_mod.merge_cdc_batch = lambda *a, **kw: (_ for _ in ()).throw(
+        RuntimeError("crash before snapshot merge")
+    )
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            ivm_mod.ivm_step(spark, b2, snap, view, "k", ["g"], ["v"], batch_id=1)
+    finally:
+        ivm_mod.merge_cdc_batch = real_merge
+
+    # view is one batch ahead of the snapshot now; replay batch 1
+    ivm_mod.ivm_step(spark, b2, snap, view, "k", ["g"], ["v"], batch_id=1)
+
+    got = {
+        r["g"]: (r["n"], r["sum_v"]) for r in spark.read.parquet(view).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["sum_v"])
+        for r in build_agg_view(
+            read_cdc_snapshot(spark, snap), ["g"], ["v"]
+        ).collect()
+    }
+    assert got == want and got, (got, want)
+
+
 def test_cdc_tombstone_compaction_keeps_live_rows(spark, tmp_path):
     """Compaction drops only tombstones below the replay horizon: live
     rows of any seq and younger tombstones survive, and the visible

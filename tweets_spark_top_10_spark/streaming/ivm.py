@@ -19,13 +19,17 @@ The view therefore always equals ``build_agg_view(read_cdc_snapshot)``
 after every batch — the differential test asserts exactly that, after
 a duplicated AND an out-of-order batch.
 
-Consistency note (documented, not hidden): steps 2 and 3 are two
-separate dir swaps, not one transaction.  A crash BETWEEN them leaves
-a view that is one batch ahead of the snapshot; the replayed batch
-then no-ops against the view's seq filter only if the snapshot also
-committed.  Exactly-once across both artifacts needs a shared commit
-log (Delta-style); within this engine's file-dir protocol the
-recovery is ``rebuild_view`` — one aggregate over the snapshot.
+Consistency across the two swaps (closed in round 8): steps 2 and 3
+are two separate dir swaps, not one transaction, so a crash BETWEEN
+them leaves the view one batch ahead of the snapshot.  The view dir
+now carries the last-applied ``batch_id`` (same marker protocol as the
+MG summaries, swapped atomically with the view): on replay the view
+update SKIPS (its delta is already in) while the snapshot MERGE still
+runs — and the snapshot merge is itself seq-idempotent — so the
+replayed batch converges both artifacts.  This is exactly-once given
+the Structured Streaming guarantee that a replayed batch_id carries
+identical data.  ``rebuild_view`` (one aggregate over the snapshot)
+remains the big-hammer recovery.
 """
 
 from __future__ import annotations
@@ -44,7 +48,11 @@ from tweets_spark_top_10_spark.operators.ivm import (
 from tweets_spark_top_10_spark.streaming.cdc import merge_cdc_batch
 
 
-def _swap_write(df: DataFrame, path: str) -> None:
+def _swap_write(df: DataFrame, path: str, batch_id: int | None = None) -> None:
+    from tweets_spark_top_10_spark.streaming.heavy_hitters import (
+        _stamp_batch_id,
+    )
+
     staging, aside = path.rstrip("/") + "__stage", path.rstrip("/") + "__old"
     for p in (staging,):
         if os.path.exists(p):
@@ -55,6 +63,7 @@ def _swap_write(df: DataFrame, path: str) -> None:
         else:
             shutil.rmtree(aside)
     df.write.mode("overwrite").parquet(staging)
+    _stamp_batch_id(staging, batch_id)
     if os.path.exists(path):
         os.rename(path, aside)
     os.rename(staging, path)
@@ -74,6 +83,75 @@ def rebuild_view(
     )
 
 
+def ivm_step(
+    spark,
+    batch_df: DataFrame,
+    snapshot_path: str,
+    view_path: str,
+    key: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    batch_id: int | None = None,
+) -> None:
+    """One micro-batch of view+snapshot maintenance (see module
+    docstring).  ``batch_id`` closes the two-swap crash window: a
+    replayed batch whose id is already stamped in the view dir skips
+    the view update (the delta is in) but STILL merges the snapshot —
+    which is seq-idempotent — so a crash between the two swaps
+    converges on replay instead of double-counting the delta."""
+    from tweets_spark_top_10_spark.streaming.heavy_hitters import (
+        _already_merged,
+        _recover,
+    )
+
+    _recover(view_path)
+    view_done = _already_merged(view_path, batch_id)
+    w = Window.partitionBy(key).orderBy(F.desc(seq_col), F.desc(op_col))
+    latest = (
+        batch_df.withColumn("__brn", F.row_number().over(w))
+        .where("__brn = 1")
+        .drop("__brn")
+    )
+    if os.path.exists(snapshot_path):
+        stored = spark.read.parquet(snapshot_path)
+        eff = (
+            latest.join(
+                stored.select(F.col(key), F.col("__seq")), key, "left"
+            )
+            .where(
+                F.col("__seq").isNull()
+                | (F.col(seq_col).cast("long") > F.col("__seq"))
+            )
+            .drop("__seq")
+        )
+        live = stored.where(~F.col("__deleted")).drop("__seq", "__deleted")
+    else:
+        eff = latest
+        live = spark.createDataFrame(
+            [], latest.drop(seq_col, op_col).schema
+        )
+    eff = eff.localCheckpoint(eager=True)  # pre-swap pin: eff must
+    # not lazily re-read the snapshot dir after step 3 swaps it
+    if eff.isEmpty():
+        return
+    if not view_done:
+        delta = agg_delta(live, eff, key, group_cols, sum_cols, seq_col, op_col)
+        if os.path.exists(view_path):
+            view = spark.read.parquet(view_path)
+        else:
+            view = spark.createDataFrame([], delta.schema).select(
+                *group_cols,
+                F.col("dn").alias("n"),
+                *[F.col(f"dsum_{c}").alias(f"sum_{c}") for c in sum_cols],
+            )
+        new_view = apply_agg_delta(view, delta, group_cols, sum_cols)
+        new_view = new_view.localCheckpoint(eager=True)
+        _swap_write(new_view, view_path, batch_id=batch_id)
+    merge_cdc_batch(spark, eff, snapshot_path, key, seq_col, op_col)
+
+
 def maintain_agg_view(
     change_stream: DataFrame,
     snapshot_path: str,
@@ -86,53 +164,23 @@ def maintain_agg_view(
     op_col: str = "op",
 ):
     """foreachBatch wiring (availableNow trigger): per batch, view +=
-    delta(effective changes), then snapshot MERGE."""
+    delta(effective changes), then snapshot MERGE (``ivm_step``)."""
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
-        w = Window.partitionBy(key).orderBy(F.desc(seq_col), F.desc(op_col))
-        latest = (
-            batch_df.withColumn("__brn", F.row_number().over(w))
-            .where("__brn = 1")
-            .drop("__brn")
+        ivm_step(
+            batch_df.sparkSession,
+            batch_df,
+            snapshot_path,
+            view_path,
+            key,
+            group_cols,
+            sum_cols,
+            seq_col,
+            op_col,
+            batch_id=batch_id,
         )
-        if os.path.exists(snapshot_path):
-            stored = spark.read.parquet(snapshot_path)
-            eff = (
-                latest.join(
-                    stored.select(F.col(key), F.col("__seq")), key, "left"
-                )
-                .where(
-                    F.col("__seq").isNull()
-                    | (F.col(seq_col).cast("long") > F.col("__seq"))
-                )
-                .drop("__seq")
-            )
-            live = stored.where(~F.col("__deleted")).drop("__seq", "__deleted")
-        else:
-            eff = latest
-            live = spark.createDataFrame(
-                [], latest.drop(seq_col, op_col).schema
-            )
-        eff = eff.localCheckpoint(eager=True)  # pre-swap pin: eff must
-        # not lazily re-read the snapshot dir after step 3 swaps it
-        if eff.isEmpty():
-            return
-        delta = agg_delta(live, eff, key, group_cols, sum_cols, seq_col, op_col)
-        if os.path.exists(view_path):
-            view = spark.read.parquet(view_path)
-        else:
-            view = spark.createDataFrame([], delta.schema).select(
-                *group_cols,
-                F.col("dn").alias("n"),
-                *[F.col(f"dsum_{c}").alias(f"sum_{c}") for c in sum_cols],
-            )
-        new_view = apply_agg_delta(view, delta, group_cols, sum_cols)
-        new_view = new_view.localCheckpoint(eager=True)
-        _swap_write(new_view, view_path)
-        merge_cdc_batch(spark, eff, snapshot_path, key, seq_col, op_col)
 
     return (
         change_stream.writeStream.foreachBatch(step)
