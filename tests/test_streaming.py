@@ -2039,6 +2039,112 @@ def test_grouped_mg_merge_recovers_from_stale_swap_dirs(spark, sf_dir, tmp_path)
     assert not os.path.exists(crashed2 + "__stage")
 
 
+def test_kafka_replay_feeds_windowed_heavy_hitters(spark, sf_dir, tmp_path):
+    """Composition: the jar-free kafka_replay source (round 7) drives
+    the watermarked (window, group) MG maintenance (round 8) end to
+    end — JSON payloads with event-time ts decode from the Kafka
+    contract columns, fold into per-(day, segment) summaries under the
+    watermark, and the state-derived top-3 equals the batch exact
+    answer.  This is the production wiring: broker-shaped ingestion →
+    bounded streaming state → exact serving read."""
+    import json
+
+    from tweets_spark_top_10_spark.functions.heavy_hitters import (
+        grouped_exact_top_k,
+    )
+    from tweets_spark_top_10_spark.sources.pyds import (
+        register_kafka_replay,
+        write_kafka_replay_dump,
+    )
+    from tweets_spark_top_10_spark.streaming import kafka_json_values
+    from tweets_spark_top_10_spark.streaming.heavy_hitters import (
+        maintain_windowed_heavy_hitters,
+        windowed_grouped_top_k_from_summary,
+    )
+
+    events = load_table(spark, sf_dir, "events").limit(400).select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        (F.col("user_id") % 4).cast("string").alias("seg"),
+        F.col("event_type").alias("token"),
+    )
+    payloads = [
+        r["v"]
+        for r in events.select(
+            F.to_json(F.struct("ts_s", "seg", "token")).alias("v")
+        ).collect()
+    ]
+    root = str(tmp_path / "hh_topic")
+    write_kafka_replay_dump(payloads, root, n_partitions=3)
+
+    register_kafka_replay(spark)
+    stream = (
+        spark.readStream.format("kafka_replay")
+        .option("path", root)
+        .option("topic", "events")
+        .load()
+    )
+    decoded = kafka_json_values(
+        stream, T._parse_datatype_string("ts_s string, seg string, token string")
+    ).select(F.to_timestamp("ts_s").alias("ts"), "seg", "token")
+
+    state = str(tmp_path / "kr_hh_state")
+    q = maintain_windowed_heavy_hitters(
+        decoded,
+        state,
+        checkpoint=str(tmp_path / "kr_hh_ckpt"),
+        time_col="ts",
+        group_col="seg",
+        capacity=64,
+        delay_seconds=40 * 86400,
+        window="day",
+    )
+    q.awaitTermination()
+
+    corpus = events.select(
+        F.date_trunc("day", F.to_timestamp("ts_s")).alias("window"),
+        "seg",
+        "token",
+    )
+    got = sorted(
+        map(
+            tuple,
+            windowed_grouped_top_k_from_summary(
+                spark, state, corpus, "seg", k=3, capacity=64
+            )
+            .select(
+                F.concat_ws(
+                    "|",
+                    F.date_format("window", "yyyy-MM-dd HH:mm:ss"),
+                    "seg",
+                ).alias("wg"),
+                "token",
+                "n",
+            )
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            grouped_exact_top_k(
+                corpus.withColumn(
+                    "wg",
+                    F.concat_ws(
+                        "|",
+                        F.date_format("window", "yyyy-MM-dd HH:mm:ss"),
+                        "seg",
+                    ),
+                ).select("wg", "token"),
+                "wg",
+                "token",
+                k=3,
+                capacity=64,
+            ).collect(),
+        )
+    )
+    assert got == want and got
+
+
 def test_kafka_replay_source_exactly_once_and_payload_parity(
     spark, sf_dir, tmp_path
 ):
