@@ -244,6 +244,7 @@ def _scale_10x(spark, sf_dir: str, timings: dict) -> dict:
     import tempfile
 
     probes = ["semantic_dedup_keep", "pq_adc_top5_prebuilt"]
+    work = None
     try:
         import duckdb
 
@@ -251,10 +252,17 @@ def _scale_10x(spark, sf_dir: str, timings: dict) -> dict:
 
         work = tempfile.mkdtemp(prefix="bench_scale10x_")
         src = os.path.join(sf_dir, "embeddings.parquet")
+        # Content-disjoint replication: replica k is the CYCLIC SHIFT of
+        # the original vector by k dims (norm-preserving, near-zero
+        # cosine to other replicas of the same vector) — plain id
+        # shifting with duplicate vectors would guarantee 10 identical
+        # copies per cell and measure duplicate-pair explosion, not
+        # corpus growth (round-8 review finding).
         duckdb.sql(f"""
           COPY (
             SELECT e.vec_id + r.k * (SELECT MAX(vec_id)+1 FROM read_parquet('{src}')) AS vec_id,
-                   e.label, e.embedding
+                   e.label,
+                   e.embedding[r.k + 1:] || e.embedding[:r.k] AS embedding
             FROM read_parquet('{src}') e, (SELECT UNNEST(RANGE(10)) AS k) r
           ) TO '{work}/embeddings.parquet' (FORMAT PARQUET)
         """)
@@ -278,11 +286,25 @@ def _scale_10x(spark, sf_dir: str, timings: dict) -> dict:
                 "ratio": round(best / t1, 2) if t1 > 0 else None,
             }
             spark.catalog.clearCache()
-        shutil.rmtree(work, ignore_errors=True)
         return out
     except Exception as exc:
         print(f"# scale_10x probe failure: {exc}", file=sys.stderr)
         return {}
+    finally:
+        if work is not None:
+            # the *_prebuilt probe built an index for the throwaway 10x
+            # corpus under the user cache (unique fingerprint per run —
+            # unbounded growth if left); drop both the corpus and its
+            # cache entry
+            try:
+                from tweets_spark_top_10_spark.queries.similarity_queries import (
+                    _pq_index_dir,
+                )
+
+                shutil.rmtree(_pq_index_dir(work), ignore_errors=True)
+            except Exception:
+                pass
+            shutil.rmtree(work, ignore_errors=True)
 
 
 def _pq_recall_curve(spark, sf_dir: str) -> list[dict]:

@@ -344,9 +344,11 @@ def test_serving_topk_excludes_corrupt_code_rows(spark, sf_dir):
 
 def test_prebuilt_index_cache_is_per_user_and_race_safe(tmp_path, spark, sf_dir, monkeypatch):
     """The prebuilt-index cache must live under the USER's cache dir
-    (mode 0700, ownership-checked), not the world-writable system temp
-    dir, and concurrent builders must publish via rename so a loser
-    finds the winner's complete parts (round-7 advisor finding)."""
+    (mode 0700, ownership-checked + re-tightened if a pre-existing dir
+    was looser), not the world-writable system temp dir, and concurrent
+    builders publish each index kind with ONE atomic rename so a loser
+    finds the winner's complete kind dir — mixed halves impossible
+    (round-7 advisor finding + round-8 review hardening)."""
     import os
 
     from tweets_spark_top_10_spark.queries import similarity_queries as sq
@@ -358,17 +360,23 @@ def test_prebuilt_index_cache_is_per_user_and_race_safe(tmp_path, spark, sf_dir,
     assert (os.stat(root).st_mode & 0o777) == 0o700
     assert os.stat(root).st_uid == os.getuid()
 
+    # a pre-existing group/world-writable cache root is re-tightened
+    os.chmod(root, 0o775)
+    assert (os.stat(sq._pq_cache_root()).st_mode & 0o777) == 0o700
+
     base = sq._pq_index_dir(sf_dir)
     assert str(base).startswith(str(cache_home))
 
     # build once through the real path, then replay a "losing" publish:
-    # rename fails against the complete winner and must NOT raise.
+    # whole-kind rename fails against the complete winner, the loser's
+    # staging is discarded, and no loser bytes reach the served dir.
     cb_path, codes_path = sq.ensure_pq_index(spark, sf_dir)
     assert os.path.exists(os.path.join(cb_path, "_SUCCESS"))
-    staging = base.parent / "race_stage"
+    kind = base / "pq"
+    staging = base / ".race_stage"
     (staging / "codebook").mkdir(parents=True)
     (staging / "codebook" / "part-0").write_text("loser bytes")
-    sq._publish_index_parts(staging, base, ["codebook"])
+    sq._publish_index_kind(staging, kind)
     assert not staging.exists()
     # winner's marker survived; loser's bytes did not replace it
     assert os.path.exists(os.path.join(cb_path, "_SUCCESS"))

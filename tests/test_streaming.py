@@ -2444,6 +2444,12 @@ def test_mg_merge_replayed_batch_is_noop(spark, sf_dir, tmp_path):
     merge_mg_batch_grouped(spark, batch, crashed, "lang", capacity=64, batch_id=5)
     assert canon(crashed) == after5, "replay after aside-restore double-merged"
 
+    # fresh checkpoint over existing state: ids restart below the
+    # stored marker — those batches are NEW data and must merge
+    # (the marker check is ==, not <=; round-8 review finding)
+    merge_mg_batch_grouped(spark, batch, crashed, "lang", capacity=64, batch_id=0)
+    assert canon(crashed) != after5, "fresh-checkpoint batch was discarded"
+
 
 def test_streaming_semantic_dedup_matches_batch(spark, sf_dir, tmp_path):
     """Incrementally maintained semantic-dedup state == the batch

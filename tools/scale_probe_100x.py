@@ -51,10 +51,19 @@ def build_fixtures(work: str, replicas: int) -> tuple[str, str]:
                  (SELECT UNNEST(RANGE({n})) AS k) r
           ) TO '{path}/documents.parquet' (FORMAT PARQUET)
         """)
+        # content-disjoint in EMBEDDING SPACE, not just by id: replica k
+        # is the cyclic shift of the vector by k%64 dims, negated for
+        # k>=64 (norm-preserving, near-zero cosine across replicas) —
+        # duplicate vectors with shifted ids would land 10 identical
+        # copies per IVF cell and measure duplicate-pair explosion, not
+        # corpus growth (round-8 review finding)
         duckdb.sql(f"""
           COPY (
             SELECT e.vec_id + r.k * (SELECT MAX(vec_id)+1 FROM read_parquet('{BASE}/embeddings.parquet')) AS vec_id,
-                   e.label, e.embedding
+                   e.label,
+                   list_transform(
+                     e.embedding[(r.k % 64) + 1:] || e.embedding[:(r.k % 64)],
+                     x -> CASE WHEN r.k >= 64 THEN -x ELSE x END) AS embedding
             FROM read_parquet('{BASE}/embeddings.parquet') e,
                  (SELECT UNNEST(RANGE({n})) AS k) r
           ) TO '{path}/embeddings.parquet' (FORMAT PARQUET)

@@ -88,6 +88,16 @@ def render_red(red: set[str]) -> str:
     return "\n".join(lines)
 
 
+def _max_folded(src: str) -> int:
+    """Largest round number already present in the committed
+    ``_LAST_CHECKED`` block (0 if none)."""
+    block = re.search(r"_LAST_CHECKED: dict\[str, int\] = \{.*?\n\}", src, re.DOTALL)
+    if not block:
+        return 0
+    rounds = [int(m) for m in re.findall(r":\s*(\d+),", block.group(0))]
+    return max(rounds, default=0)
+
+
 def main(argv: list[str]) -> int:
     src = CATALOG.read_text()
     last_block = re.compile(
@@ -104,8 +114,18 @@ def main(argv: list[str]) -> int:
     new_src = red_block.sub(render_red(red).replace("\\", r"\\"), new_src)
     if "--check" in argv:
         if new_src != src:
-            if "--autofold" in argv:
-                CATALOG.write_text(new_src)
+            # Autofold covers exactly ONE legitimate cause: the driver
+            # wrote a CORRECTNESS artifact for a round NEWER than any
+            # the committed tables have absorbed (it always lands after
+            # the round's last commit).  Any other mismatch — corrupted
+            # tables, regeneration-logic drift — must still FAIL, or
+            # the tripwire can never trip (round-8 review finding).
+            if "--autofold" in argv and max(last.values(), default=0) > _max_folded(src):
+                try:
+                    CATALOG.write_text(new_src)
+                except OSError as exc:
+                    print(f"catalog history is stale and autofold failed: {exc}")
+                    return 1
                 print(
                     "catalog history was stale; auto-folded newer driver "
                     f"artifact into {CATALOG} (commit this with the round's "

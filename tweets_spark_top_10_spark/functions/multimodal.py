@@ -220,16 +220,16 @@ def audio_waveform_stats(
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tweets_spark_top_10_spark.functions.numeric import (
+            round_half_up,
+        )
+
         for pdf in it:
             ids, n, peak, mean, rms = [], [], [], [], []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
                 if p is None or len(p) == 0:
                     continue
                 x = np.frombuffer(p, dtype=np.uint8).astype(np.float64)
-                from tweets_spark_top_10_spark.functions.numeric import (
-                    round_half_up,
-                )
-
                 ids.append(int(i))
                 n.append(len(x))
                 peak.append(int(x.max()))

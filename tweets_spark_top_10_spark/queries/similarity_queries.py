@@ -510,6 +510,11 @@ def _pq_cache_root() -> "Path":
             f"not the current user ({os.getuid()}) — refusing to serve "
             "codes from a directory another user controls"
         )
+    # mkdir(mode=...) only applies on CREATE: a pre-existing dir from
+    # an older tool / permissive umask could be group/world-writable,
+    # re-opening the pre-create attack the uid check alone misses
+    if st.st_mode & 0o077:
+        os.chmod(base, 0o700)
     return base
 
 
@@ -540,24 +545,26 @@ def _pq_index_dir(sf_dir: str) -> "Path":
     )
 
 
-def _publish_index_parts(staging: "Path", base: "Path", parts: list) -> None:
-    """Atomically promote each built ``staging/<part>`` dir to
-    ``base/<part>``.  Concurrent builders race benignly: ``os.rename``
-    refuses to replace a non-empty dir, so exactly one builder wins per
-    part and losers discard their (byte-identical — the builds are
-    deterministic) copy.  Readers only trust a part once its
-    ``_SUCCESS`` marker exists, which rename makes appear atomically."""
+def _publish_index_kind(staging: "Path", kind_dir: "Path") -> None:
+    """Atomically promote a fully-built index (ALL of one kind's part
+    dirs, built together under ``staging``) to ``kind_dir`` with a
+    SINGLE directory rename.  One rename per kind — not per part —
+    because per-part publishing could pair one builder's codebook with
+    another's codes if a crash interleaved with a rebuild under
+    different parallelism (round-8 review finding); a whole-kind rename
+    makes mixed halves structurally impossible.  Concurrent builders
+    race benignly: rename refuses to replace an existing non-empty
+    dir, so exactly one wins and losers discard their copy."""
     import os
     import shutil
 
-    base.mkdir(mode=0o700, exist_ok=True)
-    for part in parts:
-        try:
-            os.rename(staging / part, base / part)
-        except OSError:
-            if not (base / part / "_SUCCESS").exists():
-                raise  # loser must find a complete winner, not garbage
-    shutil.rmtree(staging, ignore_errors=True)
+    kind_dir.parent.mkdir(mode=0o700, exist_ok=True)
+    try:
+        os.rename(staging, kind_dir)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+        if not kind_dir.exists():
+            raise  # loser must find a complete winner, not nothing
 
 
 def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -576,11 +583,11 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         pq_encode,
     )
 
-    base = _pq_index_dir(sf_dir)
-    cb_path, codes_path = str(base / "codebook"), str(base / "codes_wide")
-    if not ((base / "codebook" / "_SUCCESS").exists()
-            and (base / "codes_wide" / "_SUCCESS").exists()):
-        staging = base.parent / f".stage_pq_{base.name}_{os.getpid()}"
+    kind = _pq_index_dir(sf_dir) / "pq"
+    cb_path, codes_path = str(kind / "codebook"), str(kind / "codes_wide")
+    if not ((kind / "codebook" / "_SUCCESS").exists()
+            and (kind / "codes_wide" / "_SUCCESS").exists()):
+        staging = kind.parent / f".stage_pq_{os.getpid()}"
         emb = load_table(spark, sf_dir, "embeddings")
         cands = _normed(emb, "neighbor_id", 10, None).repartition(
             spark.sparkContext.defaultParallelism
@@ -592,7 +599,7 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         pq_codes_wide(pq_encode(cands, cb, "neighbor_id")).write.mode(
             "overwrite"
         ).parquet(str(staging / "codes_wide"))
-        _publish_index_parts(staging, base, ["codebook", "codes_wide"])
+        _publish_index_kind(staging, kind)
     return cb_path, codes_path
 
 
@@ -687,11 +694,11 @@ def ensure_opq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
         pq_encode,
     )
 
-    base = _pq_index_dir(sf_dir)
+    kind = _pq_index_dir(sf_dir) / "opq"
     parts = ("opq_perm", "opq_codebook", "opq_codes_wide")
-    paths = {n: str(base / n) for n in parts}
-    if not all((base / n / "_SUCCESS").exists() for n in parts):
-        staging = base.parent / f".stage_opq_{base.name}_{os.getpid()}"
+    paths = {n: str(kind / n) for n in parts}
+    if not all((kind / n / "_SUCCESS").exists() for n in parts):
+        staging = kind.parent / f".stage_opq_{os.getpid()}"
         emb = load_table(spark, sf_dir, "embeddings")
         c0 = _normed(emb, "neighbor_id", 10, None)
         perm = opq_permutation(c0).localCheckpoint(eager=False)
@@ -706,7 +713,7 @@ def ensure_opq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
         pq_codes_wide(pq_encode(cands, refined, "neighbor_id")).write.mode(
             "overwrite"
         ).parquet(str(staging / "opq_codes_wide"))
-        _publish_index_parts(staging, base, list(parts))
+        _publish_index_kind(staging, kind)
     return paths["opq_perm"], paths["opq_codebook"], paths["opq_codes_wide"]
 
 
@@ -1384,11 +1391,11 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]
         ivf_centroids,
     )
 
-    base = _pq_index_dir(sf_dir)
+    kind = _pq_index_dir(sf_dir) / "ivfpq"
     parts = ("ivfpq_cents", "ivfpq_codebook", "ivfpq_codes_wide")
-    paths = {n: str(base / n) for n in parts}
-    if not all((base / n / "_SUCCESS").exists() for n in parts):
-        staging = base.parent / f".stage_ivfpq_{base.name}_{os.getpid()}"
+    paths = {n: str(kind / n) for n in parts}
+    if not all((kind / n / "_SUCCESS").exists() for n in parts):
+        staging = kind.parent / f".stage_ivfpq_{os.getpid()}"
         emb = load_table(spark, sf_dir, "embeddings")
         cands = _normed(emb, "neighbor_id", 10, None).repartition(
             spark.sparkContext.defaultParallelism
@@ -1415,7 +1422,7 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]
         pq_codes_wide(codes).join(
             cand_res.select("neighbor_id", "cell_id"), "neighbor_id"
         ).write.mode("overwrite").parquet(str(staging / "ivfpq_codes_wide"))
-        _publish_index_parts(staging, base, list(parts))
+        _publish_index_kind(staging, kind)
     return paths["ivfpq_cents"], paths["ivfpq_codebook"], paths["ivfpq_codes_wide"]
 
 

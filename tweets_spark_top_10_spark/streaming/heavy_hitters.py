@@ -166,14 +166,25 @@ def _stamp_batch_id(summary_dir: str, batch_id: int | None) -> None:
 def _already_merged(table_path: str, batch_id: int | None) -> bool:
     """True when a replayed micro-batch (at-least-once foreachBatch
     redelivery after a crash between the state swap and the streaming
-    checkpoint commit) has already been folded into the live summary."""
+    checkpoint commit) has already been folded into the live summary.
+
+    EQUALITY, not ``<=`` (round-8 review finding): within one
+    checkpoint, ids are monotonic and the only redelivery Structured
+    Streaming ever performs is the LAST committed id — so ``==`` fully
+    covers the crash-replay window.  ``<=`` would also silently discard
+    the first batches of a NEW checkpoint pointed at an existing state
+    dir (fresh checkpoints restart ids at 0).  Residual caveat, shared
+    with Spark's own documented batchId-dedup pattern: reusing a state
+    dir under a new checkpoint whose FIRST id happens to equal the
+    stored marker skips that one batch — delete the state (or the
+    marker file) when re-pointing a stream at old state."""
     if batch_id is None:
         return False
     marker = os.path.join(table_path, _BATCH_MARKER)
     if not os.path.exists(marker):
         return False
     with open(marker) as fh:
-        return int(batch_id) <= int(fh.read().strip())
+        return int(batch_id) == int(fh.read().strip())
 
 
 def _swap_in(table_path: str, write) -> None:
@@ -306,24 +317,33 @@ def merge_mg_batch_windowed(
     batch ``hourly``/``grouped`` heavy hitters composed (round-7
     verdict item 6).
 
-    Watermark = (max event time ever seen) − ``delay_seconds``, carried
-    across batches in a marker file inside the swapped live dir (so it
-    survives crashes and replays atomically with the state it bounds):
+    Watermark = (max event time seen in PRIOR batches) −
+    ``delay_seconds``, carried across batches in a marker file inside
+    the swapped live dir (so it survives crashes and replays atomically
+    with the state it bounds).  The lag-one-trigger semantics matter
+    (round-8 review finding): Spark advances the watermark at the END
+    of a batch, so rows are judged against the watermark as of the
+    batch's START — a first-batch backfill is accepted in full, and a
+    far-future outlier in a batch cannot drop its on-time peers; it
+    only advances the threshold for SUBSEQUENT batches.
 
     - rows LATER than their window but within the watermark merge
       normally (out-of-order tolerated);
     - rows older than the watermark are DROPPED, exactly like a
       watermarked streaming aggregation would drop them;
-    - live state holds only windows whose END is past the watermark:
-      older windows are FINALIZED — their summary rows move to a
-      ``<table>__closed`` dir (dynamic partition overwrite per window,
-      so an at-least-once replay rewrites the same partition with the
-      same bytes) and leave live state, which stays bounded by
-      (windows inside the watermark horizon) × groups × (capacity+1).
+    - live state holds only windows whose END is past the
+      post-batch watermark: older windows are FINALIZED — their summary
+      rows move to a ``<table>__closed`` dir (dynamic partition
+      overwrite per window, so an at-least-once replay rewrites the
+      same partition with the same bytes) and leave live state, which
+      stays bounded by (windows inside the watermark horizon) × groups
+      × (capacity+1).
 
-    A finalized window can never need its summary again: every row of
-    window W has event time < end(W) ≤ watermark, so later arrivals
-    for W are dropped by the same threshold that closed it.
+    A finalized window can never need its summary again: windows
+    finalize against the POST-batch watermark (end(W) ≤ hw_new −
+    delay), and every later batch drops rows older than that same
+    threshold (its pre-batch watermark ≥ this batch's post-batch one),
+    so no merged row can ever target a closed window.
     """
     live = table_path
     closed = table_path.rstrip("/") + "__closed"
@@ -343,29 +363,32 @@ def merge_mg_batch_windowed(
     if os.path.exists(hw_path):
         with open(hw_path) as fh:
             hw_old = int(fh.read().strip())
-    hw_new = max(x for x in (hw_old, batch_max_us) if x is not None) if (
-        hw_old is not None or batch_max_us is not None
-    ) else None
-    if hw_new is None:
+    candidates = [x for x in (hw_old, batch_max_us) if x is not None]
+    if not candidates:
         return  # empty batch, no state yet
-    threshold_us = hw_new - delay_seconds * 1_000_000
+    hw_new = max(candidates)
+    # late-drop threshold: the PRE-batch watermark (lag one trigger —
+    # Spark semantics); -inf before any batch has committed a mark
+    delay_us = delay_seconds * 1_000_000
+    drop_us = (hw_old - delay_us) if hw_old is not None else None
 
-    kept = batch_df.where(
-        F.unix_micros(F.col(time_col)) >= F.lit(threshold_us)
-    ).withColumn("window", F.date_trunc(window, F.col(time_col)))
+    kept = batch_df
+    if drop_us is not None:
+        kept = kept.where(F.unix_micros(F.col(time_col)) >= F.lit(drop_us))
+    kept = kept.withColumn("window", F.date_trunc(window, F.col(time_col)))
 
     stored = spark.read.parquet(live) if os.path.exists(live) else None
     pruned = _grouped_summary_merge(
         stored, kept, ["window", group_col], token_col, capacity
-    )
-    # windows fully behind the watermark finalize; the rest stay live
+    ).persist()
+    # windows fully behind the POST-batch watermark finalize
+    final_us = hw_new - delay_us
     window_end_us = F.unix_micros(
         F.col("window") + F.expr(f"INTERVAL 1 {window}")
     )
-    expired = pruned.where(window_end_us <= F.lit(threshold_us))
-    alive = pruned.where(window_end_us > F.lit(threshold_us))
+    expired = pruned.where(window_end_us <= F.lit(final_us))
+    alive = pruned.where(window_end_us > F.lit(final_us))
 
-    expired.persist()
     if not expired.isEmpty():
         (
             expired.withColumn("window_part", F.unix_micros("window"))
@@ -375,7 +398,6 @@ def merge_mg_batch_windowed(
             .mode("overwrite")
             .parquet(closed)
         )
-    expired.unpersist(blocking=False)
 
     def _write(staging: str) -> None:
         alive.coalesce(1).write.mode("overwrite").parquet(staging)
@@ -384,6 +406,7 @@ def merge_mg_batch_windowed(
             fh.write(str(int(hw_new)))
 
     _swap_in(live, _write)
+    pruned.unpersist(blocking=False)
 
 
 def maintain_windowed_heavy_hitters(
@@ -460,8 +483,11 @@ def windowed_grouped_top_k_from_summary(
     summary = parts[0]
     for p in parts[1:]:
         summary = summary.unionByName(p)
+    # key on epoch micros, not a formatted local timestamp: in a DST
+    # fall-back hour two distinct windows share the same wall-clock
+    # string and their counts would merge (round-8 review finding)
     key = F.concat_ws(
-        "|", F.date_format("window", "yyyy-MM-dd HH:mm:ss"), F.col(group_col)
+        "|", F.unix_micros(F.col("window")).cast("string"), F.col(group_col)
     )
     summary_k = summary.select(key.alias("__wg"), token_col, "est")
     corpus_k = corpus.where(
@@ -474,7 +500,7 @@ def windowed_grouped_top_k_from_summary(
     )
     split = F.split(F.col("__wg"), r"\|", 2)
     return out.select(
-        F.to_timestamp(split.getItem(0)).alias("window"),
+        F.timestamp_micros(split.getItem(0).cast("long")).alias("window"),
         split.getItem(1).alias(group_col),
         token_col,
         *[c for c in out.columns if c not in ("__wg", token_col)],
