@@ -32,7 +32,8 @@ CROSS_JOIN_OK = {
     "mergeable_user_sketches",  # final assembly of 1-row exact/estimate pairs
     "pq_adc_top5_prebuilt",  # broadcast 10-row query-LUT x wide-codes scan
     "opq_adc_top5_prebuilt",  # same serving shape, permuted space
-    "semantic_dedup_keep",  # broadcast centroid assignment (<=16 rows)
+    "opq_adc_rerank_top5_prebuilt",  # same LUT broadcast feeding the rerank
+    "semantic_dedup_keep",  # broadcast centroid assignment (~sqrt(N) rows)
     "lang_mixture_weights",  # broadcast 1-row total into the share computation
 }
 
