@@ -2387,6 +2387,69 @@ def test_windowed_grouped_heavy_hitters_watermark(spark, sf_dir, tmp_path):
     assert observed(full) == expected(full)  # the stale row never lands
 
 
+def test_windowed_mg_crash_between_closed_write_and_live_swap(
+    spark, sf_dir, tmp_path
+):
+    """Crash window unique to the windowed merge: expired windows are
+    written to the __closed dir BEFORE the live swap commits.  A crash
+    between the two must converge on replay — the replayed batch
+    re-merges (marker unstamped), rewrites the same closed partitions
+    via dynamic overwrite, and completes the swap; totals stay exact."""
+    import datetime
+
+    from tweets_spark_top_10_spark.streaming import heavy_hitters as hh
+
+    schema = "ts timestamp, seg string, token string"
+    t0 = datetime.datetime(2024, 1, 1, 0, 30)
+    b1 = spark.createDataFrame(
+        [(t0, "a", "x")] * 3 + [(t0, "a", "y")], schema
+    )
+    # far-future batch: advances the watermark so b1's window expires
+    b2 = spark.createDataFrame(
+        [(t0 + datetime.timedelta(days=30), "a", "z")], schema
+    )
+    state = str(tmp_path / "wstate")
+    hh.merge_mg_batch_windowed(
+        spark, b1, state, "ts", "seg", capacity=8, delay_seconds=3600,
+        window="hour", batch_id=0,
+    )
+
+    real_swap = hh._swap_in
+    hh._swap_in = lambda *a, **kw: (_ for _ in ()).throw(
+        RuntimeError("crash after closed write, before live swap")
+    )
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            hh.merge_mg_batch_windowed(
+                spark, b2, state, "ts", "seg", capacity=8,
+                delay_seconds=3600, window="hour", batch_id=1,
+            )
+    finally:
+        hh._swap_in = real_swap
+
+    # replay the same batch id; must complete and not double anything
+    hh.merge_mg_batch_windowed(
+        spark, b2, state, "ts", "seg", capacity=8, delay_seconds=3600,
+        window="hour", batch_id=1,
+    )
+    corpus = b1.unionByName(b2).select(
+        F.date_trunc("hour", "ts").alias("window"), "seg", "token"
+    )
+    got = {
+        (r["window"], r["seg"], r["token"]): r["n"]
+        for r in hh.windowed_grouped_top_k_from_summary(
+            spark, state, corpus, "seg", k=3, capacity=8
+        ).collect()
+    }
+    assert got == {
+        (t0.replace(minute=0), "a", "x"): 3,
+        (t0.replace(minute=0), "a", "y"): 1,
+        ((t0 + datetime.timedelta(days=30)).replace(minute=0, second=0), "a", "z"): 1,
+    }, got
+
+
 def test_mg_merge_replayed_batch_is_noop(spark, sf_dir, tmp_path):
     """foreachBatch is at-least-once: if the state swap commits but the
     streaming checkpoint commit does not, the SAME micro-batch is
