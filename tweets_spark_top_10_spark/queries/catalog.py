@@ -48,51 +48,7 @@ from tweets_spark_top_10_spark.queries.registry import ORACLE, QUERIES
 # zero fails; the r1 rows listed here are the 30 not re-checked in r2,
 # all green in r1).
 _LAST_CHECKED: dict[str, int] = {
-    # --- last driver row: round 5 ---
-    "late_shipping_priority": 5,
-    "embedding_quantize_int8": 5,
-    "doc_fingerprints": 5,
-    "doc_split_assignment": 5,
-    "doc_normalize": 5,
-    "sliding_event_windows": 5,
-    "hourly_event_windows": 5,
-    "event_value_udaf": 5,
-    "doc_pii_redact": 5,
-    "salted_token_count_top20": 5,
-    "stratified_sample_docs": 5,
-    "top_bigrams": 5,
-    "label_centroids_pandas": 5,
-    "user_sessions": 5,
-    "doc_quality": 5,
-    "langid_heuristic": 5,
-    "lsh_knn_invariants": 5,
-    "doc_tfidf_top3": 5,
-    "pq_codes": 5,
-    "doc_sentences_udtf": 5,
-    "pq_adc_top5": 5,
-    "ngram_jaccard_dup_pairs": 5,
-    "simhash_invariants": 5,
-    "minhash_lsh_candidates": 5,
-    "customer_balance_distribution": 5,
-    "approx_quantile_gate": 5,
-    "dedup_canonical_docs": 5,
-    "ivfpq_adc_top5": 5,
-    "pq_adc_lloyd_top5": 5,
-    "dedup_components": 5,
-    "lateral_top2_orders_sql": 5,
-    "event_props_variant": 5,
-    "mergeable_user_sketches": 5,
-    "user_latest_event": 5,
-    "pq_adc_opq_top5": 5,
-    "doc_contamination": 5,
-    "doc_pack_bins": 5,
-    "part_name_fuzzy_pairs": 5,
     # --- last driver row: round 6 ---
-    "nations_cust_and_supp": 6,
-    "urgent_only_customers": 6,
-    "lineitem_rollup": 6,
-    "monthly_revenue": 6,
-    "segment_order_stats": 6,
     "supplier_distinct_parts": 6,
     "part_predicates": 6,
     "event_props_k": 6,
@@ -110,10 +66,6 @@ _LAST_CHECKED: dict[str, int] = {
     "purchase_last_view_asof": 6,
     "event_lag_lead": 6,
     "priority_status_pivot": 6,
-    "nation_trade_pagerank": 6,
-    "metrics_order_summary": 6,
-    "metrics_event_by_type": 6,
-    "media_audio_stats": 6,
     "bloom_semi_revenue": 6,
     "orders_cdc_merge": 6,
     "orders_quality_audit": 6,
@@ -187,6 +139,57 @@ _LAST_CHECKED: dict[str, int] = {
     "doc_quality_tiers": 7,
     "label_centroids_arrow": 7,
     "nation_balance_drift_ks": 7,
+    # --- last driver row: round 8 ---
+    "late_shipping_priority": 8,
+    "nations_cust_and_supp": 8,
+    "urgent_only_customers": 8,
+    "lineitem_rollup": 8,
+    "monthly_revenue": 8,
+    "segment_order_stats": 8,
+    "embedding_quantize_int8": 8,
+    "doc_fingerprints": 8,
+    "doc_split_assignment": 8,
+    "doc_normalize": 8,
+    "sliding_event_windows": 8,
+    "hourly_event_windows": 8,
+    "event_value_udaf": 8,
+    "doc_pii_redact": 8,
+    "salted_token_count_top20": 8,
+    "stratified_sample_docs": 8,
+    "top_bigrams": 8,
+    "label_centroids_pandas": 8,
+    "user_sessions": 8,
+    "doc_quality": 8,
+    "langid_heuristic": 8,
+    "lsh_knn_invariants": 8,
+    "doc_tfidf_top3": 8,
+    "pq_codes": 8,
+    "doc_sentences_udtf": 8,
+    "pq_adc_top5": 8,
+    "ngram_jaccard_dup_pairs": 8,
+    "simhash_invariants": 8,
+    "minhash_lsh_candidates": 8,
+    "customer_balance_distribution": 8,
+    "approx_quantile_gate": 8,
+    "dedup_canonical_docs": 8,
+    "ivfpq_adc_top5": 8,
+    "pq_adc_lloyd_top5": 8,
+    "dedup_components": 8,
+    "lateral_top2_orders_sql": 8,
+    "event_props_variant": 8,
+    "mergeable_user_sketches": 8,
+    "user_latest_event": 8,
+    "pq_adc_opq_top5": 8,
+    "doc_contamination": 8,
+    "doc_pack_bins": 8,
+    "part_name_fuzzy_pairs": 8,
+    "nation_trade_pagerank": 8,
+    "metrics_order_summary": 8,
+    "metrics_event_by_type": 8,
+    "media_audio_stats": 8,
+    "pq_adc_opq_rerank_top5": 8,
+    "opq_adc_rerank_top5_prebuilt": 8,
+    "dedup_keep_best_quality": 8,
 }
 
 
