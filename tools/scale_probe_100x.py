@@ -71,7 +71,11 @@ def build_fixtures(work: str, replicas: int) -> tuple[str, str]:
     return one, many
 
 
-def spill_totals(ui: str) -> tuple[int, int]:
+def spill_totals(ui: str) -> tuple[int, int, int]:
+    """(memory spilled, disk spilled, shuffle read) bytes summed over
+    all stages so far — deltas around a run isolate that run's cost.
+    Shuffle read tracks the round-8 verdict's flagged scale-killer (the
+    raw-string shingle shuffle) shrinking once keys are compacted."""
     try:
         apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications", timeout=5))
         app_id = apps[0]["id"]
@@ -81,14 +85,20 @@ def spill_totals(ui: str) -> tuple[int, int]:
         return (
             sum(s.get("memoryBytesSpilled", 0) for s in stages),
             sum(s.get("diskBytesSpilled", 0) for s in stages),
+            sum(s.get("shuffleReadBytes", 0) for s in stages),
         )
     except Exception as exc:  # UI metrics are telemetry, not the probe
         print(f"# spill probe failed: {exc}", file=sys.stderr)
-        return (-1, -1)
+        return (-1, -1, -1)
 
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    probe_queries = (
+        sys.argv[2].split(",")
+        if len(sys.argv) > 2
+        else ["heavy_hitters_top10", "pq_adc_top5_prebuilt", "dedup_canonical_docs"]
+    )
     work = tempfile.mkdtemp(prefix="scale_probe_")
     t0 = time.perf_counter()
     one, many = build_fixtures(work, replicas)
@@ -112,7 +122,7 @@ def main() -> None:
     from tweets_spark_top_10_spark.queries.catalog import QUERIES
 
     results: dict[str, dict] = {}
-    for name in ("heavy_hitters_top10", "pq_adc_top5_prebuilt", "dedup_canonical_docs"):
+    for name in probe_queries:
         fn = QUERIES[name]
         for tag, sf_dir in (("1x", one), (f"{replicas}x", many)):
             # prebuilt serving: index construction is offline — build untimed
@@ -131,6 +141,8 @@ def main() -> None:
                 "wall_s": round(best, 2),
                 "spill_mem_mb": round(max(0, spill1[0] - spill0[0]) / 1e6, 1),
                 "spill_disk_mb": round(max(0, spill1[1] - spill0[1]) / 1e6, 1),
+                # over BOTH timed passes (the delta spans them)
+                "shuffle_read_mb": round(max(0, spill1[2] - spill0[2]) / 1e6, 1),
             }
             if name == "dedup_canonical_docs":
                 rec["cc_rounds"] = rounds

@@ -66,13 +66,24 @@ def shingle_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    key=None,
 ) -> DataFrame:
     """(id, shingle) pairs, distinct per doc — the join key space for
-    candidate generation."""
+    candidate generation.
+
+    ``key``: optional Column -> Column transform (e.g. ``F.xxhash64``)
+    applied to each shingle BEFORE the per-doc distinct, so shingle
+    identity — and every shuffle keyed by it, the distinct included —
+    rides a fixed-width key instead of a raw n-gram string.  ``None``
+    keeps raw strings (the MinHash signature path hashes per-table with
+    its own seeds and needs the original value)."""
     toks = tokenize(F.col(text_col))
-    return df.select(
+    out = df.select(
         F.col(id_col), F.explode(shingles(toks, n)).alias("shingle")
-    ).distinct()
+    )
+    if key is not None:
+        out = out.select(F.col(id_col), key(F.col("shingle")).alias("shingle"))
+    return out.distinct()
 
 
 def ngram_jaccard_pairs(
@@ -96,7 +107,27 @@ def ngram_jaccard_pairs(
     # per-doc counts, and both self-join sides) — persist once so the
     # tokenize/explode/distinct subplan runs once.  (At scale this is a
     # materialized per-corpus intermediate.)
-    sh = shingle_table(df, text_col, id_col, n).transform(persist_tracked)
+    #
+    # Compact shingle identity (round-8 verdict item 1): raw 3-gram
+    # strings average tens of bytes and the DF-cap aggregate + pair
+    # join shuffle the ENTIRE shingle table keyed by them — the 100x
+    # probe's only spill (1.17 GB shuffle read, 4.4 GB memory spill)
+    # was exactly this stage.  xxhash64 maps each shingle to a fixed
+    # 8-byte key BEFORE anything shuffles; every downstream identity
+    # use (DF cap, per-doc counts, candidate equi-join) only needs
+    # set-equality of shingles, and the query output (id_a, id_b,
+    # jaccard) never exposes shingle values, so the raw-string DuckDB
+    # oracles are unchanged and double as a collision tripwire at test
+    # scale.  A 64-bit collision merges two shingles' dedup evidence —
+    # at billions of distinct shingles the birthday bound makes that a
+    # handful of merged pairs, noise against a >=threshold Jaccard.
+    # The distinct() in shingle_table runs on hashed keys too (the
+    # projection commutes through it), so even the FIRST shuffle of the
+    # shingle pipeline moves 8-byte keys, not strings.
+    sh = (
+        shingle_table(df, text_col, id_col, n, key=F.xxhash64)
+        .transform(persist_tracked)
+    )
     if max_shingle_df is not None:
         # Skew-safe DF cap.  Document frequency comes from a groupBy —
         # which gets map-side partial aggregation — NOT from
@@ -306,6 +337,12 @@ def lsh_exact_rerank(
     persist it at the call site).
     """
     sh = shingles if shingles is not None else shingle_table(df, text_col, id_col, n)
+    # Identity-only use from here on (counts + intersection equi-join):
+    # compact raw strings to 8-byte xxhash64 keys so the (id_b, shingle)
+    # join shuffles fixed-width rows.  A projection over the (possibly
+    # call-site-persisted) raw table — cache reuse is preserved, and the
+    # MinHash banding that shares the raw table keeps its own seeds.
+    sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     pa = pairs.select("id_a", "id_b").distinct()
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
