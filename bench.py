@@ -162,13 +162,11 @@ def main() -> None:
 
     print(json.dumps(out))
     try:  # append AFTER printing so a full disk can't eat the result
+        rec = {"sf": float(sf), "total": total, "queries": timings}
+        if pq_curve:  # build/query split tracked per round (r8 item 4)
+            rec["pq_curve"] = pq_curve
         with open(os.path.join(repo_dir, "BENCH_HISTORY.jsonl"), "a") as fh:
-            fh.write(
-                json.dumps(
-                    {"sf": float(sf), "total": total, "queries": timings}
-                )
-                + "\n"
-            )
+            fh.write(json.dumps(rec) + "\n")
     except OSError:
         pass
 
@@ -342,34 +340,44 @@ def _pq_recall_curve(spark, sf_dir: str) -> list[dict]:
             for r in brute_force_knn(q, c, k=5).collect()
         }
         from tweets_spark_top_10_spark.functions.pq import (
-            pq_codebook,
-            pq_codebook_refine,
-        )
-
-        seed_cb = pq_codebook(c)
-        lloyd_cb = pq_codebook_refine(c, seed_cb).localCheckpoint(eager=False)
-        # Multi-iteration Lloyd convergence: mean centroid displacement
-        # per iteration (should shrink) + the recall it buys.
-        from tweets_spark_top_10_spark.functions.pq import (
             apply_permutation,
             opq_permutation,
+            pq_codebook,
+            pq_codebook_refine,
             pq_codebook_shift,
         )
 
-        lloyd2_cb = pq_codebook_refine(c, lloyd_cb).localCheckpoint(eager=False)
+        # Build vs query split (round-8 verdict item 4): every trained
+        # artifact (Lloyd codebooks, OPQ permutation, permuted corpus)
+        # is materialized EAGERLY with its wall time recorded, so each
+        # curve point can report {build_s, query_s} — a serving-path
+        # regression is no longer hidden under training noise.  build_s
+        # is cumulative over the artifacts the point depends on.
+        def _built(df):
+            t0 = time.perf_counter()
+            out = df.localCheckpoint(eager=True)
+            return out, round(time.perf_counter() - t0, 3)
+
+        seed_cb, seed_b = _built(pq_codebook(c))
+        lloyd_cb, l1_b = _built(pq_codebook_refine(c, seed_cb))
+        # Multi-iteration Lloyd convergence: mean centroid displacement
+        # per iteration (should shrink) + the recall it buys.
+        lloyd2_cb, l2_b = _built(pq_codebook_refine(c, lloyd_cb))
         shifts = []
         for before, after in [(seed_cb, lloyd_cb), (lloyd_cb, lloyd2_cb)]:
             row = pq_codebook_shift(before, after, sub_dim=4).collect()[0]
             shifts.append(round(float(row["mean_shift"]), 6))
         # OPQ-style permuted space: snake variance allocation, 1 Lloyd.
-        perm = opq_permutation(c).localCheckpoint(eager=False)
+        perm, perm_b = _built(opq_permutation(c))
         qp = apply_permutation(q, "query_id", perm)
-        cp = apply_permutation(c, "neighbor_id", perm).repartition(
-            spark.sparkContext.defaultParallelism
+        cp, cp_b = _built(
+            apply_permutation(c, "neighbor_id", perm).repartition(
+                spark.sparkContext.defaultParallelism
+            )
         )
-        opq_cb = pq_codebook_refine(cp, pq_codebook(cp)).localCheckpoint(
-            eager=False
-        )
+        opq_seed, opq_seed_b = _built(pq_codebook(cp))
+        opq_cb, opq_b = _built(pq_codebook_refine(cp, opq_seed))
+        opq_build = round(perm_b + cp_b + opq_seed_b + opq_b, 3)
         from tweets_spark_top_10_spark.functions.pq import pq_adc_rerank_topk
 
         curve = []
@@ -387,15 +395,18 @@ def _pq_recall_curve(spark, sf_dir: str) -> list[dict]:
         curve.append({
             "m": 16, "sub_dim": 4, "codebook": "opq+lloyd1+rerank32",
             "recall_at5": round(len(exact & rr) / len(exact), 3),
-            "sec": round(time.perf_counter() - start, 3),
+            "build_s": opq_build,
+            "query_s": round(time.perf_counter() - start, 3),
         })
-        for m, sub_dim, cb, qq, cc, label in [
-            (4, 16, None, q, c, None),
-            (8, 8, None, q, c, None),
-            (16, 4, None, q, c, None),
-            (16, 4, lloyd_cb, q, c, "lloyd1"),
-            (16, 4, lloyd2_cb, q, c, "lloyd2"),
-            (16, 4, opq_cb, qp, cp, "opq+lloyd1"),
+        for m, sub_dim, cb, qq, cc, label, build_s in [
+            # codebook=None: the strided seed book is built inline — a
+            # pure projection, part of the scan by design (build_s 0).
+            (4, 16, None, q, c, None, 0.0),
+            (8, 8, None, q, c, None, 0.0),
+            (16, 4, None, q, c, None, 0.0),
+            (16, 4, lloyd_cb, q, c, "lloyd1", seed_b + l1_b),
+            (16, 4, lloyd2_cb, q, c, "lloyd2", seed_b + l1_b + l2_b),
+            (16, 4, opq_cb, qp, cp, "opq+lloyd1", opq_build),
         ]:
             start = time.perf_counter()
             approx = {
@@ -408,7 +419,8 @@ def _pq_recall_curve(spark, sf_dir: str) -> list[dict]:
                 "m": m,
                 "sub_dim": sub_dim,
                 "recall_at5": round(len(exact & approx) / len(exact), 3),
-                "sec": round(time.perf_counter() - start, 3),
+                "build_s": round(build_s, 3),
+                "query_s": round(time.perf_counter() - start, 3),
             }
             if label is not None:
                 point["codebook"] = label
