@@ -184,6 +184,50 @@ def scaled_cell_params(n: int) -> tuple[int, int]:
     return n_cells, stride
 
 
+def subcell_cap(n: int, n_cells: int) -> int:
+    """Per-cell population cap for the semantic-dedup pair join:
+    4x the average cell size (integer ceil), floored at 64.
+
+    √N sizing balances the AVERAGE cell, but a clustered corpus (real
+    embedding spaces are) can still drop an arbitrary fraction of the
+    corpus into one cell, whose intra-cell self-join is then
+    pair-quadratic in that fraction — the round-8 verdict's flagged
+    skew hole.  All-integer arithmetic so the DuckDB oracle replays the
+    identical cap for any n."""
+    return max(64, 4 * ((n + n_cells - 1) // n_cells))
+
+
+def subcell_split(
+    cells: DataFrame,
+    id_col: str = "vec_id",
+    cap: int = 64,
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Append a deterministic ``sub_cell`` key that bounds intra-cell
+    pair work: cells at or under ``cap`` members get the single
+    sub-cell 0 (pairing unchanged); a hot cell of size c splits into
+    s = ceil(c / cap) sub-cells by ``id % s``, so its pair join does
+    ~c²/s work instead of c².  Mirrors the ``max_shingle_df`` hot-key
+    cap in spirit: cross-sub-cell pairs inside a pathological cell are
+    deliberately dropped (documented recall trade for bounded work —
+    a cell holding 10% of a 100 TB corpus must not self-join), and the
+    split is pure integer arithmetic (hash-free, engine-identical) so
+    the SQL oracle replays it exactly.
+
+    Plan shape: one tiny per-cell count aggregate (≈n_cells rows,
+    broadcast back) — no new corpus-sized shuffle; the modulo is a
+    per-row projection."""
+    cnts = cells.groupBy(cell_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    return (
+        cells.join(F.broadcast(cnts), cell_col)
+        .withColumn(
+            "sub_cell",
+            F.expr(f"{id_col} % ((__cnt + {int(cap)} - 1) div {int(cap)})"),
+        )
+        .drop("__cnt")
+    )
+
+
 def semdedup_centroids(
     vectors: DataFrame, cand_id: str = "vec_id", vec_col: str = "vec"
 ) -> DataFrame:
