@@ -67,6 +67,7 @@ def shingle_table(
     id_col: str = "doc_id",
     n: int = 3,
     key=None,
+    partition_by_shingle: bool = False,
 ) -> DataFrame:
     """(id, shingle) pairs, distinct per doc — the join key space for
     candidate generation.
@@ -76,14 +77,31 @@ def shingle_table(
     identity — and every shuffle keyed by it, the distinct included —
     rides a fixed-width key instead of a raw n-gram string.  ``None``
     keeps raw strings (the MinHash signature path hashes per-table with
-    its own seeds and needs the original value)."""
+    its own seeds and needs the original value).
+
+    Per-doc distinctness comes from ``array_distinct`` on the shingle
+    array BEFORE the explode — distinct-per-(id, shingle) is a
+    row-local property of the source doc, so it needs a per-row
+    expression, not the corpus-wide ``distinct()`` an earlier version
+    ran (whose exchange shuffled every within-doc duplicate it was
+    about to drop — at the 100x probe, HALF the exchange's rows).
+
+    ``partition_by_shingle``: repartition by the shingle key.
+    ``hashpartitioning(shingle)`` satisfies the clustered distribution
+    of every downstream shingle-keyed operator — the hot-shingle
+    DF-cap aggregate and BOTH sides of the candidate equi-join — so
+    the whole n-gram pipeline runs off ONE exchange of the shingle
+    table instead of three."""
     toks = tokenize(F.col(text_col))
     out = df.select(
-        F.col(id_col), F.explode(shingles(toks, n)).alias("shingle")
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(toks, n))).alias("shingle"),
     )
     if key is not None:
         out = out.select(F.col(id_col), key(F.col("shingle")).alias("shingle"))
-    return out.distinct()
+    if partition_by_shingle:
+        out = out.repartition("shingle")
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -123,9 +141,14 @@ def ngram_jaccard_pairs(
     # handful of merged pairs, noise against a >=threshold Jaccard.
     # The distinct() in shingle_table runs on hashed keys too (the
     # projection commutes through it), so even the FIRST shuffle of the
-    # shingle pipeline moves 8-byte keys, not strings.
+    # shingle pipeline moves 8-byte keys, not strings — and with
+    # partition_by_shingle the cached table is ALREADY hash-partitioned
+    # by that key, so the DF-cap aggregate and both candidate-join
+    # sides below add ZERO further corpus-sized exchanges.
     sh = (
-        shingle_table(df, text_col, id_col, n, key=F.xxhash64)
+        shingle_table(
+            df, text_col, id_col, n, key=F.xxhash64, partition_by_shingle=True
+        )
         .transform(persist_tracked)
     )
     if max_shingle_df is not None:
