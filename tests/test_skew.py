@@ -13,13 +13,16 @@ from pyspark.sql import functions as F
 
 def test_semantic_dedup_hot_cell_capped(spark, tmp_path):
     """Adversarial single-hot-cell corpus (round-8 verdict item 6): 90%
-    of vectors are EXACTLY e0, so every e0-direction centroid ties at
-    cosine 1.0 and the lowest cell id swallows all 720 of them — the
+    of vectors are DISTINCT floats (so the exact-duplicate collapse
+    cannot absorb them) yet so close to e0 that every cosine to every
+    e0-direction centroid rounds to 1.0 at the 9-digit assignment
+    precision — all 720 tie and the lowest cell id swallows them, the
     clustered-corpus pathology √N sizing can't prevent.  The sub-cell
     cap must (a) actually trigger (ceil(720/cap) = 7 sub-cells, one
-    clique-cluster each), bounding the pair join at ~cap² per sub-cell
-    instead of 720², and (b) replay exactly in the DuckDB oracle —
-    the cap is documented semantics, not a Spark-side shortcut."""
+    clique-cluster each — the mutual cosines also round to 1.0),
+    bounding the pair join at ~cap² per sub-cell instead of 720², and
+    (b) replay exactly in the DuckDB oracle — the cap is documented
+    semantics, not a Spark-side shortcut."""
     from tests.oracle_harness import compare
     from tweets_spark_top_10_spark.functions.similarity import (
         scaled_cell_params,
@@ -30,8 +33,14 @@ def test_semantic_dedup_hot_cell_capped(spark, tmp_path):
     n, dim = 800, 8
 
     def emb(i: int) -> list[float]:
-        if i % 10 != 9:  # 90%: exactly e0 (deterministic tie → one cell)
-            return [1.0] + [0.0] * (dim - 1)
+        if i % 10 != 9:
+            # 90%: distinct perturbations of e0.  delta <= 800*2e-8 =
+            # 1.6e-5, so any two such vectors (and any vector vs any
+            # hot centroid) have cosine >= 1 - delta^2/2 > 1 - 2e-10,
+            # which rounds to 1.0 at BOTH the 9-digit assignment and
+            # the 6-digit pair precision: deterministic ties, broken
+            # by cell id / doc id identically in both engines.
+            return [1.0, (i + 1) * 2e-8] + [0.0] * (dim - 2)
         j = 1 + (i // 10) % (dim - 1)
         return [0.0] * j + [1.0] + [0.0] * (dim - 1 - j)
 

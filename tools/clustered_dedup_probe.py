@@ -2,17 +2,26 @@
 
 The bench's content-disjoint protocol (cyclic-shift replicas) spreads
 replicas across embedding space — the BALANCED case.  This probe
-measures the opposite extreme: a corpus where 90% of vectors are the
-IDENTICAL direction, so every same-direction centroid ties at cosine
-1.0 and the deterministic tie-break drops the entire hot mass into ONE
-cell — the worst case the ``subcell_split`` cap exists for.  Without
-the cap the hot cell self-joins quadratically (1.6e8 pairs at 10x —
-locally intractable); with it, per-vector pair work is bounded by
-cap = 4*ceil(N/sqrt(N)) ~ 4*sqrt(N), so total work stays O(N^1.5) —
-the SAME complexity as the balanced corpus.
+measures the opposite extreme, in two flavors, with 90% of the corpus
+piled onto one direction:
 
-Reports min-of-2 wall at 1x and 10x of the skewed corpus, the capped
-vs uncapped pair counts, and the wall ratio.
+- ``dup``: the hot mass is the bitwise-IDENTICAL e0 vector.  The
+  exact-duplicate collapse absorbs it (one representative), so the
+  whole hot pile costs one group-by — wall should scale like the
+  balanced corpus.
+- ``near``: the hot vectors are DISTINCT floats (collapse cannot
+  absorb them) whose mutual/centroid cosines still round to 1.0, so
+  every same-direction centroid ties and the deterministic tie-break
+  drops the entire hot mass into ONE cell — the worst case the
+  ``subcell_split`` cap exists for.  Without the cap the hot cell
+  self-joins quadratically (1.6e8 pairs at 10x — locally
+  intractable); with it, per-vector pair work is bounded by
+  cap ~ 4*sqrt(N), total O(N^1.5), and every capped pair is a TRUE
+  near-dup edge the output must represent — the residual wall growth
+  is emitted-edge volume, not wasted shuffle.
+
+Reports min-of-2 wall at 1x and 10x per protocol, capped vs uncapped
+hot-pair counts, and wall ratios.
 
 Usage: python tools/clustered_dedup_probe.py [replicas] [hot_pct]
 """
@@ -32,29 +41,48 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def build(work: str, replicas: int, hot_pct: int) -> dict[str, str]:
-    """Skewed fixtures: ``hot_pct``% of ids carry the exact e0 vector
-    (all replicas included — the hot mass grows with the corpus);
-    the rest keep their original embedding, cyclic-shifted per replica
-    so the cold remainder stays content-disjoint."""
+def build(
+    work: str, replicas: int, hot_pct: int, mode: str = "dup"
+) -> dict[str, str]:
+    """Skewed fixtures: ``hot_pct``% of ids carry a hot-direction
+    vector (all replicas included — the hot mass grows with the
+    corpus); the rest keep their original embedding, cyclic-shifted
+    per replica so the cold remainder stays content-disjoint.
+
+    ``mode='dup'``: hot vector is exactly e0 (collapse path).
+    ``mode='near'``: hot vector is [1, new_id*1e-9, 0...] — distinct
+    floats, but delta <= 2e-5 keeps every mutual/centroid cosine
+    >= 1 - 2e-10, rounding to 1.0 at both the 9-digit assignment and
+    6-digit pair precision (cap path)."""
     import duckdb
 
     src = os.path.join(BASE, "embeddings.parquet")
+    # lambda bodies may reference outer COLUMNS but not subqueries:
+    # the replicated id is computed in the inner select as `nid`
+    hot_dim1 = (
+        "CAST(0.0 AS FLOAT)" if mode == "dup" else "CAST(b.nid * 1e-9 AS FLOAT)"
+    )
     out = {}
     for tag, n in (("1x", 1), (f"{replicas}x", replicas)):
-        d = os.path.join(work, tag)
+        d = os.path.join(work, f"{mode}_{tag}")
         os.makedirs(d)
         duckdb.sql(f"""
           COPY (
-            SELECT e.vec_id + r.k * (SELECT MAX(vec_id)+1 FROM read_parquet('{src}')) AS vec_id,
-                   e.label,
-                   CASE WHEN e.vec_id % 100 < {hot_pct}
+            SELECT b.nid AS vec_id,
+                   b.label,
+                   CASE WHEN b.base_id % 100 < {hot_pct}
                         THEN list_transform(range(64),
                                i -> CASE WHEN i = 0 THEN CAST(1.0 AS FLOAT)
+                                         WHEN i = 1 THEN {hot_dim1}
                                          ELSE CAST(0.0 AS FLOAT) END)
-                        ELSE e.embedding[(r.k % 64) + 1:] || e.embedding[:(r.k % 64)]
+                        ELSE b.shifted
                    END AS embedding
-            FROM read_parquet('{src}') e, (SELECT UNNEST(RANGE({n})) AS k) r
+            FROM (
+              SELECT e.vec_id + r.k * (SELECT MAX(vec_id)+1 FROM read_parquet('{src}')) AS nid,
+                     e.vec_id AS base_id, e.label,
+                     e.embedding[(r.k % 64) + 1:] || e.embedding[:(r.k % 64)] AS shifted
+              FROM read_parquet('{src}') e, (SELECT UNNEST(RANGE({n})) AS k) r
+            ) b
           ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
         """)
         out[tag] = d
@@ -65,7 +93,6 @@ def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     hot_pct = int(sys.argv[2]) if len(sys.argv) > 2 else 90
     work = tempfile.mkdtemp(prefix="clustered_dedup_")
-    dirs = build(work, replicas, hot_pct)
 
     from tweets_spark_top_10_spark.session import get_spark
 
@@ -87,38 +114,41 @@ def main() -> None:
 
     fn = QUERIES["semantic_dedup_keep"]
     results: dict[str, dict] = {}
-    for tag, d in dirs.items():
-        fn(spark, d).write.format("noop").mode("overwrite").save()  # warm
-        best = None
-        for _ in range(2):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            fn(spark, d).write.format("noop").mode("overwrite").save()
-            t = time.perf_counter() - t0
-            best = t if best is None else min(best, t)
-        import duckdb
+    for mode in ("dup", "near"):
+        dirs = build(work, replicas, hot_pct, mode)
+        walls = {}
+        for tag, d in dirs.items():
+            fn(spark, d).write.format("noop").mode("overwrite").save()  # warm
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                t = time.perf_counter() - t0
+                best = t if best is None else min(best, t)
+            import duckdb
 
-        n = duckdb.sql(
-            f"SELECT COUNT(*) FROM read_parquet('{d}/embeddings.parquet')"
-        ).fetchone()[0]
-        n_cells, _ = scaled_cell_params(n)
-        cap = subcell_cap(n, n_cells)
-        hot = n * hot_pct // 100
-        s = (hot + cap - 1) // cap
-        capped_pairs = s * math.comb((hot + s - 1) // s + 1, 2)
-        results[tag] = {
-            "wall_s": round(best, 2),
-            "n": n,
-            "cap": cap,
-            "hot_subcells": s,
-            "capped_hot_pairs_approx": capped_pairs,
-            "uncapped_hot_pairs": math.comb(hot, 2),
-        }
-        print(f"{tag}: {results[tag]}", flush=True)
-        spark.catalog.clearCache()
-    tags = list(results)
-    r = results[tags[1]]["wall_s"] / results[tags[0]]["wall_s"]
-    results["ratio"] = round(r, 2)
+            n = duckdb.sql(
+                f"SELECT COUNT(*) FROM read_parquet('{d}/embeddings.parquet')"
+            ).fetchone()[0]
+            n_cells, _ = scaled_cell_params(n)
+            cap = subcell_cap(n, n_cells)
+            hot = n * hot_pct // 100
+            s = (hot + cap - 1) // cap
+            capped_pairs = s * math.comb((hot + s - 1) // s + 1, 2)
+            walls[tag] = round(best, 2)
+            results[f"{mode}_{tag}"] = {
+                "wall_s": round(best, 2),
+                "n": n,
+                "cap": cap,
+                "hot_subcells_if_uncollapsed": s,
+                "capped_hot_pairs_approx": capped_pairs,
+                "uncapped_hot_pairs": math.comb(hot, 2),
+            }
+            print(f"{mode} {tag}: {results[f'{mode}_{tag}']}", flush=True)
+            spark.catalog.clearCache()
+        tags = list(walls)
+        results[f"{mode}_ratio"] = round(walls[tags[1]] / walls[tags[0]], 2)
     print(json.dumps(results))
     shutil.rmtree(work, ignore_errors=True)
 

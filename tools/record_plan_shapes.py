@@ -28,7 +28,26 @@ SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def count_exchanges(plan: str) -> int:
-    return plan.count("Exchange") - plan.count("ReusedExchange")
+    """Count DISTINCT non-reused Exchange operators.
+
+    ``executedPlan().toString()`` expands a cached/shared subplan at
+    EVERY reference, so one physical exchange can appear dozens of
+    times textually (semantic_dedup_keep: 56 lines, 16 distinct) —
+    the ``plan_id`` tag identifies the operator, so dedupe by it.
+    Lines without a plan_id (older formats) are counted raw."""
+    import re
+
+    ids: set[str] = set()
+    raw = 0
+    for line in plan.splitlines():
+        if "Exchange" not in line or "ReusedExchange" in line:
+            continue
+        m = re.search(r"\[plan_id=(\d+)\]", line)
+        if m:
+            ids.add(m.group(1))
+        else:
+            raw += 1
+    return len(ids) + raw
 
 
 def main() -> int:

@@ -1260,6 +1260,15 @@ def opq_adc_rerank_top5_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH v AS (
       SELECT vec_id, {_DOUBLE_VEC} AS vec FROM embeddings
+    ), reps AS (
+      -- exact-duplicate collapse: SemDeDup runs AFTER exact dedup;
+      -- bitwise-identical vectors are trivially semantic duplicates
+      -- and pair/cluster as ONE representative (their min id)
+      SELECT vec, MIN(vec_id) AS rep FROM v GROUP BY vec
+    ), rmap AS (
+      SELECT a.vec_id, r.rep FROM v a JOIN reps r ON a.vec = r.vec
+    ), rv AS (
+      SELECT rep AS vec_id, vec FROM reps
     ), meta AS (
       -- corpus-scaled quantizer: n_cells = floor(sqrt(N)) (>=4), the
       -- same float64 op Spark's scaled_cell_params runs; cell_cap =
@@ -1278,13 +1287,15 @@ def opq_adc_rerank_top5_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE vec_id % m.stride = 0
         AND vec_id // m.stride BETWEEN 1 AND m.n_cells
     ), cells AS (
+      -- assignment restricted to representatives: identical vectors
+      -- share the assignment, so only the rep row enters pairing
       SELECT vec_id, vec, cell_id FROM (
         SELECT v.vec_id, v.vec, ct.cell_id,
                ROW_NUMBER() OVER (
                  PARTITION BY v.vec_id
                  ORDER BY {_COS.format(a='v.vec', b='ct.centroid', d=9)} DESC,
                           ct.cell_id ASC) AS r
-        FROM v CROSS JOIN cents ct
+        FROM rv v CROSS JOIN cents ct
       ) WHERE r = 1
     ), csize AS (
       SELECT cell_id, COUNT(*) AS cnt FROM cells GROUP BY cell_id
@@ -1312,17 +1323,19 @@ def opq_adc_rerank_top5_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT w.n, e.b FROM w JOIN edges e ON w.m = e.a
       ) SELECT n, MIN(m) AS component FROM w GROUP BY n
     )
-    SELECT v.vec_id,
-           COALESCE(walk.component, v.vec_id) AS cluster,
-           (COALESCE(walk.component, v.vec_id) = v.vec_id) AS keep
-    FROM v LEFT JOIN walk ON v.vec_id = walk.n
+    SELECT m.vec_id,
+           COALESCE(walk.component, m.rep) AS cluster,
+           (COALESCE(walk.component, m.rep) = m.vec_id) AS keep
+    FROM rmap m LEFT JOIN walk ON m.rep = walk.n
     """,
 )
 def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
-    cluster the embedding space coarsely, mark near-duplicate PAIRS
-    only within a cluster, connect them into semantic groups, keep one
-    canonical member (min id) per group.
+    collapse exact-duplicate vectors to one representative (the
+    standard exact-dedup prepass), cluster the embedding space
+    coarsely, mark near-duplicate PAIRS only within a cluster, connect
+    them into semantic groups, keep one canonical member (min id) per
+    group.
 
     100 TB shape end to end: the coarse quantizer is CORPUS-SCALED
     (√N cells via ``scaled_cell_params`` — a fixed cell count makes the
@@ -1333,12 +1346,15 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell population cap (``subcell_split`` — a pathological hot
     cell holding a corpus-scale fraction of vectors splits into id-mod
     sub-cells instead of self-joining quadratically, the round-8
-    verdict's flagged skew hole), and the grouping is the O(log d)
-    star-contraction CC.  Every stage is deterministic (strided
-    centroids, rounded cosines, id tie-breaks, integer cap math), so
-    the whole pipeline — including the transitive closure, the √N
-    quantizer sizing AND the skew cap — replays in the DuckDB oracle."""
-    from tweets_spark_top_10_spark.functions.dedup import connected_components
+    verdict's flagged skew hole), and the grouping exploits that
+    blocked pairs partition the graph: components resolve with a
+    block-local union-find in ONE stage (``blocked_components``)
+    instead of an iterative global contraction.  Every stage is
+    deterministic (strided centroids, rounded cosines, id tie-breaks,
+    integer cap math), so the whole pipeline — including the
+    transitive closure, the √N quantizer sizing AND the skew cap —
+    replays in the DuckDB oracle."""
+    from tweets_spark_top_10_spark.functions.dedup import blocked_components
     from tweets_spark_top_10_spark.functions.similarity import (
         dot,
         ivf_assign_cells,
@@ -1352,6 +1368,31 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
     )
+    # Exact-duplicate collapse (SemDeDup's standard prepass): bitwise-
+    # identical vectors are trivially semantic duplicates — they pair
+    # and cluster as ONE representative (the group's min id), and the
+    # members rejoin the rep's cluster at the end.  Without this, a
+    # mass of identical vectors piles into one cell (every centroid
+    # ties) where the sub-cell cap would SPLIT the group — bounded
+    # work, but needless recall loss on the easiest duplicates.
+    # Identity rides an 8-byte xxhash64 fingerprint of the vector, so
+    # the group-by and member join shuffle fixed-width keys instead of
+    # 64-double arrays (grouping BY the raw array measured +2 s on the
+    # balanced 10× replica); the DuckDB oracle groups by the raw list,
+    # which doubles as the collision tripwire — at exabyte scale the
+    # fingerprint would widen to 128 bits.
+    fp = F.xxhash64("vec").alias("__fp")
+    reps = (
+        vecs.select(fp, "vec_id")
+        .groupBy("__fp")
+        .agg(F.min("vec_id").alias("rep"))
+    )
+    member_map = persist_tracked(
+        vecs.select("vec_id", fp).join(reps, "__fp").select("vec_id", "rep")
+    )
+    rep_vecs = member_map.filter(F.col("vec_id") == F.col("rep")).join(
+        vecs, "vec_id"
+    ).select("vec_id", "vec")
     # one COUNT action — quantizer-sizing metadata, shared by the √N
     # cell count and the skew cap (4x average cell size)
     n = vecs.count()
@@ -1362,12 +1403,28 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet arrives as 1-2 splits locally and the whole assignment
     # would run on one core (at cluster scale the scan is already
     # many-partitioned; this is a ~free narrow-data shuffle)
-    spread = vecs.repartition(spark.sparkContext.defaultParallelism)
+    spread = rep_vecs.repartition(spark.sparkContext.defaultParallelism)
+    # The cached cell table is partitioned by the PAIR-JOIN key with an
+    # EXPLICIT partition count: the join's input is corpus-skinny (one
+    # row per vector) but its output is the intra-cell pair set, and
+    # AQE — sizing partitions on input bytes — happily coalesces the
+    # few-MB exchange down to 1-2 tasks, serializing the quadratic
+    # sub-cell self-join on a skewed corpus (measured: a 2-task stage
+    # carried 35 of the clustered 10x probe's 29s wall).  Explicit
+    # repartition pins the partitioning, AQE leaves it alone, and both
+    # self-join sides read the colocated cache with no further
+    # exchange.
+    # assignment persisted separately: subcell_split references its
+    # input twice (per-cell counts + the split projection) and
+    # ivf_assign_cells references ITS input twice, so an uncached
+    # assignment tree evaluates 4x under the cells materialization
+    # (measured ~5s of the clustered 10x probe's wall)
+    assigned = persist_tracked(
+        ivf_assign_cells(spread, cents, "vec_id", vec_col="vec", n_probe=1)
+    )
     cells = persist_tracked(
-        subcell_split(
-            ivf_assign_cells(spread, cents, "vec_id", vec_col="vec", n_probe=1),
-            "vec_id",
-            cap,
+        subcell_split(assigned, "vec_id", cap).repartition(
+            spark.sparkContext.defaultParallelism, "cell_id", "sub_cell"
         )
     )
     a = cells.select(
@@ -1392,16 +1449,20 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
         )
         .filter(F.col("__cos") >= 0.3)
-        .select("id_a", "id_b")
+        .select("cell_id", "sub_cell", "id_a", "id_b")
     )
-    comp = connected_components(pairs)
+    # pairs cannot cross (cell, sub_cell) blocks — components resolve
+    # block-locally in ONE stage (and the pair plan is already
+    # partitioned by the block key, so the grouped map adds no shuffle)
+    # instead of the iterative global star contraction
+    comp = blocked_components(pairs, ["cell_id", "sub_cell"])
+    cluster = F.coalesce("component", "rep")
     return (
-        vecs.select("vec_id")
-        .join(comp, vecs["vec_id"] == comp["node"], "left")
+        member_map.join(comp, member_map["rep"] == comp["node"], "left")
         .select(
             "vec_id",
-            F.coalesce("component", "vec_id").alias("cluster"),
-            (F.coalesce("component", "vec_id") == F.col("vec_id")).alias("keep"),
+            cluster.alias("cluster"),
+            (cluster == F.col("vec_id")).alias("keep"),
         )
     )
 
