@@ -1,0 +1,228 @@
+"""Streaming-state scale probe (round-8 verdict item 5).
+
+The 10x/100x evidence so far is batch-only; this probe replays a
+content-disjoint 10x corpus through the two stateful streaming
+maintainers and records, PER MICRO-BATCH, the merge wall and the state
+footprint — the two quantities that decide whether the maintainers
+survive an unbounded stream:
+
+1. **Windowed-watermarked Misra-Gries**
+   (``streaming/heavy_hitters.merge_mg_batch_windowed``): events
+   replayed in event-time order as K batches; replica k rewrites every
+   token to ``r{k}u<user>`` so the 10x side has 10x the distinct-token
+   pressure while windows/groups stay fixed.  The claim under test:
+   live state stays bounded by (windows inside the watermark horizon)
+   x groups x (capacity+1) — NOT by distinct tokens — and per-batch
+   merge wall stays ~flat as total history grows, because each merge
+   touches only the live summary + one batch.
+
+2. **Streaming semantic-dedup maintenance**
+   (``streaming/semantic_dedup.upsert_semantic_pairs_batch``):
+   embeddings replicated 10x content-disjointly (cyclic shift, the
+   bench protocol) against a FIXED full-corpus quantizer.  Cell state
+   necessarily grows with the corpus (it IS the corpus); the quantity
+   that must stay sane is per-batch merge wall — batch x own-cell
+   members plus the pair-table distinct-merge — reported per batch so
+   super-linear drift is visible.
+
+Usage: python tools/stream_scale_probe.py [replicas] [batches]
+Prints one JSON object; paste the summary table into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _du(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def probe_windowed_mg(spark, work: str, replicas: int, batches: int, capacity: int):
+    """Replay events x``replicas`` through the watermarked MG merge."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tweets_spark_top_10_spark.streaming import heavy_hitters as hh
+
+    ev = spark.read.parquet(os.path.join(BASE, "events.parquet"))
+    reps = spark.range(replicas).select(F.col("id").alias("k"))
+    feed = (
+        ev.crossJoin(F.broadcast(reps))
+        .select(
+            # driver parquet carries TIMESTAMP_NTZ; the MG merge wants TIMESTAMP
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_type").alias("grp"),
+            F.concat(F.lit("r"), F.col("k"), F.lit("u"), F.col("user_id")).alias(
+                "token"
+            ),
+        )
+        # feed prep, not the measured path: a single-partition ntile
+        # sort is fine at probe scale (event-time-ordered micro-batches)
+        .withColumn("batch", F.ntile(batches).over(Window.orderBy("ts")))
+    )
+    feed_path = os.path.join(work, f"mg_feed_x{replicas}")
+    feed.write.partitionBy("batch").mode("overwrite").parquet(feed_path)
+
+    state = os.path.join(work, f"mg_state_x{replicas}")
+    closed = state + "__closed"
+    per_batch = []
+    for b in range(1, batches + 1):
+        batch_df = spark.read.parquet(os.path.join(feed_path, f"batch={b}"))
+        t0 = time.perf_counter()
+        hh.merge_mg_batch_windowed(
+            spark,
+            batch_df,
+            state,
+            time_col="ts",
+            group_col="grp",
+            token_col="token",
+            capacity=capacity,
+            delay_seconds=3600,
+            window="hour",
+            batch_id=b,
+        )
+        wall = time.perf_counter() - t0
+        live = spark.read.parquet(state)
+        live_rows = live.count()
+        # the contract: per-(window, group) rows never exceed capacity+1
+        over = (
+            live.groupBy("window", "grp")
+            .count()
+            .filter(F.col("count") > capacity + 1)
+            .count()
+        )
+        per_batch.append(
+            {
+                "batch": b,
+                "merge_s": round(wall, 2),
+                "live_rows": live_rows,
+                "live_mb": round(_du(state) / 1e6, 2),
+                "closed_mb": round(_du(closed) / 1e6, 2),
+                "keys_over_capacity": over,
+            }
+        )
+        print(f"mg x{replicas} batch {b}: {per_batch[-1]}", flush=True)
+    walls = [r["merge_s"] for r in per_batch]
+    return {
+        "per_batch": per_batch,
+        "max_live_rows": max(r["live_rows"] for r in per_batch),
+        "keys_over_capacity_total": sum(r["keys_over_capacity"] for r in per_batch),
+        "merge_s_first3_avg": round(sum(walls[:3]) / 3, 2),
+        "merge_s_last3_avg": round(sum(walls[-3:]) / 3, 2),
+    }
+
+
+def probe_semantic_dedup(spark, work: str, replicas: int, batches: int):
+    """Replay embeddings x``replicas`` (cyclic-shift content-disjoint)
+    through the semantic-dedup state maintenance."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from tweets_spark_top_10_spark.functions.similarity import semdedup_centroids
+    from tweets_spark_top_10_spark.streaming.semantic_dedup import (
+        upsert_semantic_pairs_batch,
+    )
+
+    src = os.path.join(BASE, "embeddings.parquet")
+    feed_path = os.path.join(work, f"sd_feed_x{replicas}")
+    duckdb.sql(f"""
+      COPY (
+        SELECT e.vec_id + r.k * (SELECT MAX(vec_id)+1 FROM read_parquet('{src}')) AS vec_id,
+               list_transform(
+                 e.embedding[(r.k % 64) + 1:] || e.embedding[:(r.k % 64)],
+                 x -> CAST(x AS DOUBLE)) AS vec
+        FROM read_parquet('{src}') e, (SELECT UNNEST(RANGE({replicas})) AS k) r
+      ) TO '{feed_path}.parquet' (FORMAT PARQUET)
+    """)
+    vecs = spark.read.parquet(feed_path + ".parquet")
+    n = vecs.count()
+    # offline quantizer fit over the full corpus (the fixed coarse book
+    # a production deployment trains before attaching the stream)
+    cents = semdedup_centroids(vecs, cand_id="vec_id", vec_col="vec")
+    cents = cents.localCheckpoint(eager=True)
+    per = (n + batches - 1) // batches
+    cells_path = os.path.join(work, f"sd_cells_x{replicas}")
+    pairs_path = os.path.join(work, f"sd_pairs_x{replicas}")
+    per_batch = []
+    for b in range(batches):
+        batch_df = vecs.filter(
+            (F.col("vec_id") >= b * per) & (F.col("vec_id") < (b + 1) * per)
+        )
+        t0 = time.perf_counter()
+        upsert_semantic_pairs_batch(
+            spark, batch_df, cents, cells_path, pairs_path, "vec_id", "vec"
+        )
+        wall = time.perf_counter() - t0
+        per_batch.append(
+            {
+                "batch": b,
+                "merge_s": round(wall, 2),
+                "cells_mb": round(_du(cells_path) / 1e6, 2),
+                "pairs_rows": spark.read.parquet(pairs_path).count()
+                if os.path.exists(pairs_path)
+                else 0,
+                "pairs_mb": round(_du(pairs_path) / 1e6, 2),
+            }
+        )
+        print(f"sd x{replicas} batch {b}: {per_batch[-1]}", flush=True)
+    walls = [r["merge_s"] for r in per_batch]
+    return {
+        "per_batch": per_batch,
+        "merge_s_first3_avg": round(sum(walls[:3]) / 3, 2),
+        "merge_s_last3_avg": round(sum(walls[-3:]) / 3, 2),
+    }
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    batches = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    work = tempfile.mkdtemp(prefix="stream_scale_")
+
+    from tweets_spark_top_10_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="stream-scale-probe",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = {}
+    for tag, reps in (("1x", 1), (f"{replicas}x", replicas)):
+        results[f"windowed_mg_{tag}"] = probe_windowed_mg(
+            spark, work, reps, batches, capacity=64
+        )
+        spark.catalog.clearCache()
+    for tag, reps in (("1x", 1), (f"{replicas}x", replicas)):
+        results[f"semantic_dedup_{tag}"] = probe_semantic_dedup(
+            spark, work, reps, batches
+        )
+        spark.catalog.clearCache()
+
+    print(json.dumps(results))
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
