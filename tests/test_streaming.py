@@ -2670,3 +2670,56 @@ def test_kafka_replay_ignores_foreign_files_and_empty_dirs(spark, tmp_path):
     q.awaitTermination()
     rows = spark.table("kr_messy").select("partition", "offset").collect()
     assert sorted(map(tuple, rows)) == [(0, 0), (0, 1)]
+
+
+def test_windowed_mg_live_state_bounded_under_token_churn(spark, tmp_path):
+    """The scale contract the 10x stream probe measures (BASELINE.md
+    round-9 table), pinned as a fast regression: live windowed-MG state
+    is bounded by (windows inside the watermark horizon) x groups x
+    (capacity+1) — NOT by distinct tokens.  Six batches advance event
+    time one hour each while every batch brings 800 NEW distinct tokens;
+    with a 1 h lag at most two hour-windows are ever live, so live rows
+    must stay under 2 x groups x (capacity+1) at every step while the
+    closed dir accumulates the finalized windows."""
+    import datetime
+
+    from tweets_spark_top_10_spark.streaming import heavy_hitters as hh
+
+    schema = "ts timestamp, seg string, token string"
+    t0 = datetime.datetime(2024, 3, 1, 0, 30)
+    cap, groups, batches = 16, ("a", "b"), 6
+    state = str(tmp_path / "churn_state")
+    closed = state + "__closed"
+
+    for b in range(batches):
+        ts = t0 + datetime.timedelta(hours=b)
+        rows = [
+            (ts, g, f"b{b}g{g}t{i}") for g in groups for i in range(400)
+        ]
+        hh.merge_mg_batch_windowed(
+            spark,
+            spark.createDataFrame(rows, schema),
+            state,
+            time_col="ts",
+            group_col="seg",
+            capacity=cap,
+            delay_seconds=3600,
+            window="hour",
+            batch_id=b,
+        )
+        live = spark.read.parquet(state)
+        n_live = live.count()
+        assert n_live <= 2 * len(groups) * (cap + 1), (b, n_live)
+        over = (
+            live.groupBy("window", "seg")
+            .count()
+            .where(F.col("count") > cap + 1)
+            .count()
+        )
+        assert over == 0, (b, over)
+
+    # every window except the two inside the horizon finalized exactly once
+    closed_windows = (
+        spark.read.parquet(closed).select("window_part").distinct().count()
+    )
+    assert closed_windows == batches - 2, closed_windows
