@@ -169,13 +169,36 @@ def pq_codebook_refine(
     precedent).  Measured on the fixtures: ADC recall@5 0.40 -> 0.52 at
     sf0.1 with one iteration (a second adds little).
 
+    Single-pass shape (round 9): the subvector rides THROUGH the argmin
+    aggregate — ``MIN(struct(d, code, sub_vec))`` is identical to
+    ``MIN(struct(d, code))`` because sub_vec is constant within an
+    (id, m) group, so the comparison never reaches it — which deletes
+    the round-8 form's (id, m) sort-merge re-join of assignments back
+    onto subvectors (two corpus-sized exchanges).  On a candidate table
+    cached hash-partitioned by id, the whole iteration is then
+    exchange-free up to the dim²-keyed AVG.
+
     Output: (m, code, sub_centroid) — same shape as :func:`pq_codebook`.
     """
-    codes = pq_encode(candidates, codebook, cand_id, vec_col, m, sub_dim)
-    subs = _explode_subvectors(candidates, cand_id, vec_col, m, sub_dim)
+    sub = _explode_subvectors(candidates, cand_id, vec_col, m, sub_dim)
+    d2 = F.round(
+        l2_sq_unrolled(F.col("sub_vec"), F.col("sub_centroid"), sub_dim), 9
+    )
+    assigned = (
+        sub.join(F.broadcast(codebook), "m")
+        .groupBy(cand_id, "m")
+        .agg(
+            F.min(
+                F.struct(d2.alias("d"), F.col("code"), F.col("sub_vec"))
+            ).alias("b")
+        )
+    )
     per_pos = (
-        codes.join(subs, [cand_id, "m"])
-        .select("m", "code", F.posexplode("sub_vec").alias("pos", "val"))
+        assigned.select(
+            "m",
+            F.col("b.code").alias("code"),
+            F.posexplode("b.sub_vec").alias("pos", "val"),
+        )
         .groupBy("m", "code", "pos")
         .agg(F.round(F.avg("val"), avg_digits).alias("v"))
     )
@@ -326,25 +349,39 @@ def apply_permutation(
 ) -> DataFrame:
     """Reorder every vector by a (old_pos, new_pos) permutation table.
 
-    Relational reorder: posexplode → broadcast-join the permutation →
-    regroup sorting by new_pos.  One shuffle keyed by the vector id
-    (uniform).  At 100 TB the permutation is a fixed metadata artifact
-    you would bake into the extraction expression instead; this form
-    keeps it a data-driven, oracle-replayable operator.
+    The permutation is a dim-row METADATA artifact (64 rows here), so
+    it is collected and baked into a projection: ``out[new_pos-1] =
+    vec[old_pos-1]`` as ``dim`` unrolled ``element_at`` expressions —
+    zero exchanges, embarrassingly parallel, exactly what a 100 TB
+    deployment would compile into its extraction expression.  (The
+    round-8 form posexploded the corpus and regrouped with
+    ``collect_list`` — a corpus-sized shuffle per reorder, measured as
+    the single largest stage of the inline OPQ queries at sf0.1.)
+
+    The collect is dim rows — metadata, not data (the LUT-collect
+    precedent).  Raises if the table is not a bijection over 1..dim:
+    the relational form silently dropped/duplicated values on a
+    malformed permutation (the failure mode
+    ``test_opq_permutation_is_bijection`` guards against); a loud
+    failure is strictly safer.  Values are untouched (pure reorder), so
+    the relational DuckDB oracles replay it unchanged.
     """
-    ex = df.select(
-        F.col(id_col), F.posexplode(vec_col).alias("pos0", "val")
-    ).withColumn("old_pos", F.col("pos0") + 1)
-    return (
-        ex.join(F.broadcast(perm), "old_pos")
-        .groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("new_pos", "val"))),
-                lambda s: s.val,
-            ).alias(vec_col)
+    rows = perm.collect()
+    old_of_new = {int(r["new_pos"]): int(r["old_pos"]) for r in rows}
+    dim = len(rows)
+    if sorted(old_of_new) != list(range(1, dim + 1)) or sorted(
+        old_of_new.values()
+    ) != list(range(1, dim + 1)):
+        raise ValueError(
+            f"permutation is not a bijection over 1..{dim}: {sorted(old_of_new)[:5]}..."
         )
+    out = F.array(
+        *[
+            F.element_at(F.col(vec_col), old_of_new[p])
+            for p in range(1, dim + 1)
+        ]
     )
+    return df.select(F.col(id_col), out.alias(vec_col))
 
 
 def pq_codebook_shift(before: DataFrame, after: DataFrame, sub_dim: int) -> DataFrame:

@@ -431,7 +431,7 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (|cands| x 16 subspaces x K codebook rows) across cores.  At scale
     # the source is many-partitioned and this is a no-op cost.
     cands = _normed(emb, "neighbor_id", 10, None).repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "neighbor_id"
     )
     cb = pq_codebook(cands)
     return pq_encode(cands, cb, "neighbor_id").select(
@@ -484,7 +484,7 @@ def pq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = _normed(emb, "query_id", 0, 10)
     cands = _normed(emb, "neighbor_id", 10, None).repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "neighbor_id"
     )
     return pq_adc_topk(queries, cands, k=5)
 
@@ -590,7 +590,7 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         staging = kind.parent / f".stage_pq_{os.getpid()}"
         emb = load_table(spark, sf_dir, "embeddings")
         cands = _normed(emb, "neighbor_id", 10, None).repartition(
-            spark.sparkContext.defaultParallelism
+            spark.sparkContext.defaultParallelism, "neighbor_id"
         )
         cb = pq_codebook(cands)
         cb.write.mode("overwrite").parquet(str(staging / "codebook"))
@@ -705,7 +705,7 @@ def ensure_opq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
         perm.write.mode("overwrite").parquet(str(staging / "opq_perm"))
         perm = spark.read.parquet(str(staging / "opq_perm"))
         cands = apply_permutation(c0, "neighbor_id", perm).repartition(
-            spark.sparkContext.defaultParallelism
+            spark.sparkContext.defaultParallelism, "neighbor_id"
         ).transform(persist_tracked)
         refined = pq_codebook_refine(cands, pq_codebook(cands))
         refined.write.mode("overwrite").parquet(str(staging / "opq_codebook"))
@@ -886,10 +886,14 @@ def pq_adc_lloyd_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = _normed(emb, "query_id", 0, 10)
     # The normalized candidates feed the seed codebook, the refine
     # step's encode+means, and the final encode — persist so the
-    # scan+normalize runs once, not four times.
+    # scan+normalize runs once, not four times.  Hash-partitioned BY ID
+    # (not round-robin): hashpartitioning(id) satisfies the clustered
+    # distribution of every downstream (id, m) argmin aggregate (subset
+    # rule), so the refine and encode stages reuse this one exchange
+    # instead of re-shuffling the exploded corpus each.
     cands = (
         _normed(emb, "neighbor_id", 10, None)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, "neighbor_id")
         .transform(persist_tracked)
     )
     seed = pq_codebook(cands)
@@ -1092,7 +1096,7 @@ def pq_adc_opq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = apply_permutation(q0, "query_id", perm)
     cands = (
         apply_permutation(c0, "neighbor_id", perm)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, "neighbor_id")
         .transform(persist_tracked)
     )
     seed = pq_codebook(cands)
@@ -1156,7 +1160,7 @@ def pq_adc_opq_rerank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = apply_permutation(q0, "query_id", perm)
     cands = (
         apply_permutation(c0, "neighbor_id", perm)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, "neighbor_id")
         .transform(persist_tracked)
     )
     refined = pq_codebook_refine(cands, pq_codebook(cands)).localCheckpoint(
