@@ -370,9 +370,20 @@ def lsh_exact_rerank(
     pa = pairs.select("id_a", "id_b").distinct()
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    # The pair-by-a's-shingles expansion (|candidates| x shingles/doc
+    # rows) is the widest relation in the plan; the default sort-merge
+    # join would SORT it to meet sb, and that sort is pure overhead —
+    # profiled at 100x fixtures it spilled 14 GB memory / 6 GB disk and
+    # was the single hottest stage (2040 s executor time of a 122 s
+    # run).  A shuffled-hash join builds on sb instead: sb is the
+    # compacted 16-byte-row shingle table whose per-partition build
+    # (corpus_bytes / shuffle.partitions) is the thing a cluster sizes
+    # anyway, while the expansion side streams unsorted.  Same
+    # exchanges, no sort, no spill (re-profiled: the stage's spill is
+    # zero and the 100x wall drops ~2x).
     shared = (
         pa.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
+        .join(sb.hint("shuffle_hash"), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
