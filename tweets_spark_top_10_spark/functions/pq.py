@@ -122,24 +122,30 @@ def pq_encode(
     m: int = 16,
     sub_dim: int = 4,
     round_digits: int = 9,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, m, code): each subvector's nearest codebook entry.
+    """(id, *key_cols, m, code): each subvector's nearest codebook entry.
 
     Argmin is one hash aggregate — MIN over a (rounded distance, code)
     struct, so ties break on the smaller code deterministically.  The
     codebook is broadcast; nothing shuffles but the final aggregate,
     keyed by (id, m) — uniform by construction.
+
+    ``key_cols`` carries id-determined columns (IVFADC's ``cell_id``)
+    through the aggregate so callers don't pay a corpus-sized rejoin
+    against the input just to recover them.
     """
-    sub = _explode_subvectors(vectors, id_col, vec_col, m, sub_dim)
+    keys = [id_col] + (key_cols or [])
+    sub = _explode_subvectors(vectors, id_col, vec_col, m, sub_dim, key_cols)
     d2 = F.round(
         l2_sq_unrolled(F.col("sub_vec"), F.col("sub_centroid"), sub_dim),
         round_digits,
     )
     return (
         sub.join(F.broadcast(codebook), "m")
-        .groupBy(id_col, "m")
+        .groupBy(*keys, "m")
         .agg(F.min(F.struct(d2.alias("d"), F.col("code"))).alias("b"))
-        .select(F.col(id_col), F.col("m"), F.col("b.code").alias("code"))
+        .select(*keys, F.col("m"), F.col("b.code").alias("code"))
     )
 
 
@@ -549,12 +555,16 @@ def exact_rerank(
 
 
 def pq_codes_wide(
-    codes: DataFrame, cand_id: str = "neighbor_id"
+    codes: DataFrame,
+    cand_id: str = "neighbor_id",
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, codes: array<int> indexed by subspace) from the tall
-    (id, m, code) index — the layout a serving scan wants: one row per
-    candidate, M bytes of code, no per-subspace join fan-out."""
-    return codes.groupBy(cand_id).agg(
+    """(id, *key_cols, codes: array<int> indexed by subspace) from the
+    tall (id, m, code) index — the layout a serving scan wants: one row
+    per candidate, M bytes of code, no per-subspace join fan-out.
+    ``key_cols`` rides id-determined columns (IVFADC's ``cell_id``)
+    through instead of a corpus rejoin."""
+    return codes.groupBy(cand_id, *(key_cols or [])).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("m", "code"))),
             lambda s: s["code"],
@@ -799,8 +809,12 @@ def ivfpq_adc_topk(
         .transform(persist_tracked)
     )
     cb = pq_codebook(cand_res, cand_id, "res", m, sub_dim, n_codes, stride)
-    codes = pq_encode(cand_res, cb, cand_id, "res", m, sub_dim)
-    cand_codes = codes.join(cand_res.select(cand_id, "cell_id"), cand_id)
+    # cell_id is id-determined (n_probe=1 assignment) — carrying it
+    # through the encode aggregate replaces the corpus-sized
+    # codes-to-assignment rejoin with zero extra exchanges.
+    cand_codes = pq_encode(
+        cand_res, cb, cand_id, "res", m, sub_dim, key_cols=["cell_id"]
+    )
 
     q_cells = ivf_assign_cells(queries, cents, query_id, vec_col, n_probe=n_probe)
     q_res = q_cells.join(

@@ -1516,10 +1516,12 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]
         cb = pq_codebook(cand_res, "neighbor_id", "res")
         cb.write.mode("overwrite").parquet(str(staging / "ivfpq_codebook"))
         cb = spark.read.parquet(str(staging / "ivfpq_codebook"))
-        codes = pq_encode(cand_res, cb, "neighbor_id", "res")
-        pq_codes_wide(codes).join(
-            cand_res.select("neighbor_id", "cell_id"), "neighbor_id"
-        ).write.mode("overwrite").parquet(str(staging / "ivfpq_codes_wide"))
+        codes = pq_encode(
+            cand_res, cb, "neighbor_id", "res", key_cols=["cell_id"]
+        )
+        pq_codes_wide(codes, key_cols=["cell_id"]).write.mode(
+            "overwrite"
+        ).parquet(str(staging / "ivfpq_codes_wide"))
         _publish_index_kind(staging, kind)
     return paths["ivfpq_cents"], paths["ivfpq_codebook"], paths["ivfpq_codes_wide"]
 
