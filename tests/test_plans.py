@@ -110,3 +110,15 @@ def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
     assert "SortMergeJoin" in plan_of(cust.hint("merge"))
     assert "ShuffledHashJoin" in plan_of(cust.hint("shuffle_hash"))
     assert "BroadcastHashJoin" in plan_of(F.broadcast(cust))
+
+
+def test_minhash_rerank_builds_hash_join_on_shingles(spark, sf_dir):
+    """The exact-rerank join of the candidate-pair x shingle expansion
+    against the shingle table must stay a ShuffledHashJoin building on
+    the compact shingle side: the sort-merge alternative sorts the
+    plan's widest relation (profiled at 100x fixtures: 14 GB memory /
+    6 GB disk spill in one stage; hash build runs spill-free at half
+    the wall).  Guards the hint in functions/dedup.lsh_exact_rerank
+    against planner-default drift."""
+    plan = _plan(QUERIES["minhash_lsh_candidates"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan, plan
