@@ -175,6 +175,99 @@ def test_minhash_band_recall_is_full(spark, sf_dir):
     assert not missed, f"banding dropped true pairs: {sorted(missed)[:5]}"
 
 
+def test_collapse_exact_dups_pair_list_is_exact(spark):
+    """The collapse→band→rerank→expand pipeline must emit EXACTLY the
+    true all-pairs Jaccard>=0.5 set of the UNcollapsed corpus — the
+    contract that keeps minhash_lsh_candidates' full value oracle valid.
+
+    Handmade corpus exercising every expansion branch:
+    - group X: "alpha beta gamma delta epsilon" × 4 copies (within-group
+      pairs at jaccard 1.0);
+    - group Y: near-dup of X's text (one token changed) × 3 copies
+      (cross-group pairs: every (x, y) member pair at the REP pair's
+      jaccard);
+    - a shingle-less short doc ("hi there": 2 tokens, no 3-gram) × 3
+      copies — must produce NO pairs at all (the rep_sh_ids gate);
+    - unique singleton docs as background noise.
+    """
+    from tweets_spark_top_10_spark.functions.dedup import (
+        collapse_exact_dups,
+        expand_rep_pairs,
+        lsh_exact_rerank,
+        minhash_band_pairs,
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+
+    tx = "alpha beta gamma delta epsilon zeta eta theta"
+    ty = "alpha beta gamma delta epsilon zeta eta iota"
+    rows = (
+        [(i, tx) for i in range(4)]
+        + [(10 + i, ty) for i in range(3)]
+        + [(20 + i, "hi there") for i in range(3)]
+        + [(30, "the quick brown fox jumps over the lazy dog"),
+           (31, "entirely different words compose this unique sentence here")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    truth = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert truth, "corpus must contain true pairs"
+
+    reps, members = collapse_exact_dups(docs, "text", "doc_id")
+    assert reps.count() == 5  # distinct texts, not 12 docs
+    sh = shingle_table(reps, "text", "doc_id", n=3)
+    cands = minhash_band_pairs(reps, "text", "doc_id", n=3, shingles=sh)
+    # Collapse efficiency: band candidates are REP-level — one pair
+    # (X's rep, Y's rep), never the 4×3 + C(4,2) + C(3,2) doc pairs.
+    assert cands.count() == 1
+    rep_pairs = lsh_exact_rerank(
+        reps, cands, "text", "doc_id", n=3, threshold=0.5, shingles=sh
+    )
+    out = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in expand_rep_pairs(
+            rep_pairs, members, sh.select("doc_id").distinct(), "doc_id"
+        ).collect()
+    }
+    assert out == truth
+    # The shingle-less dup group contributed nothing.
+    assert not any(a >= 20 and a < 30 or 20 <= b < 30 for a, b, _ in out)
+
+
+def test_collapse_exact_dups_band_work_constant_in_group_size(spark):
+    """Replicating one document k× must not change the rep-level band
+    candidate count at all — the quadratic k²/2-per-table band bucket
+    the collapse exists to remove."""
+    from tweets_spark_top_10_spark.functions.dedup import (
+        collapse_exact_dups,
+        minhash_band_pairs,
+    )
+
+    base = [
+        (i, f"unique document number {i} with filler tokens {i * 7} {i * 13}")
+        for i in range(30)
+    ]
+    hot = "boilerplate terms of service text repeated across the mirror sites"
+    one = spark.createDataFrame(
+        base + [(100, hot)], "doc_id: long, text: string"
+    )
+    many = spark.createDataFrame(
+        base + [(100 + i, hot) for i in range(200)], "doc_id: long, text: string"
+    )
+    reps_one, _ = collapse_exact_dups(one, "text", "doc_id")
+    reps_many, members_many = collapse_exact_dups(many, "text", "doc_id")
+    assert reps_one.count() == reps_many.count() == 31
+    c_one = minhash_band_pairs(reps_one, "text", "doc_id").count()
+    c_many = minhash_band_pairs(reps_many, "text", "doc_id").count()
+    assert c_one == c_many  # band work independent of dup-group size
+    # ...while the members mapping still owns the full group.
+    grp = members_many.filter("rep_id = 100")
+    assert grp.count() == 200
+
+
 def test_resample_locf_fills_gaps_and_guards_spans(spark):
     """Handmade series: key A observes hours 0,1,3 (hour 2 is a gap and
     must carry hour 1's value), key B observes a single hour (no gaps).

@@ -398,6 +398,129 @@ def lsh_exact_rerank(
     )
 
 
+def collapse_exact_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rep_col: str = "rep_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Byte-identical document collapse for pairwise dedup pipelines.
+
+    The text-side twin of the embedding-side exact-duplicate collapse
+    that round 8 gave semantic dedup (SemDeDup's standard prepass): in
+    a crawl-scale corpus a large fraction of documents are
+    byte-identical (mirrors, reposts, boilerplate pages), and every
+    pairwise candidate generator pays QUADRATICALLY for them — a
+    k-member identical group has identical shingle sets, hence
+    identical MinHash signatures, so it lands k docs in the SAME band
+    bucket of EVERY table: ~k²/2 candidate pairs per table, all
+    reranked to the foregone conclusion jaccard = 1.0.  Collapsing to
+    one representative per distinct text makes that k → 1 BEFORE any
+    signature work; :func:`expand_rep_pairs` reconstructs the full
+    doc-level pair list EXACTLY afterward, because Jaccard is a
+    function of the shingle set alone and byte-identical docs are
+    interchangeable in every pair.
+
+    Returns ``(reps, members)``: ``reps`` has one row per distinct
+    text, keyed by the group-minimum ``id_col`` (rep ids are real doc
+    ids); ``members`` maps every doc to its group as
+    ``(id_col, rep_col, grp_n)``.
+
+    Shape at scale: one md5 projection, one hash-keyed groupBy (min,
+    first, count — all partial-aggregable, so a 10M-member identical
+    group collapses MAP-SIDE instead of flooding one reducer; the
+    window-function formulation was rejected for exactly the reason
+    documented on the hot-shingle DF cap above), and one narrow
+    (id, 16-byte-hash) join to label members.  Identity is full md5
+    (128-bit), NOT xxhash64: a collision here would MERGE two
+    different texts and emit wrong jaccard=1.0 pairs, so the 64-bit
+    birthday margin that is fine for dedup *evidence* keys is not
+    acceptable for an *equivalence* key; 128 bits is.
+    """
+    h = df.select(
+        F.col(id_col), F.col(text_col), F.unhex(F.md5(text_col)).alias("h")
+    )
+    # Referenced twice below (reps projection + members join).
+    groups = (
+        h.groupBy("h")
+        .agg(
+            F.min(id_col).alias(rep_col),
+            # All texts in a group are byte-identical, so first() is
+            # deterministic by value regardless of which row wins.
+            F.first(text_col).alias(text_col),
+            F.count(F.lit(1)).alias("grp_n"),
+        )
+        .transform(persist_tracked)
+    )
+    reps = groups.select(F.col(rep_col).alias(id_col), F.col(text_col))
+    members = (
+        h.select(F.col(id_col), "h")
+        .join(groups.select("h", rep_col, "grp_n"), "h")
+        .select(F.col(id_col), F.col(rep_col), F.col("grp_n"))
+    )
+    return reps, members
+
+
+def expand_rep_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    rep_sh_ids: DataFrame,
+    id_col: str = "doc_id",
+    rep_col: str = "rep_id",
+    sim_col: str = "jaccard",
+    identical_sim: float = 1.0,
+) -> DataFrame:
+    """Reconstruct the doc-level pair list from rep-level pairs.
+
+    Inverse of :func:`collapse_exact_dups`, in two disjoint parts:
+
+    - **Cross-group**: every rep pair ``(ra, rb, sim)`` expands to all
+      ``(a, b, sim)`` with ``a ∈ group(ra)``, ``b ∈ group(rb)`` — the
+      rep's similarity IS every member pair's similarity (identical
+      shingle sets within a group).  ``least``/``greatest`` restore
+      the ``id_a < id_b`` canon, since member ids need not follow rep
+      order.  Disjoint from within-group by construction (``ra ≠ rb``).
+    - **Within-group**: every group with ≥2 members contributes all its
+      internal pairs at ``identical_sim`` — gated on the rep having at
+      least one shingle (``rep_sh_ids``): docs too short to produce a
+      shingle never enter the pair space at all (their Jaccard is
+      0/0), and byte-identical copies of such docs must not either.
+
+    The within-group part is OUTPUT-quadratic — a k-member group owns
+    k(k-1)/2 true pairs and a pair-list contract has to emit them.
+    The collapse's point is that banding / band-join / rerank COMPUTE
+    is no longer quadratic in k; the expansion is a straight
+    per-group self-join of the member list, sized by the output it is
+    contractually required to produce.  (A real 100 TB dedup keeps
+    the (doc, rep) mapping instead of the exploded pair list — that
+    mapping is exactly ``members``.)
+    """
+    ma = members.select(F.col(rep_col).alias("id_a"), F.col(id_col).alias("_a"))
+    mb = members.select(F.col(rep_col).alias("id_b"), F.col(id_col).alias("_b"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_a", "_b").alias("id_a"),
+            F.greatest("_a", "_b").alias("id_b"),
+            F.col(sim_col),
+        )
+    )
+    dup = members.filter(F.col("grp_n") > 1).join(
+        rep_sh_ids.select(F.col(id_col).alias(rep_col)), rep_col, "semi"
+    )
+    wa = dup.select(F.col(rep_col).alias("_g"), F.col(id_col).alias("id_a"))
+    wb = dup.select(F.col(rep_col).alias("_g"), F.col(id_col).alias("id_b"))
+    within = (
+        wa.join(wb, "_g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.lit(identical_sim).cast("double").alias(sim_col)
+        )
+    )
+    return cross.unionByName(within)
+
+
 #: Rounds the last :func:`connected_components` call took to converge —
 #: read by the deep-chain A/B test; not part of the stable API.
 _last_cc_rounds: int = 0

@@ -469,17 +469,38 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     longer afford — the registered plan (banding +
     candidate-restricted rerank) is the scale path.
     """
-    from tweets_spark_top_10_spark.functions.dedup import shingle_table
+    from tweets_spark_top_10_spark.functions.dedup import (
+        collapse_exact_dups,
+        expand_rep_pairs,
+        shingle_table,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
+    # Byte-identical collapse BEFORE any signature work (the text-side
+    # twin of semantic dedup's exact-duplicate prepass): a k-member
+    # identical group would otherwise occupy the same band bucket of
+    # every table — k²/2 candidate pairs per table reranked to the
+    # foregone jaccard=1.0.  Banding and rerank run on one rep per
+    # distinct text; expand_rep_pairs reconstructs the exact doc-level
+    # pair list (Jaccard is a function of the shingle set alone), so
+    # the true-all-pairs oracle above is unchanged.
+    reps, members = collapse_exact_dups(docs, "text", "doc_id")
     # One shingle table shared by banding and rerank (it is referenced
     # four times across the two phases) — at scale, a materialized
     # per-corpus intermediate; in-session, persist.
-    sh = shingle_table(docs, "text", "doc_id", n=3).transform(persist_tracked)
-    cands = minhash_band_pairs(docs, "text", "doc_id", n=3, shingles=sh)
-    return lsh_exact_rerank(
-        docs, cands, "text", "doc_id", n=3, threshold=0.5, shingles=sh
+    sh = shingle_table(reps, "text", "doc_id", n=3).transform(persist_tracked)
+    cands = minhash_band_pairs(reps, "text", "doc_id", n=3, shingles=sh)
+    rep_pairs = lsh_exact_rerank(
+        reps, cands, "text", "doc_id", n=3, threshold=0.5, shingles=sh
     )
+    # Reps with ≥1 shingle — the within-group expansion gate (shingle-
+    # less docs never enter the pair space).  ROW-LOCAL: a doc yields a
+    # 3-gram iff it has ≥3 tokens, so the gate is a filter over reps —
+    # no corpus-wide distinct over the shingle table.
+    rep_sh_ids = reps.filter(F.size(tokenize(F.col("text"))) >= 3).select(
+        "doc_id"
+    )
+    return expand_rep_pairs(rep_pairs, members, rep_sh_ids, "doc_id")
 
 
 @register(
