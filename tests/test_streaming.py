@@ -2575,6 +2575,87 @@ def test_streaming_semantic_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert again == want
 
 
+def test_streaming_semantic_refit_matches_batch(spark, sf_dir, tmp_path):
+    """Quantizer re-fit with state migration — the production lever for
+    an unbounded stream (BASELINE.md): start the stream against a
+    deliberately STALE quantizer (4 cells — the corpus wants √N), drain
+    2/3 of the corpus, re-fit mid-stream (corpus-scaled centroids +
+    cell re-assignment + pair regeneration), drain the rest against the
+    returned centroids, re-fit once more at full corpus size — and the
+    state-derived (id, cluster, keep) must equal the batch
+    semantic_dedup_keep query row-for-row.  Plus: a legacy-preserving
+    refit never drops recorded pairs, and the refit is idempotent."""
+    from tweets_spark_top_10_spark.functions.similarity import ivf_centroids
+    from tweets_spark_top_10_spark.queries.catalog import QUERIES
+    from tweets_spark_top_10_spark.streaming.semantic_dedup import (
+        maintain_semantic_dedup,
+        refit_semantic_state,
+        semantic_clusters_from_state,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    pdf = vecs.toPandas().sort_values("vec_id").reset_index(drop=True)
+    third = len(pdf) // 3
+    src = tmp_path / "vec_stream"
+    src.mkdir()
+    pdf.iloc[:third].to_parquet(src / "b1.parquet", index=False)
+    pdf.iloc[third : 2 * third].to_parquet(src / "b2.parquet", index=False)
+
+    stale = ivf_centroids(vecs, "vec_id", "vec", n_cells=4, stride=29)
+    stream = file_stream(
+        spark, str(src), vecs.schema, max_files_per_trigger=1
+    )
+    cells = str(tmp_path / "sd_cells")
+    pairs = str(tmp_path / "sd_pairs")
+    ckpt = str(tmp_path / "sd_ckpt")
+    maintain_semantic_dedup(
+        stream, stale, cells, pairs, checkpoint=ckpt
+    ).awaitTermination()
+
+    stale_pairs = set(map(tuple, spark.read.parquet(pairs).collect()))
+    assert stale_pairs, "stale quantizer found no pairs — fixture too easy"
+
+    # mid-stream refit, legacy-preserving: evidence already recorded
+    # under the stale quantizer must survive even where the new one no
+    # longer co-locates it
+    cents2 = refit_semantic_state(
+        spark, cells, pairs, keep_legacy_pairs=True
+    )
+    after_refit = set(map(tuple, spark.read.parquet(pairs).collect()))
+    assert after_refit >= stale_pairs
+
+    # drain the remaining third against the refit centroids (same
+    # checkpoint — only the new file is unprocessed)
+    pdf.iloc[2 * third :].to_parquet(src / "b3.parquet", index=False)
+    maintain_semantic_dedup(
+        stream, cents2, cells, pairs, checkpoint=ckpt
+    ).awaitTermination()
+
+    # final refit at full corpus size, batch-equivalence mode: the
+    # state becomes a pure function of (corpus, √N quantizer) — exactly
+    # what the batch query computes
+    refit_semantic_state(spark, cells, pairs)
+    got = sorted(
+        map(tuple, semantic_clusters_from_state(spark, cells, pairs).collect())
+    )
+    want = sorted(
+        map(tuple, QUERIES["semantic_dedup_keep"](spark, sf_dir).collect())
+    )
+    assert got == want
+
+    # idempotence: re-running the refit (the crash-between-swaps
+    # recovery story) leaves the state unchanged
+    refit_semantic_state(spark, cells, pairs)
+    again = sorted(
+        map(tuple, semantic_clusters_from_state(spark, cells, pairs).collect())
+    )
+    assert again == want
+
+
 def test_streaming_grouped_heavy_hitters_order_independent_exactness(
     spark, sf_dir, tmp_path
 ):

@@ -155,6 +155,130 @@ def maintain_semantic_dedup(
     )
 
 
+def refit_semantic_state(
+    spark,
+    cells_path: str,
+    pairs_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    threshold: float = 0.3,
+    n_buckets: int = 16,
+    keep_legacy_pairs: bool = False,
+) -> DataFrame:
+    """Re-fit the coarse quantizer to the CURRENT corpus size and
+    migrate the maintained state — the production lever BASELINE.md
+    names for an unbounded stream: with a quantizer frozen at size
+    N₀, per-cell occupancy grows linearly in the ingested N and the
+    batch×cell-members join trends quadratic; re-fitting at √N cells
+    every corpus doubling keeps occupancy √N, so refit cost —
+    O(N·√N) assignment + pair regeneration, the exact batch-pipeline
+    cost — amortizes to O(√N) per ingested vector.
+
+    Semantics: the state is rebuilt as a deterministic function of
+    (stored corpus, new quantizer) — cells re-assign with the same
+    strided √N quantizer the batch ``semantic_dedup_keep`` derives
+    (``scaled_cell_params``; identical float64 sizing op), and the
+    pair table is REGENERATED as all intra-cell pairs ≥ ``threshold``
+    over the stored vectors (sub-cell-capped like the batch query, so
+    a pathological hot cell stays bounded).  With the default
+    ``keep_legacy_pairs=False`` the post-refit state is byte-identical
+    to what a batch run over the stored corpus would produce — the
+    strongest reproducibility contract, pinned by
+    ``test_streaming_semantic_refit_matches_batch``.
+    ``keep_legacy_pairs=True`` instead distinct-unions previously
+    recorded pairs in: dedup evidence already found under the old
+    quantizer survives even where the new one no longer co-locates it
+    (a superset; clusters can only coarsen).
+
+    Crash contract: both state dirs swap atomically and independently
+    (stage → aside → live).  A crash BETWEEN the two swaps leaves new
+    cells with old pairs — re-running the refit converges, because
+    every derived artifact is a function of the (unchanged) stored
+    vector set; the refit is idempotent by the same argument.
+
+    Returns the new centroid table [(cell_id, centroid)] — pass it to
+    subsequent :func:`maintain_semantic_dedup` /
+    :func:`upsert_semantic_pairs_batch` calls.
+    """
+    from tweets_spark_top_10_spark.functions.similarity import (
+        ivf_centroids,
+        scaled_cell_params,
+        subcell_cap,
+        subcell_split,
+    )
+    from tweets_spark_top_10_spark.sources.writers import write_partitioned
+
+    _recover(cells_path)
+    _recover(pairs_path)
+    # Cut lineage to the live files BEFORE any swap: everything below
+    # derives from this materialized snapshot, never from cells_path.
+    corpus = (
+        spark.read.parquet(cells_path)
+        .select(id_col, vec_col)
+        .localCheckpoint(eager=True)
+    )
+    n = corpus.count()
+    n_cells, stride = scaled_cell_params(n)
+    cap = subcell_cap(n, n_cells)
+    cents = ivf_centroids(
+        corpus, id_col, vec_col, n_cells, stride
+    ).localCheckpoint(eager=True)
+    # fan out before the N×k argmin (compact state parquet arrives as
+    # few splits; at cluster scale the scan is already partitioned)
+    spread = corpus.repartition(spark.sparkContext.defaultParallelism)
+    assigned = (
+        ivf_assign_cells(spread, cents, id_col, vec_col, n_probe=1)
+        .withColumn("bucket", hash_bucket(id_col, n_buckets))
+        .localCheckpoint(eager=True)
+    )
+    _swap_in(
+        cells_path,
+        lambda staging: write_partitioned(assigned, staging, ["bucket"]),
+    )
+    # Pair regeneration: the batch pipeline's cell-blocked, sub-cell-
+    # capped intra-cell self-join over the snapshot (reads the
+    # checkpoint, not the just-swapped files).
+    cells = subcell_split(
+        assigned.select(id_col, vec_col, "cell_id"), id_col, cap
+    ).repartition(spark.sparkContext.defaultParallelism, "cell_id", "sub_cell")
+    a = cells.select(
+        "cell_id",
+        "sub_cell",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    b = cells.select(
+        "cell_id",
+        "sub_cell",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
+    new_pairs = (
+        a.join(b, ["cell_id", "sub_cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "__cos",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if keep_legacy_pairs and os.path.exists(pairs_path):
+        new_pairs = (
+            spark.read.parquet(pairs_path).unionByName(new_pairs).distinct()
+        )
+    _swap_in(
+        pairs_path,
+        lambda staging: new_pairs.write.mode("overwrite").parquet(staging),
+    )
+    return cents
+
+
 def semantic_clusters_from_state(
     spark,
     cells_path: str,
