@@ -10,6 +10,11 @@ design rules):
    tiny side (kNN query sets, IVF centroids) — those must plan as
    ``BroadcastNestedLoopJoin``/``CartesianProduct`` with the broadcast
    hint present, and are whitelisted here explicitly.
+3. No unpartitioned Window (``Exchange SinglePartition`` + one task
+   scanning every input row), except whitelisted windows whose input
+   is bounded by construction (the per-range-partition offset tables
+   of ``operators/scalable_rank`` — one row per partition, metadata
+   never data).
 """
 
 from __future__ import annotations
@@ -38,8 +43,21 @@ CROSS_JOIN_OK = {
 }
 
 
+# Queries allowed N distinct unpartitioned Window operators, each over
+# an input bounded by construction (never corpus-proportional).
+GLOBAL_WINDOW_OK = {
+    # per-range-partition offset table of global_row_number: one row
+    # per partition (vocab rank-id assignment)
+    "doc_token_ids": 1,
+    # same, global_running_sum over the per-slot size table
+    "curriculum_interleave": 1,
+}
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_plan_invariants(name, spark, sf_dir):
+    from tools.record_plan_shapes import count_global_windows
+
     plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan, (
         f"{name}: row-at-a-time Python UDF in plan\n{plan}"
@@ -47,6 +65,12 @@ def test_plan_invariants(name, spark, sf_dir):
     if name not in CROSS_JOIN_OK:
         for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
             assert op not in plan, f"{name}: unintended {op}\n{plan}"
+    n_gw = count_global_windows(plan)
+    assert n_gw <= GLOBAL_WINDOW_OK.get(name, 0), (
+        f"{name}: {n_gw} unpartitioned Window operator(s) — every input "
+        f"row funnels through ONE task; partition the window or, if the "
+        f"input is bounded by construction, whitelist it\n{plan}"
+    )
 
 
 def test_catalog_priority_tiers_are_valid():

@@ -50,6 +50,36 @@ def count_exchanges(plan: str) -> int:
     return len(ids) + raw
 
 
+def count_global_windows(plan: str) -> int:
+    """Count DISTINCT unpartitioned Window operators — ``Window
+    [exprs], [ordering]`` with no partition-spec bracket group, which
+    plans as ``Exchange SinglePartition`` + one task scanning every
+    input row.  Dedupe by normalized line text (shared subplans print
+    at every reference; Window lines carry no plan_id)."""
+    import re
+
+    seen: set[str] = set()
+    for line in plan.splitlines():
+        m = re.search(r"(?:^|- )Window (\[.*)$", line)
+        if not m:
+            continue
+        rest = m.group(1)
+        groups, depth, cur = [], 0, ""
+        for ch in rest:
+            if ch == "[":
+                depth += 1
+            if depth > 0:
+                cur += ch
+            if ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(cur)
+                    cur = ""
+        if len(groups) == 2:  # [window exprs], [ordering] — no partition
+            seen.add(rest)
+    return len(seen)
+
+
 def main() -> int:
     from tweets_spark_top_10_spark.queries import QUERIES
     from tweets_spark_top_10_spark.session import get_spark

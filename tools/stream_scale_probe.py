@@ -25,7 +25,12 @@ survive an unbounded stream:
    members plus the pair-table distinct-merge — reported per batch so
    super-linear drift is visible.
 
-Usage: python tools/stream_scale_probe.py [replicas] [batches]
+3. **Quantizer re-fit lever** (mode ``refit``): stale-quantizer vs
+   mid-stream-refit arms over the same replicated corpus — see
+   :func:`probe_semantic_refit`.
+
+Usage: python tools/stream_scale_probe.py [replicas] [batches] [mode]
+``mode`` is a comma set of {mg, sd, refit} (default ``mg,sd``).
 Prints one JSON object; paste the summary table into BASELINE.md.
 """
 
@@ -129,11 +134,29 @@ def probe_windowed_mg(spark, work: str, replicas: int, batches: int, capacity: i
     }
 
 
+def _sd_feed(spark, work: str, replicas: int):
+    """Content-disjoint x``replicas`` embedding corpus (cyclic-shift, the
+    bench protocol), shared by the fixed-quantizer and refit probes."""
+    import duckdb
+
+    src = os.path.join(BASE, "embeddings.parquet")
+    feed_path = os.path.join(work, f"sd_feed_x{replicas}.parquet")
+    if not os.path.exists(feed_path):
+        duckdb.sql(f"""
+          COPY (
+            SELECT e.vec_id + r.k * (SELECT MAX(vec_id)+1 FROM read_parquet('{src}')) AS vec_id,
+                   list_transform(
+                     e.embedding[(r.k % 64) + 1:] || e.embedding[:(r.k % 64)],
+                     x -> CAST(x AS DOUBLE)) AS vec
+            FROM read_parquet('{src}') e, (SELECT UNNEST(RANGE({replicas})) AS k) r
+          ) TO '{feed_path}' (FORMAT PARQUET)
+        """)
+    return spark.read.parquet(feed_path)
+
+
 def probe_semantic_dedup(spark, work: str, replicas: int, batches: int):
     """Replay embeddings x``replicas`` (cyclic-shift content-disjoint)
     through the semantic-dedup state maintenance."""
-    import duckdb
-
     from pyspark.sql import functions as F
 
     from tweets_spark_top_10_spark.functions.similarity import semdedup_centroids
@@ -141,18 +164,7 @@ def probe_semantic_dedup(spark, work: str, replicas: int, batches: int):
         upsert_semantic_pairs_batch,
     )
 
-    src = os.path.join(BASE, "embeddings.parquet")
-    feed_path = os.path.join(work, f"sd_feed_x{replicas}")
-    duckdb.sql(f"""
-      COPY (
-        SELECT e.vec_id + r.k * (SELECT MAX(vec_id)+1 FROM read_parquet('{src}')) AS vec_id,
-               list_transform(
-                 e.embedding[(r.k % 64) + 1:] || e.embedding[:(r.k % 64)],
-                 x -> CAST(x AS DOUBLE)) AS vec
-        FROM read_parquet('{src}') e, (SELECT UNNEST(RANGE({replicas})) AS k) r
-      ) TO '{feed_path}.parquet' (FORMAT PARQUET)
-    """)
-    vecs = spark.read.parquet(feed_path + ".parquet")
+    vecs = _sd_feed(spark, work, replicas)
     n = vecs.count()
     # offline quantizer fit over the full corpus (the fixed coarse book
     # a production deployment trains before attaching the stream)
@@ -191,6 +203,95 @@ def probe_semantic_dedup(spark, work: str, replicas: int, batches: int):
     }
 
 
+def probe_semantic_refit(spark, work: str, replicas: int, batches: int):
+    """Stale-quantizer vs mid-stream-refit arms (round-9: the re-fit
+    lever, measured).
+
+    Production reality for an unbounded stream: the coarse quantizer is
+    fit on the corpus available at stream START.  Both arms here fit it
+    on batch 0's slice only (1/``batches`` of the corpus — too few
+    cells, and later cyclic-shift replicas drift away from its
+    directions), then drain all batches:
+
+    - **stale** never re-fits: per-cell occupancy grows linearly, so
+      the batch x cell-members merge join degrades batch over batch.
+    - **refit** calls :func:`refit_semantic_state` at each corpus
+      doubling (after batches 2, 4, 8, ...), continuing with the
+      returned corpus-scaled centroids.
+
+    The claim under test: late-batch merge wall in the refit arm stays
+    near-flat while the stale arm's grows, and the total refit cost is
+    bounded (each refit is one batch-pipeline pass, amortized O(√N)
+    per vector across doublings).
+    """
+    from pyspark.sql import functions as F
+
+    from tweets_spark_top_10_spark.functions.similarity import semdedup_centroids
+    from tweets_spark_top_10_spark.streaming.semantic_dedup import (
+        refit_semantic_state,
+        upsert_semantic_pairs_batch,
+    )
+
+    vecs = _sd_feed(spark, work, replicas)
+    n = vecs.count()
+    per = (n + batches - 1) // batches
+    # Stale quantizer = fit on the ORIGINAL (replica-0) corpus slice —
+    # "the stream started when the corpus was 1/replicas of its final
+    # size".  Frozen at k₀=√N₀, per-batch merge cost grows as
+    # B·(k₀ + N/k₀) → B·N/√N₀, vs ~2B·√N with doubling refits: the
+    # separation on late batches is ~√(N/N₀)/2.
+    stale = (
+        semdedup_centroids(
+            vecs.filter(F.col("vec_id") < n // replicas),
+            cand_id="vec_id",
+            vec_col="vec",
+        )
+        .localCheckpoint(eager=True)
+    )
+    refit_after = {2**i for i in range(1, 32) if 2**i < batches}
+    arms = {}
+    for arm in ("stale", "refit"):
+        cells_path = os.path.join(work, f"sdr_cells_{arm}_x{replicas}")
+        pairs_path = os.path.join(work, f"sdr_pairs_{arm}_x{replicas}")
+        cents = stale
+        per_batch = []
+        refits = []
+        for b in range(batches):
+            batch_df = vecs.filter(
+                (F.col("vec_id") >= b * per) & (F.col("vec_id") < (b + 1) * per)
+            )
+            t0 = time.perf_counter()
+            upsert_semantic_pairs_batch(
+                spark, batch_df, cents, cells_path, pairs_path, "vec_id", "vec"
+            )
+            per_batch.append(
+                {"batch": b, "merge_s": round(time.perf_counter() - t0, 2)}
+            )
+            print(f"sd-refit[{arm}] x{replicas} batch {b}: {per_batch[-1]}", flush=True)
+            if arm == "refit" and (b + 1) in refit_after:
+                t0 = time.perf_counter()
+                cents = refit_semantic_state(spark, cells_path, pairs_path)
+                refits.append(
+                    {
+                        "after_batch": b + 1,
+                        "refit_s": round(time.perf_counter() - t0, 2),
+                        "n_cells": cents.count(),
+                    }
+                )
+                print(f"sd-refit[{arm}] refit: {refits[-1]}", flush=True)
+        walls = [r["merge_s"] for r in per_batch]
+        arms[arm] = {
+            "per_batch": per_batch,
+            "merge_s_first3_avg": round(sum(walls[:3]) / 3, 2),
+            "merge_s_last3_avg": round(sum(walls[-3:]) / 3, 2),
+            "merge_s_total": round(sum(walls), 2),
+            "refits": refits,
+            "refit_s_total": round(sum(r["refit_s"] for r in refits), 2),
+            "final_pairs": spark.read.parquet(pairs_path).count(),
+        }
+    return arms
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     batches = int(sys.argv[2]) if len(sys.argv) > 2 else 20
@@ -208,15 +309,23 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    mode = sys.argv[3] if len(sys.argv) > 3 else "mg,sd"
     results = {}
-    for tag, reps in (("1x", 1), (f"{replicas}x", replicas)):
-        results[f"windowed_mg_{tag}"] = probe_windowed_mg(
-            spark, work, reps, batches, capacity=64
-        )
-        spark.catalog.clearCache()
-    for tag, reps in (("1x", 1), (f"{replicas}x", replicas)):
-        results[f"semantic_dedup_{tag}"] = probe_semantic_dedup(
-            spark, work, reps, batches
+    if "mg" in mode:
+        for tag, reps in (("1x", 1), (f"{replicas}x", replicas)):
+            results[f"windowed_mg_{tag}"] = probe_windowed_mg(
+                spark, work, reps, batches, capacity=64
+            )
+            spark.catalog.clearCache()
+    if "sd" in mode:
+        for tag, reps in (("1x", 1), (f"{replicas}x", replicas)):
+            results[f"semantic_dedup_{tag}"] = probe_semantic_dedup(
+                spark, work, reps, batches
+            )
+            spark.catalog.clearCache()
+    if "refit" in mode:
+        results[f"semantic_refit_{replicas}x"] = probe_semantic_refit(
+            spark, work, replicas, batches
         )
         spark.catalog.clearCache()
 

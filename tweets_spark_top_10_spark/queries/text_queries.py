@@ -1380,13 +1380,14 @@ def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``doc_token_id_arrays`` (``tests/test_pipeline_ops.py::
     test_doc_token_id_arrays_match_surrogate``).
 
-    Scale notes: the rank-id window runs on the AGGREGATED vocabulary
-    (map-side-combined groupBy first), not the corpus; the encode join
-    broadcasts the vocab; per-doc arrays reassemble via
+    Scale notes: the rank-id assignment runs on the AGGREGATED
+    vocabulary (map-side-combined groupBy first), not the corpus, and
+    uses ``global_row_number`` (range-partitioned two-phase rank) so
+    even a 100M-row vocabulary never funnels through one task; the
+    encode join broadcasts the vocab (swap for a bucketed join past
+    ~1 GB of tokens); per-doc arrays reassemble via
     array_sort(collect_list(struct(pos,id))) — one shuffle keyed by
-    doc_id.  At 100 TB vocabularies, swap the rank window for hash ids
-    and the broadcast for a bucketed join; the plan shape is otherwise
-    unchanged."""
+    doc_id."""
     ids = doc_token_id_arrays(spark, sf_dir)
     return ids.select(
         "doc_id",
@@ -1410,10 +1411,19 @@ def doc_token_id_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).where(
         F.col("cnt") >= 5
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    vocab = counts.select(
-        "token", (F.row_number().over(w) - 1).cast("long").alias("id")
+    # Rank-by-frequency ids WITHOUT a single-partition window: a
+    # min_df-filtered vocabulary is still ~100M rows at 100 TB (Heaps'
+    # law), and `Window.orderBy` with no partition would sort it in ONE
+    # task.  global_row_number range-partitions on the (unique) sort
+    # key and adds per-partition offsets — identical ids, full
+    # parallelism.
+    from tweets_spark_top_10_spark.operators.scalable_rank import (
+        global_row_number,
     )
+
+    vocab = global_row_number(
+        counts, [F.desc("cnt"), F.asc("token")], out_col="id", start=0
+    ).select("token", "id")
     enc = toks.join(F.broadcast(vocab), "token", "left").select(
         "doc_id", "pos", F.coalesce(F.col("id"), F.lit(-1)).alias("tid")
     )
@@ -1750,13 +1760,17 @@ def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     reading in ``position`` order never sees a long monolingual run
     regardless of how skewed the language mix is.
 
-    No single-partition window anywhere: the per-language rank and the
-    within-slot rank are both partitioned windows (uniform keys), and
-    the dense global position is within-slot rank + a cumulative
-    offset joined from the per-slot size table — which has one row per
-    slot (= max docs in any one language), metadata-sized, so ITS
-    running sum is the only unpartitioned window and it never sees
-    data volume."""
+    No single-partition window over anything corpus-proportional: the
+    per-language rank and the within-slot rank are both partitioned
+    windows (uniform keys), and the dense global position is
+    within-slot rank + a cumulative offset joined from the per-slot
+    size table.  That table has one row per slot = MAX DOCS IN ANY ONE
+    LANGUAGE — corpus-proportional under language skew (an earlier
+    version called it metadata-sized and ran its running sum through
+    one task, and broadcast it besides), so its prefix sum runs
+    through ``global_running_sum`` (range-partitioned two-phase) and
+    joins back by slot as a plain equi-join the optimizer is free to
+    broadcast only when it actually fits."""
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
@@ -1771,20 +1785,22 @@ def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(slot_w).cast("long").alias("slot"),
         )
     )
-    # Offsets: docs in earlier slots. One row per slot; the running sum
-    # runs over slot COUNT rows, not document rows.
-    off_w = (
-        Window.orderBy("slot").rowsBetween(Window.unboundedPreceding, -1)
+    # Offsets: docs in earlier slots — an exclusive prefix sum over the
+    # per-slot size table (slot count = max docs per language, which
+    # language skew makes corpus-proportional at scale).
+    from tweets_spark_top_10_spark.operators.scalable_rank import (
+        global_running_sum,
     )
-    offsets = (
-        ranked.groupBy("slot")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("offset", F.coalesce(F.sum("n").over(off_w), F.lit(0)))
-        .select("slot", "offset")
-    )
+
+    offsets = global_running_sum(
+        ranked.groupBy("slot").agg(F.count(F.lit(1)).alias("n")),
+        ["slot"],
+        "n",
+        out_col="offset",
+    ).select("slot", "offset")
     in_slot_w = Window.partitionBy("slot").orderBy(F.asc("lang"), F.asc("doc_id"))
     return (
-        ranked.join(F.broadcast(offsets), "slot")
+        ranked.join(offsets, "slot")
         .select(
             "doc_id",
             "lang",
