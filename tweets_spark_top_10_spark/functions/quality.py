@@ -42,10 +42,13 @@ def referential_violations(
     df: DataFrame, key: str, dim: DataFrame, dim_key: str, name: str
 ) -> DataFrame:
     """Rows of ``df`` whose ``key`` has no match in ``dim[dim_key]``
-    (broadcast anti-join; NULL keys don't count — pair with a
-    not-null check if they should)."""
+    (anti-join; NULL keys don't count — pair with a not-null check if
+    they should).  No broadcast hint: this helper takes ARBITRARY
+    dimensions, and the caller's dim may scale with the corpus
+    (customer does) — the optimizer broadcasts the distinct key set
+    while it fits and shuffles past that."""
     orphans = df.where(F.col(key).isNotNull()).join(
-        F.broadcast(dim.select(dim_key).distinct()),
+        dim.select(dim_key).distinct(),
         df[key] == F.col(dim_key),
         "left_anti",
     )

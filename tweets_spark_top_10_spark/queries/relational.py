@@ -165,8 +165,15 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def regional_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join: every dimension (region/nation/customer) broadcasts;
-    only the orders→lineitem fact-fact join shuffles."""
+    """Star join with pre-aggregation pushdown: the BOUNDED dims
+    (nation: 25 rows, region: 5) broadcast by hint; customer SCALES
+    with the corpus (15M rows × SF), so it must never carry a
+    broadcast hint — a hint overrides the optimizer's size check and
+    OOMs at 100 TB where AQE would have picked a shuffle join.
+    Before meeting customer, the fact side partial-aggregates per
+    customer key (map-side combined), shrinking the join input from
+    |lineitem| to |customers|; the final (region, nation) re-aggregate
+    is 125 groups."""
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
@@ -180,14 +187,16 @@ def regional_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
         "o_custkey", "l_extendedprice", "l_discount"
     )
+    per_cust = fact.groupBy("o_custkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        F.count(F.lit(1)).alias("n"),
+    )
     return (
-        fact.join(F.broadcast(dims), fact.o_custkey == dims.c_custkey)
+        per_cust.join(dims, per_cust.o_custkey == dims.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("rev"), 4).alias("revenue"),
+            F.sum("n").alias("n_items"),
         )
     )
 
@@ -261,8 +270,12 @@ def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_anti against a filtered+distinct key set: the filter shrinks
-    the build side enough to broadcast it at any scale."""
+    """left_anti against a filtered+distinct key set.  The key set is a
+    constant FRACTION of customers (high-value orders track order
+    volume), so it scales with SF — no broadcast hint: the optimizer
+    broadcasts it while it fits and falls back to a shuffled anti-join
+    at scale (an earlier version hinted broadcast "at any scale",
+    which OOMs exactly when the data gets big)."""
     cust = load_table(spark, sf_dir, "customer")
     big = (
         load_table(spark, sf_dir, "orders")
@@ -271,7 +284,7 @@ def customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cust.join(
-        F.broadcast(big), cust.c_custkey == big.o_custkey, "left_anti"
+        big, cust.c_custkey == big.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 

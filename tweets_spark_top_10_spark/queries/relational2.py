@@ -71,13 +71,20 @@ def segment_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The sorted set is emitted as a '|'-joined string so the driver's
     pandas canonicalizer can hash it (raw array cells are unhashable).
+
+    Scale shape: distinct (custkey, priority) pairs are taken FIRST —
+    ≤5 rows per customer instead of every order — so the customer join
+    sees a bounded multiple of |customers|, and customer (which scales
+    with SF) carries no broadcast hint: the optimizer picks broadcast
+    only while it fits.
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    ord_d = orders.select("o_custkey", "o_orderpriority").distinct()
     return (
-        orders.join(
-            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
-            orders.o_custkey == F.col("c_custkey"),
+        ord_d.join(
+            cust.select("c_custkey", "c_mktsegment"),
+            ord_d.o_custkey == F.col("c_custkey"),
         )
         .groupBy("c_mktsegment")
         .agg(

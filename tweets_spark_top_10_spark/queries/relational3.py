@@ -861,9 +861,11 @@ def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative constraint audit (``functions/quality.py``): four
-    row-local checks fused into ONE aggregate pass, a broadcast
-    anti-join referential check, and a keyed uniqueness check — the
-    Deequ/dbt-test shape a 100 TB ingest gates on."""
+    row-local checks fused into ONE aggregate pass, an anti-join
+    referential check (the optimizer broadcasts the key set while it
+    fits — customer scales with SF, so no hard hint), and a keyed
+    uniqueness check — the Deequ/dbt-test shape a 100 TB ingest gates
+    on."""
     from tweets_spark_top_10_spark.functions.quality import (
         audit,
         referential_violations,
@@ -1511,12 +1513,14 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7-shaped six-table join: cross-border trade volume per
     (supplier nation, customer nation, ship year).
 
-    Join topology for scale: supplier+nation and customer+nation are
-    pre-reduced to key→nation maps and BROADCAST (both dimension-sized);
-    the only shuffle is the lineitem→orders fact-fact equi-join on
-    orderkey.  The two nation lookups use the SAME dimension table
-    twice under different aliases — Catalyst plans them as two
-    independent broadcasts, no self-join shuffle."""
+    Join topology for scale: nation (25 rows, bounded) broadcasts by
+    hint into the two key→nation maps; customer and supplier SCALE
+    with SF, so their joins against the fact carry NO broadcast hint —
+    the optimizer broadcasts them while they fit and shuffles at
+    scale (a hard-coded hint here OOMs at 100 TB).  The two nation
+    lookups use the SAME dimension table twice under different
+    aliases — Catalyst plans them as two independent broadcasts, no
+    self-join shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -1540,8 +1544,8 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
     )
     return (
-        fact.join(F.broadcast(cust_nation), fact.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(supp_nation), fact.l_suppkey == F.col("s_suppkey"))
+        fact.join(cust_nation, fact.o_custkey == F.col("c_custkey"))
+        .join(supp_nation, fact.l_suppkey == F.col("s_suppkey"))
         .where(F.col("s_nk") != F.col("c_nk"))
         .groupBy(
             "supp_nation",
@@ -1576,9 +1580,13 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-shaped returned-item report: top-20 customers by
     revenue lost to returns.  The returnflag filter pushes to the
-    lineitem scan (PushedFilters), the customer/nation dims broadcast,
-    and the ordered top-20 plans as TakeOrderedAndProject — no global
-    sort materializes."""
+    lineitem scan (PushedFilters); the fact side partial-aggregates
+    per customer key BEFORE meeting customer (map-side combine shrinks
+    the shuffle from |returned lineitems| to |customers|); nation (25
+    rows) broadcasts by hint, while customer — which scales with SF —
+    carries none, so the optimizer broadcasts it only while it fits;
+    the ordered top-20 plans as TakeOrderedAndProject — no global sort
+    materializes."""
     from tweets_spark_top_10_spark.operators.topk import top_k
 
     li = load_table(spark, sf_dir, "lineitem").where(
@@ -1593,15 +1601,14 @@ def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         "o_custkey", "l_extendedprice", "l_discount"
     )
-    agg = (
-        fact.join(F.broadcast(dims), fact.o_custkey == dims.c_custkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("lost_revenue"),
-            F.count(F.lit(1)).alias("n_returned"),
-        )
+    per_cust = fact.groupBy("o_custkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("lost_revenue"),
+        F.count(F.lit(1)).alias("n_returned"),
+    )
+    agg = per_cust.join(dims, per_cust.o_custkey == dims.c_custkey).select(
+        "c_custkey", "c_name", "n_name", "lost_revenue", "n_returned"
     )
     return top_k(agg, [F.desc("lost_revenue"), F.asc("c_custkey")], k=20)
 
