@@ -1,0 +1,113 @@
+"""operators/scalable_rank: the two-phase global rank/prefix-sum
+primitives must be VALUE-IDENTICAL to the single-partition window they
+replace, for any boundary placement the range partitioner picks."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tweets_spark_top_10_spark.operators.scalable_rank import (
+    global_row_number,
+    global_running_sum,
+)
+
+
+def _skewed_df(spark, n=10_000):
+    """Adversarial input: heavily skewed sort-key distribution (80% of
+    rows share a handful of cnt values, forcing ties to straddle range
+    boundaries) + a unique tiebreaker, arriving in hash-scrambled
+    order across many input partitions."""
+    return (
+        spark.range(n)
+        .repartition(16)
+        .select(
+            F.concat(F.lit("t"), F.col("id")).alias("token"),
+            F.when(F.col("id") % 5 != 0, F.col("id") % 3)
+            .otherwise(F.col("id") % 997)
+            .alias("cnt"),
+        )
+    )
+
+
+def test_global_row_number_matches_single_partition_window(spark):
+    df = _skewed_df(spark)
+    order = [F.desc("cnt"), F.asc("token")]
+    got = {
+        (r.token, r.rn)
+        for r in global_row_number(df, order, out_col="rn").collect()
+    }
+    want = {
+        (r.token, r.rn)
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    assert got == want
+    spark.catalog.clearCache()
+
+
+def test_global_row_number_start_offset(spark):
+    df = _skewed_df(spark, n=100)
+    ranks = sorted(
+        r.rn
+        for r in global_row_number(
+            df, [F.asc("token")], out_col="rn", start=0
+        ).collect()
+    )
+    assert ranks == list(range(100))
+    spark.catalog.clearCache()
+
+
+def test_global_running_sum_matches_single_partition_window(spark):
+    df = _skewed_df(spark, n=5_000).groupBy("cnt").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    got = {
+        (r.cnt, r.off)
+        for r in global_running_sum(
+            df, ["cnt"], "n", out_col="off"
+        ).collect()
+    }
+    w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        (r.cnt, r.off)
+        for r in df.withColumn(
+            "off", F.coalesce(F.sum("n").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == want
+    spark.catalog.clearCache()
+
+
+def test_global_running_sum_inclusive(spark):
+    df = _skewed_df(spark, n=1_000).groupBy("cnt").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rows = global_running_sum(
+        df, ["cnt"], "n", out_col="run", exclusive=False
+    ).collect()
+    total = sum(r.n for r in rows)
+    assert max(r.run for r in rows) == total
+    spark.catalog.clearCache()
+
+
+def test_no_corpus_sized_single_partition_window(spark):
+    """The plan's only unpartitioned window must be the per-partition
+    offset aggregate — detectable because it windows over __pid."""
+    from tools.record_plan_shapes import count_global_windows
+
+    df = _skewed_df(spark, n=1_000)
+    plan = (
+        global_row_number(df, [F.asc("token")], out_col="rn")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert count_global_windows(plan) == 1
+    for line in plan.splitlines():
+        if "Window" in line and "__pid" not in line:
+            raise AssertionError(
+                f"unpartitioned window not on the __pid offset table: {line}"
+            )
+    spark.catalog.clearCache()

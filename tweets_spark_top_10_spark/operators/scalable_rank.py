@@ -16,7 +16,13 @@ replace it with the standard two-phase shape:
    its own running sum is the only unpartitioned window left, over a
    few-hundred-row input bounded by the partition count — metadata,
    never data.
-3. The in-partition window is partitioned by the range-partition id.
+3. In-partition positions: :func:`global_row_number` reads them off
+   ``monotonically_increasing_id`` on the partition-sorted rows (no
+   second exchange at all); :func:`global_running_sum` needs an
+   ordered accumulation, so it windows partitioned BY the
+   range-partition id — one further fixed-width-row exchange, applied
+   only to inputs that are already aggregates (per-slot sizes), never
+   to the raw corpus.
 
 Correctness requires the sort key to be a TOTAL order (unique per
 row): ranks are then identical for ANY boundary placement the range
@@ -71,23 +77,49 @@ def global_row_number(
     start: int = 1,
 ) -> DataFrame:
     """``row_number() OVER (ORDER BY order_by)`` (1-based unless
-    ``start`` says otherwise), computed with full parallelism.
+    ``start`` says otherwise), computed with full parallelism and ONE
+    corpus exchange.
+
+    In-partition positions come from ``monotonically_increasing_id``
+    over the range-partitioned, partition-sorted rows — the DataFrame
+    ``zipWithIndex`` pattern: ``mid - min(mid per partition)`` is the
+    local index, so no ``Window.partitionBy(__pid)`` (whose required
+    clustering would re-shuffle the corpus a second time) and no
+    second sort.  This leans on mid being CONSECUTIVE within a
+    partition (a per-partition counter in Spark's implementation since
+    1.6; the API contract only promises monotonicity) — pinned by the
+    skewed-input differential in ``tests/test_scalable_rank.py``, which
+    fails loudly on any engine that breaks it.
 
     ``order_by`` must be a total order (unique per row) — see module
     docstring.  Output: ``df``'s columns plus ``out_col`` (long).
     """
-    tagged = _range_tagged(df, order_by)
-    offs = _pid_offsets(tagged, F.count(F.lit(1)))
-    w_in = Window.partitionBy("__pid").orderBy(*order_by)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    tagged = persist_tracked(
+        df.repartitionByRange(parallelism, *order_by)
+        .sortWithinPartitions(*order_by)
+        .select(
+            "*",
+            F.spark_partition_id().alias("__pid"),
+            F.monotonically_increasing_id().alias("__mid"),
+        )
+    )
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        tagged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"), F.min("__mid").alias("__base"))
+        .withColumn("__off", F.coalesce(F.sum("__n").over(w), F.lit(0)))
+        .select("__pid", "__base", "__off")
+    )
     return (
         tagged.join(F.broadcast(offs), "__pid")
         .withColumn(
             out_col,
-            (F.row_number().over(w_in) + F.col("__off") + F.lit(start - 1)).cast(
-                "long"
-            ),
+            (
+                F.col("__mid") - F.col("__base") + F.col("__off") + F.lit(start)
+            ).cast("long"),
         )
-        .drop("__pid", "__off")
+        .drop("__pid", "__mid", "__base", "__off")
     )
 
 
