@@ -1,9 +1,11 @@
 """100x flagship scale probe (round-8 verdict item 4).
 
-Replicates the documents/embeddings fixtures 100x content-disjointly
-(documents: per-replica token tagging after punctuation sanitization so
-no shingle crosses replicas; embeddings: shifted ids) and pushes the
-three queries that carry the 100 TB story through 1x vs 100x:
+Replicates the documents/embeddings/events fixtures 100x
+content-disjointly (documents: per-replica token tagging after
+punctuation sanitization so no shingle crosses replicas; embeddings:
+cyclic-shifted vectors; events: user-shifted over the same time range)
+and pushes the queries that carry the 100 TB story through 1x vs 100x
+— default set:
 
 - ``heavy_hitters_top10``  — certified two-pass top-K
 - ``pq_adc_top5_prebuilt`` — ANN serving scan over a prebuilt index
@@ -67,6 +69,21 @@ def build_fixtures(work: str, replicas: int) -> tuple[str, str]:
             FROM read_parquet('{BASE}/embeddings.parquet') e,
                  (SELECT UNNEST(RANGE({n})) AS k) r
           ) TO '{path}/embeddings.parquet' (FORMAT PARQUET)
+        """)
+        # events: content-disjoint in USER space (replica k shifts every
+        # user_id past the original range) over the SAME time range —
+        # windows/sessions per user multiply by the replica count while
+        # the window grid stays fixed, the growth axis a 100x event
+        # stream actually has
+        duckdb.sql(f"""
+          COPY (
+            SELECT e.event_id + r.k * (SELECT MAX(event_id)+1 FROM read_parquet('{BASE}/events.parquet')) AS event_id,
+                   e.ts,
+                   e.user_id + r.k * (SELECT MAX(user_id)+1 FROM read_parquet('{BASE}/events.parquet')) AS user_id,
+                   e.event_type, e.value, e.props
+            FROM read_parquet('{BASE}/events.parquet') e,
+                 (SELECT UNNEST(RANGE({n})) AS k) r
+          ) TO '{path}/events.parquet' (FORMAT PARQUET)
         """)
     return one, many
 
