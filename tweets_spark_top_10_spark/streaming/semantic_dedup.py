@@ -195,6 +195,9 @@ def refit_semantic_state(
     cells with old pairs — re-running the refit converges, because
     every derived artifact is a function of the (unchanged) stored
     vector set; the refit is idempotent by the same argument.
+    Concurrency: run BETWEEN micro-batches (e.g. between availableNow
+    drains, as the differential test does) — a merge racing the swap
+    could read a half-migrated cell table.
 
     Returns the new centroid table [(cell_id, centroid)] — pass it to
     subsequent :func:`maintain_semantic_dedup` /
