@@ -1562,8 +1562,12 @@ def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one generate (both gram orders tagged in a single explode)
     -> (doc, n, gram) count -> (doc, n) rollup -> conditional-agg
     pivot.  Two shuffles, both keyed by doc_id-prefixed keys (uniform);
-    no UDFs; scales with corpus bytes.  Docs under 3 tokens carry no
-    repetition signal and are excluded on BOTH engines."""
+    no UDFs; scales with corpus bytes.  Gram identity rides an 8-byte
+    xxhash64 key through the count shuffle (the output is fractions —
+    gram text never surfaces — and the raw-string oracle is the
+    collision tripwire, as for the dedup shingle keys).  Docs under 3
+    tokens carry no repetition signal and are excluded on BOTH
+    engines."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("arr")).where(
         F.size("arr") >= 3
@@ -1576,7 +1580,7 @@ def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.concat(tag(2, ngrams(F.col("arr"), 2)), tag(3, ngrams(F.col("arr"), 3)))
         ).alias("x"),
-    ).select("doc_id", "x.n", "x.gram")
+    ).select("doc_id", "x.n", F.xxhash64("x.gram").alias("gram"))
     counts = grams.groupBy("doc_id", "n", "gram").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -1699,18 +1703,28 @@ def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     is made of such shared spans.  High ``dup_span_frac`` docs are
     boilerplate/templates that survive document-level dedup.
 
-    Three uniform shuffles: window counts keyed by gram (map-side
-    combined), the multi-doc filter joined back on gram, the per-doc
-    rollup keyed by doc_id.  No all-pairs anything — cost is linear in
-    corpus windows; the one skew risk (a mega-common window) only fans
-    into the JOIN side, where it is a semi-join-shaped left join
-    against a deduplicated gram list."""
+    Shuffle shape: gram identity is COMPACTED to an 8-byte xxhash64 key
+    before anything shuffles (the window table's every downstream use —
+    the multi-doc count and the join back — needs only set-equality of
+    grams, the output never exposes gram text, and the raw-string
+    DuckDB oracle doubles as the collision tripwire; same argument and
+    same sign-off as the 3-gram shingle keys in ``functions/dedup``),
+    and the cached window table is pre-partitioned BY that key so the
+    count aggregate and both join sides read it colocated — ONE
+    fixed-width exchange for the whole gram stage (the 100× probe read
+    5.2 GB of raw-string shuffle before this), plus the per-doc rollup
+    keyed by doc_id.  No all-pairs anything — cost is linear in corpus
+    windows; the one skew risk (a mega-common window) only fans into
+    the JOIN side, where it is a semi-join-shaped left join against a
+    deduplicated gram list."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("arr")).where(
         F.size("arr") >= 8
     )
-    wins = toks.select(
-        "doc_id", F.explode(ngrams(F.col("arr"), 8)).alias("gram")
+    wins = (
+        toks.select("doc_id", F.explode(ngrams(F.col("arr"), 8)).alias("gram"))
+        .select("doc_id", F.xxhash64("gram").alias("gram"))
+        .repartition("gram")
     )
     wins = persist_tracked(wins)
     multi = (
