@@ -122,3 +122,22 @@ def test_minhash_rerank_builds_hash_join_on_shingles(spark, sf_dir):
     against planner-default drift."""
     plan = _plan(QUERIES["minhash_lsh_candidates"](spark, sf_dir))
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_gram_identity_shuffles_are_fixed_width(spark, sf_dir):
+    """Every gram/shingle-keyed exchange in the n-gram family must move
+    8-byte xxhash64 keys, not raw n-gram strings: the 100x probes
+    localized their only spills / multi-GB shuffle reads to raw-string
+    identity shuffles (1.17 GB shingle DF-cap read in r8;  5.2 GB
+    doc_dup_spans gram read in r9 — 6x smaller once compacted).  The
+    plan must show hashpartitioning on a LONG gram/shingle column
+    (`#<id>L`), and never a string one."""
+    import re
+
+    for name in ("doc_dup_spans", "ngram_jaccard_dup_pairs"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        keyed = re.findall(r"hashpartitioning\((?:gram|shingle)#\d+(L?)[,)]", plan)
+        assert keyed, f"{name}: no gram/shingle-keyed exchange found\n{plan}"
+        assert all(suffix == "L" for suffix in keyed), (
+            f"{name}: gram/shingle exchange carries a non-long key\n{plan}"
+        )
