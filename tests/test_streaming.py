@@ -2647,13 +2647,29 @@ def test_streaming_semantic_refit_matches_batch(spark, sf_dir, tmp_path):
     )
     assert got == want
 
-    # idempotence: re-running the refit (the crash-between-swaps
-    # recovery story) leaves the state unchanged
+    # idempotence: re-running the refit leaves the state unchanged
     refit_semantic_state(spark, cells, pairs)
     again = sorted(
         map(tuple, semantic_clusters_from_state(spark, cells, pairs).collect())
     )
     assert again == want
+
+    # crash between the two swaps: cells already migrated, pairs still
+    # the old quantizer's — restore the stale pair set into the live
+    # pairs dir and re-run; refit must converge back to the batch
+    # state, because batch-equivalence mode regenerates pairs from the
+    # cell snapshot and never reads the pair table
+    import shutil
+
+    shutil.rmtree(pairs)
+    spark.createDataFrame(
+        sorted(stale_pairs), "id_a long, id_b long"
+    ).write.mode("overwrite").parquet(pairs)
+    refit_semantic_state(spark, cells, pairs)
+    recovered = sorted(
+        map(tuple, semantic_clusters_from_state(spark, cells, pairs).collect())
+    )
+    assert recovered == want
 
 
 def test_streaming_grouped_heavy_hitters_order_independent_exactness(
