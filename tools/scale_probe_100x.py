@@ -85,6 +85,38 @@ def build_fixtures(work: str, replicas: int) -> tuple[str, str]:
                  (SELECT UNNEST(RANGE({n})) AS k) r
           ) TO '{path}/events.parquet' (FORMAT PARQUET)
         """)
+        # TPC-H facts: customer/orders/lineitem replicate with shifted
+        # keys (new customers placing new orders — both fact-fact and
+        # fact-dim join inputs grow together, the axis that stresses
+        # the un-hinted customer joins and the per-customer pre-agg);
+        # bounded dims (region/nation/supplier/part) copy at 1x, which
+        # is exactly their 100 TB behavior.
+        mc = "(SELECT MAX(c_custkey)+1 FROM read_parquet('{0}/customer.parquet'))".format(BASE)
+        mo = "(SELECT MAX(o_orderkey)+1 FROM read_parquet('{0}/orders.parquet'))".format(BASE)
+        duckdb.sql(f"""
+          COPY (
+            SELECT * REPLACE (c_custkey + r.k * {mc} AS c_custkey)
+            FROM read_parquet('{BASE}/customer.parquet'), (SELECT UNNEST(RANGE({n})) AS k) r
+          ) TO '{path}/customer.parquet' (FORMAT PARQUET)
+        """)
+        duckdb.sql(f"""
+          COPY (
+            SELECT * REPLACE (o_orderkey + r.k * {mo} AS o_orderkey,
+                              o_custkey + r.k * {mc} AS o_custkey)
+            FROM read_parquet('{BASE}/orders.parquet'), (SELECT UNNEST(RANGE({n})) AS k) r
+          ) TO '{path}/orders.parquet' (FORMAT PARQUET)
+        """)
+        duckdb.sql(f"""
+          COPY (
+            SELECT * REPLACE (l_orderkey + r.k * {mo} AS l_orderkey)
+            FROM read_parquet('{BASE}/lineitem.parquet'), (SELECT UNNEST(RANGE({n})) AS k) r
+          ) TO '{path}/lineitem.parquet' (FORMAT PARQUET)
+        """)
+        for dim in ("region", "nation", "supplier", "part"):
+            duckdb.sql(f"""
+              COPY (SELECT * FROM read_parquet('{BASE}/{dim}.parquet'))
+              TO '{path}/{dim}.parquet' (FORMAT PARQUET)
+            """)
     return one, many
 
 
