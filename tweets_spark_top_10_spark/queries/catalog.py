@@ -48,58 +48,7 @@ from tweets_spark_top_10_spark.queries.registry import ORACLE, QUERIES
 # zero fails; the r1 rows listed here are the 30 not re-checked in r2,
 # all green in r1).
 _LAST_CHECKED: dict[str, int] = {
-    # --- last driver row: round 6 ---
-    "supplier_distinct_parts": 6,
-    "part_predicates": 6,
-    "event_props_k": 6,
-    "customer_balance_ranks": 6,
-    "order_status_cube": 6,
-    "segment_priority_sets": 6,
-    "part_string_funcs": 6,
-    "props_map_access": 6,
-    "props_key_counts": 6,
-    "approx_distinct_users": 6,
-    "nation_activity_full_outer": 6,
-    "customer_order_counts_right": 6,
-    "part_lineitem_left": 6,
-    "quantity_bucket_ranges": 6,
-    "purchase_last_view_asof": 6,
-    "event_lag_lead": 6,
-    "priority_status_pivot": 6,
-    "bloom_semi_revenue": 6,
-    "orders_cdc_merge": 6,
-    "orders_quality_audit": 6,
-    "orders_snapshot_diff": 6,
-    "orders_scd2_history": 6,
-    "concurrent_part_shipments": 6,
-    "orders_pit_lookup": 6,
-    "priority_price_minmax_ivm": 6,
-    "customer_ancestry_depth_sql": 6,
-    "order_measures_unpivot": 6,
-    "nullsafe_segment_match": 6,
-    "synthetic_events_by_type": 6,
-    "doc_chunks": 6,
-    "doc_weighted_sample": 6,
-    "customer_pseudonymized_spend": 6,
-    "grouped_heavy_hitters": 6,
-    "heavy_hitters_top10": 6,
-    "hourly_heavy_hitters": 6,
-    "embedding_arrow_norms": 6,
-    "user_hourly_gapfill": 6,
-    "user_value_anomalies": 6,
-    "event_value_moments": 6,
     # --- last driver row: round 7 ---
-    "media_frame_counts": 7,
-    "media_resize_stats": 7,
-    "media_image_features": 7,
-    "ref_top10_tokens": 7,
-    "top_event_types": 7,
-    "q1_pricing_summary": 7,
-    "top_revenue_orders": 7,
-    "regional_customer_revenue": 7,
-    "top_orders_per_customer": 7,
-    "user_running_value": 7,
-    "customers_without_big_orders": 7,
     "status_priority_grouping_sets": 7,
     "quantity_percentiles": 7,
     "user_trailing_hour_value": 7,
@@ -190,6 +139,57 @@ _LAST_CHECKED: dict[str, int] = {
     "pq_adc_opq_rerank_top5": 8,
     "opq_adc_rerank_top5_prebuilt": 8,
     "dedup_keep_best_quality": 8,
+    # --- last driver row: round 9 ---
+    "media_frame_counts": 9,
+    "media_resize_stats": 9,
+    "media_image_features": 9,
+    "ref_top10_tokens": 9,
+    "top_event_types": 9,
+    "q1_pricing_summary": 9,
+    "top_revenue_orders": 9,
+    "regional_customer_revenue": 9,
+    "top_orders_per_customer": 9,
+    "user_running_value": 9,
+    "customers_without_big_orders": 9,
+    "supplier_distinct_parts": 9,
+    "part_predicates": 9,
+    "event_props_k": 9,
+    "customer_balance_ranks": 9,
+    "order_status_cube": 9,
+    "segment_priority_sets": 9,
+    "part_string_funcs": 9,
+    "props_map_access": 9,
+    "props_key_counts": 9,
+    "approx_distinct_users": 9,
+    "nation_activity_full_outer": 9,
+    "customer_order_counts_right": 9,
+    "part_lineitem_left": 9,
+    "quantity_bucket_ranges": 9,
+    "purchase_last_view_asof": 9,
+    "event_lag_lead": 9,
+    "priority_status_pivot": 9,
+    "bloom_semi_revenue": 9,
+    "orders_cdc_merge": 9,
+    "orders_quality_audit": 9,
+    "orders_snapshot_diff": 9,
+    "orders_scd2_history": 9,
+    "concurrent_part_shipments": 9,
+    "orders_pit_lookup": 9,
+    "priority_price_minmax_ivm": 9,
+    "customer_ancestry_depth_sql": 9,
+    "order_measures_unpivot": 9,
+    "nullsafe_segment_match": 9,
+    "synthetic_events_by_type": 9,
+    "doc_chunks": 9,
+    "doc_weighted_sample": 9,
+    "customer_pseudonymized_spend": 9,
+    "grouped_heavy_hitters": 9,
+    "heavy_hitters_top10": 9,
+    "hourly_heavy_hitters": 9,
+    "embedding_arrow_norms": 9,
+    "user_hourly_gapfill": 9,
+    "user_value_anomalies": 9,
+    "event_value_moments": 9,
 }
 
 
