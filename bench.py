@@ -159,16 +159,40 @@ def main() -> None:
             key=lambda n: -out["delta_s"][n],
         )
         out["regressed"] = regressed
+    note = os.environ.get("SPARK_GRAFT_BENCH_NOTE")
+    if note:
+        out["note"] = note
 
     print(json.dumps(out))
-    try:  # append AFTER printing so a full disk can't eat the result
+    # The driver's artifact capture keeps only the TAIL of stdout
+    # (~2000 chars), which truncates the full line above from the front
+    # (BENCH_r09.json landed with parsed=null).  Emit a compact summary
+    # as the LAST stdout line — small enough that the capture window
+    # always ends with one complete parseable object — and persist the
+    # full record to BENCH_FULL.json for the judge.
+    compact = {
+        k: out[k]
+        for k in (
+            "metric", "value", "unit", "sf", "cpus", "timing",
+            "clean_run", "value_stable", "regressed", "note",
+        )
+        if k in out
+    }
+    compact["queries_n"] = len(timings)
+    compact["detail"] = "per-query map in BENCH_FULL.json + BENCH_HISTORY.jsonl"
+    try:  # write AFTER printing so a full disk can't eat the result
+        with open(os.path.join(repo_dir, "BENCH_FULL.json"), "w") as fh:
+            json.dump(out, fh)
         rec = {"sf": float(sf), "total": total, "queries": timings}
+        if note:
+            rec["note"] = note
         if pq_curve:  # build/query split tracked per round (r8 item 4)
             rec["pq_curve"] = pq_curve
         with open(os.path.join(repo_dir, "BENCH_HISTORY.jsonl"), "a") as fh:
             fh.write(json.dumps(rec) + "\n")
     except OSError:
         pass
+    print(json.dumps(compact))
 
 
 def _stable_total(

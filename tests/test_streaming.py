@@ -2672,6 +2672,108 @@ def test_streaming_semantic_refit_matches_batch(spark, sf_dir, tmp_path):
     assert recovered == want
 
 
+def test_streaming_semantic_refit_stream_decided(spark, sf_dir, tmp_path):
+    """Round-10 production cadence: the STREAM decides when to re-fit.
+    ``maintain_semantic_dedup(refit_growth=2.0)`` starts from a
+    deliberately stale 4-cell quantizer (derived fitted_on = 4² = 16)
+    and drains the 500-vector corpus as 125/125/250 — the stored corpus
+    doubles at every batch boundary, so the loop must refit after each
+    batch and the LAST refit lands exactly on the full corpus: the
+    final state equals the batch semantic_dedup_keep query with zero
+    manual refit calls.  Then the durable-quantizer and crash-re-arm
+    contracts: a re-attached stream passed the stale book must continue
+    from the PERSISTED quantizer (duplicate delivery leaves the state
+    unchanged), and a simulated crash that rolled the centroid table
+    back to the stale book re-arms the trigger on the next drain."""
+    from tweets_spark_top_10_spark.functions.similarity import ivf_centroids
+    from tweets_spark_top_10_spark.queries.catalog import QUERIES
+    from tweets_spark_top_10_spark.streaming.semantic_dedup import (
+        _persist_centroids,
+        maintain_semantic_dedup,
+        semantic_clusters_from_state,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    pdf = vecs.toPandas().sort_values("vec_id").reset_index(drop=True)
+    n = len(pdf)
+    q1, q2 = n // 4, n // 2
+    src = tmp_path / "vec_stream"
+    src.mkdir()
+    pdf.iloc[:q1].to_parquet(src / "b1.parquet", index=False)
+    pdf.iloc[q1:q2].to_parquet(src / "b2.parquet", index=False)
+    pdf.iloc[q2:].to_parquet(src / "b3.parquet", index=False)
+
+    stale = ivf_centroids(vecs, "vec_id", "vec", n_cells=4, stride=29)
+    cells = str(tmp_path / "sd_cells")
+    pairs = str(tmp_path / "sd_pairs")
+    cents_path = str(tmp_path / "sd_cents")
+    stream = file_stream(spark, str(src), vecs.schema, max_files_per_trigger=1)
+    maintain_semantic_dedup(
+        stream,
+        stale,
+        cells,
+        pairs,
+        checkpoint=str(tmp_path / "sd_ckpt"),
+        refit_growth=2.0,
+        centroids_path=cents_path,
+    ).awaitTermination()
+
+    want = sorted(
+        map(tuple, QUERIES["semantic_dedup_keep"](spark, sf_dir).collect())
+    )
+    got = sorted(
+        map(tuple, semantic_clusters_from_state(spark, cells, pairs).collect())
+    )
+    assert got == want, "stream-decided refits did not converge to batch state"
+    persisted = spark.read.parquet(cents_path)
+    assert persisted.select("fitted_n").head()[0] == n, (
+        "last refit did not land on the full corpus"
+    )
+    assert persisted.count() > 4, "quantizer never re-fitted past the stale book"
+
+    # durable quantizer wins over the caller's stale argument: fresh
+    # checkpoint, same files — duplicate delivery, no state change, and
+    # fitted_n stays at n (no spurious refit: n >= 2n is false)
+    maintain_semantic_dedup(
+        file_stream(spark, str(src), vecs.schema, max_files_per_trigger=1),
+        stale,
+        cells,
+        pairs,
+        checkpoint=str(tmp_path / "sd_ckpt2"),
+        refit_growth=2.0,
+        centroids_path=cents_path,
+    ).awaitTermination()
+    again = sorted(
+        map(tuple, semantic_clusters_from_state(spark, cells, pairs).collect())
+    )
+    assert again == want
+    assert spark.read.parquet(cents_path).select("fitted_n").head()[0] == n
+
+    # crash re-arm: roll the centroid table back to the stale book
+    # (as if the crash hit after refit's state swaps but before the
+    # centroid swap — fitted_n never advanced).  The next drain sees
+    # stored n >= 2*16, re-runs the refit, and converges.
+    _persist_centroids(stale, cents_path, 16)
+    maintain_semantic_dedup(
+        file_stream(spark, str(src), vecs.schema, max_files_per_trigger=1),
+        stale,
+        cells,
+        pairs,
+        checkpoint=str(tmp_path / "sd_ckpt3"),
+        refit_growth=2.0,
+        centroids_path=cents_path,
+    ).awaitTermination()
+    recovered = sorted(
+        map(tuple, semantic_clusters_from_state(spark, cells, pairs).collect())
+    )
+    assert recovered == want
+    assert spark.read.parquet(cents_path).select("fitted_n").head()[0] == n
+
+
 def test_streaming_grouped_heavy_hitters_order_independent_exactness(
     spark, sf_dir, tmp_path
 ):

@@ -51,13 +51,22 @@ def count_exchanges(plan: str) -> int:
 
 
 def count_global_windows(plan: str) -> int:
-    """Count DISTINCT unpartitioned Window operators — ``Window
-    [exprs], [ordering]`` with no partition-spec bracket group, which
-    plans as ``Exchange SinglePartition`` + one task scanning every
-    input row.  Dedupe by normalized line text (shared subplans print
-    at every reference; Window lines carry no plan_id)."""
+    """Count DISTINCT unpartitioned Window operators, which plan as
+    ``Exchange SinglePartition`` + one task scanning every input row.
+
+    ``TreeNode.argString`` omits EMPTY argument lists, so a Window line
+    prints 1-3 bracket groups: ``[exprs], [partitionSpec], [orderSpec]``
+    with absent specs dropped.  Two groups is therefore ambiguous —
+    ``[exprs], [order]`` (unpartitioned, dangerous) vs ``[exprs],
+    [partition]`` (partitioned-unordered running agg, fine) — so the
+    second group only counts when it IS an order spec (Spark always
+    prints ``ASC/DESC NULLS FIRST/LAST`` inside one).  One group
+    (neither spec) is also a single-partition global window.  Dedupe by
+    normalized line text (shared subplans print at every reference;
+    Window lines carry no plan_id)."""
     import re
 
+    order_spec = re.compile(r"\b(?:ASC|DESC) NULLS (?:FIRST|LAST)\b")
     seen: set[str] = set()
     for line in plan.splitlines():
         m = re.search(r"(?:^|- )Window (\[.*)$", line)
@@ -75,7 +84,10 @@ def count_global_windows(plan: str) -> int:
                 if depth == 0:
                     groups.append(cur)
                     cur = ""
-        if len(groups) == 2:  # [window exprs], [ordering] — no partition
+        unpartitioned = len(groups) == 1 or (
+            len(groups) == 2 and order_spec.search(groups[1])
+        )
+        if unpartitioned:
             seen.add(rest)
     return len(seen)
 

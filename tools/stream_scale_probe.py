@@ -237,12 +237,22 @@ def probe_semantic_refit(spark, work: str, replicas: int, batches: int):
     per = (n + batches - 1) // batches
     # Stale quantizer = fit on the ORIGINAL (replica-0) corpus slice —
     # "the stream started when the corpus was 1/replicas of its final
-    # size".  Frozen at k₀=√N₀, per-batch merge cost grows as
-    # B·(k₀ + N/k₀) → B·N/√N₀, vs ~2B·√N with doubling refits: the
-    # separation on late batches is ~√(N/N₀)/2.
+    # size".  Replica k's ids are orig + k*(max_orig_id+1), so replica 0
+    # is selected BY CONSTRUCTION as vec_id <= max_orig_id (row-count
+    # arithmetic `< n // replicas` silently drifts off replica 0 when
+    # source ids are 1-based or gappy — r9 advisor finding).  Frozen at
+    # k₀=√N₀, per-batch merge cost grows as B·(k₀ + N/k₀) → B·N/√N₀, vs
+    # ~2B·√N with doubling refits: the separation on late batches is
+    # ~√(N/N₀)/2.
+    import duckdb
+
+    src = os.path.join(BASE, "embeddings.parquet")
+    max_orig_id = duckdb.sql(
+        f"SELECT MAX(vec_id) FROM read_parquet('{src}')"
+    ).fetchone()[0]
     stale = (
         semdedup_centroids(
-            vecs.filter(F.col("vec_id") < n // replicas),
+            vecs.filter(F.col("vec_id") <= max_orig_id),
             cand_id="vec_id",
             vec_col="vec",
         )

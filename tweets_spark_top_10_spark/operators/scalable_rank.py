@@ -87,9 +87,13 @@ def global_row_number(
     clustering would re-shuffle the corpus a second time) and no
     second sort.  This leans on mid being CONSECUTIVE within a
     partition (a per-partition counter in Spark's implementation since
-    1.6; the API contract only promises monotonicity) — pinned by the
-    skewed-input differential in ``tests/test_scalable_rank.py``, which
-    fails loudly on any engine that breaks it.
+    1.6; the API contract only promises monotonicity), so the contract
+    is ENFORCED in the plan itself: the per-partition offset aggregate
+    also computes ``max(__mid)`` and an ``assert_true(max - min + 1 ==
+    count)`` folded into the offset arithmetic (one row per partition —
+    metadata cost) makes any engine that batches/strides mids fail
+    loudly at first execution, everywhere, not only in the pinned
+    skewed-input differential in ``tests/test_scalable_rank.py``.
 
     ``order_by`` must be a total order (unique per row) — see module
     docstring.  Output: ``df``'s columns plus ``out_col`` (long).
@@ -105,10 +109,30 @@ def global_row_number(
         )
     )
     w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    # __off carries a zero-valued assert_true term so Catalyst cannot
+    # prune it: mids must be consecutive within each partition
+    # (max - min + 1 == count) or the local index below is wrong — fail
+    # the job, never emit wrong ranks.
+    consecutive = F.assert_true(
+        F.col("__max") - F.col("__base") + F.lit(1) == F.col("__n"),
+        F.lit(
+            "global_row_number: monotonically_increasing_id is not "
+            "consecutive within a partition; engine broke the "
+            "per-partition-counter behavior this operator leans on"
+        ),
+    )
     offs = (
         tagged.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("__n"), F.min("__mid").alias("__base"))
-        .withColumn("__off", F.coalesce(F.sum("__n").over(w), F.lit(0)))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("__mid").alias("__base"),
+            F.max("__mid").alias("__max"),
+        )
+        .withColumn(
+            "__off",
+            F.coalesce(F.sum("__n").over(w), F.lit(0))
+            + F.coalesce(consecutive.cast("long"), F.lit(0)),
+        )
         .select("__pid", "__base", "__off")
     )
     return (

@@ -1384,8 +1384,11 @@ def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary (map-side-combined groupBy first), not the corpus, and
     uses ``global_row_number`` (range-partitioned two-phase rank) so
     even a 100M-row vocabulary never funnels through one task; the
-    encode join broadcasts the vocab (swap for a bucketed join past
-    ~1 GB of tokens); per-doc arrays reassemble via
+    encode join carries NO strategy hint — AQE broadcasts while the
+    vocab fits under ``autoBroadcastJoinThreshold`` and falls back to
+    a shuffled join once a Heaps'-law vocabulary outgrows executor
+    memory (a hard hint here was the OOM-at-scale mode the round-9
+    audit removed at six other sites); per-doc arrays reassemble via
     array_sort(collect_list(struct(pos,id))) — one shuffle keyed by
     doc_id."""
     ids = doc_token_id_arrays(spark, sf_dir)
@@ -1424,7 +1427,10 @@ def doc_token_id_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = global_row_number(
         counts, [F.desc("cnt"), F.asc("token")], out_col="id", start=0
     ).select("token", "id")
-    enc = toks.join(F.broadcast(vocab), "token", "left").select(
+    # No broadcast hint: the vocab scales with the corpus (~100M rows
+    # at 100 TB per the docstring) — let AQE pick broadcast vs shuffle
+    # from the measured size instead of overriding its OOM guard.
+    enc = toks.join(vocab, "token", "left").select(
         "doc_id", "pos", F.coalesce(F.col("id"), F.lit(-1)).alias("tid")
     )
     return enc.groupBy("doc_id").agg(

@@ -127,17 +127,69 @@ def maintain_semantic_dedup(
     threshold: float = 0.3,
     n_buckets: int = 16,
     seq_col: str | None = None,
+    refit_growth: float | None = None,
+    centroids_path: str | None = None,
+    fitted_on: int | None = None,
 ):
     """Attach the semantic-dedup state maintenance to a vector stream
-    (availableNow trigger, as the other maintained indexes)."""
+    (availableNow trigger, as the other maintained indexes).
+
+    **Stream-decided quantizer re-fit** (``refit_growth``): with
+    ``refit_growth=2.0`` the loop itself invokes
+    :func:`refit_semantic_state` whenever the stored corpus has grown
+    ≥2× since the quantizer was last fitted — the production cadence
+    BASELINE.md derives (refit at every doubling amortizes to O(√N)
+    per ingested vector).  The quantizer then becomes part of the
+    DURABLE state: ``centroids_path`` (required) holds the current
+    centroid table with a ``fitted_n`` column recording the corpus
+    size it was fitted on, swapped atomically (stage → aside → live,
+    the MG protocol).  On attach, a persisted quantizer WINS over the
+    ``centroids`` argument, so a restarted stream continues with
+    whatever re-fits already happened instead of silently reverting to
+    the caller's stale book.
+
+    Crash contract: the centroid swap happens AFTER
+    :func:`refit_semantic_state`'s two state swaps, and ``fitted_n``
+    only advances with it — a crash anywhere inside the refit leaves
+    the trigger armed (stored n still ≥ growth × old fitted_n), so the
+    next drained batch re-runs the refit, which is a full rebuild from
+    the stored vectors and therefore converges regardless of which
+    swaps landed.  Merges racing nothing: foreachBatch runs batches
+    sequentially, and the refit executes inside the same callback,
+    between merges.
+
+    ``fitted_on``: corpus size the INITIAL ``centroids`` were fitted
+    on.  Default derives ``centroids.count()**2`` — the inversion of
+    the √N-cells sizing rule every quantizer here uses
+    (``scaled_cell_params``) — so a deliberately stale book (few
+    cells) triggers its first refit almost immediately, which is the
+    correct production behavior.
+    """
+    if refit_growth is not None and centroids_path is None:
+        raise ValueError("refit_growth requires centroids_path")
+
+    spark0 = stream_vecs.sparkSession
+    # Mutable closure state: [centroid DataFrame, corpus size at fit].
+    state = [centroids, fitted_on]
+    if refit_growth is not None:
+        _recover(centroids_path)
+        if os.path.exists(centroids_path):
+            persisted = spark0.read.parquet(centroids_path)
+            state[1] = persisted.select("fitted_n").head()[0]
+            state[0] = persisted.drop("fitted_n").localCheckpoint(eager=True)
+        else:
+            if state[1] is None:
+                state[1] = int(centroids.count()) ** 2
+            _persist_centroids(centroids, centroids_path, state[1])
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        spark = batch_df.sparkSession
         upsert_semantic_pairs_batch(
-            batch_df.sparkSession,
+            spark,
             batch_df,
-            centroids,
+            state[0],
             cells_path,
             pairs_path,
             id_col,
@@ -146,6 +198,23 @@ def maintain_semantic_dedup(
             n_buckets,
             seq_col,
         )
+        if refit_growth is None:
+            return
+        # metadata-only count (parquet row-group stats), never a scan
+        n = spark.read.parquet(cells_path).count()
+        if n >= refit_growth * state[1]:
+            new_cents = refit_semantic_state(
+                spark,
+                cells_path,
+                pairs_path,
+                id_col,
+                vec_col,
+                threshold,
+                n_buckets,
+            )
+            # quantizer + fitted_n advance LAST — see crash contract
+            _persist_centroids(new_cents, centroids_path, n)
+            state[0], state[1] = new_cents, n
 
     return (
         stream_vecs.writeStream.foreachBatch(merge)
@@ -153,6 +222,13 @@ def maintain_semantic_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _persist_centroids(cents: DataFrame, path: str, fitted_n: int) -> None:
+    """Atomically persist the centroid table with its ``fitted_n``
+    sizing metadata (one swap, one table — no sidecar to race)."""
+    out = cents.withColumn("fitted_n", F.lit(int(fitted_n)))
+    _swap_in(path, lambda staging: out.write.mode("overwrite").parquet(staging))
 
 
 def refit_semantic_state(
