@@ -18,11 +18,15 @@ def test_semantic_dedup_hot_cell_capped(spark, tmp_path):
     e0-direction centroid rounds to 1.0 at the 9-digit assignment
     precision — all 720 tie and the lowest cell id swallows them, the
     clustered-corpus pathology √N sizing can't prevent.  The sub-cell
-    cap must (a) actually trigger (ceil(720/cap) = 7 sub-cells, one
-    clique-cluster each — the mutual cosines also round to 1.0),
-    bounding the pair join at ~cap² per sub-cell instead of 720², and
-    (b) replay exactly in the DuckDB oracle — the cap is documented
-    semantics, not a Spark-side shortcut."""
+    cap must (a) actually trigger (ceil(720/cap) = 7 sub-cells,
+    bounding the pair join at ~cap² per sub-cell instead of 720²),
+    (b) be healed by the rep-sampling bridge (round-9 verdict item 5:
+    the per-sub-cell min-id representatives are themselves mutual
+    near-dups, so their links must merge the split clique back into
+    ONE cluster with ONE keep — dedup recall 1.0 on the hot mass,
+    where the unbridged split kept s canonicals), and (c) replay
+    exactly in the DuckDB oracle — cap and bridge are documented
+    semantics, not Spark-side shortcuts."""
     from tests.oracle_harness import compare
     from tweets_spark_top_10_spark.functions.similarity import (
         scaled_cell_params,
@@ -70,11 +74,39 @@ def test_semantic_dedup_hot_cell_capped(spark, tmp_path):
         hot = 9 * n // 10
         s = (hot + cap - 1) // cap  # sub-cells the hot cell splits into
         assert s > 1, "fixture failed to exceed the cap — not adversarial"
-        rows = {r.vec_id: r.cluster for r in df.collect()}
-        hot_clusters = {rows[i] for i in range(n) if i % 10 != 9}
-        # each sub-cell is a cosine-1 clique → exactly one cluster per
-        # sub-cell; an uncapped join would have produced ONE cluster
-        assert len(hot_clusters) == s, (hot_clusters, s, cap)
+        rows = {r.vec_id: (r.cluster, r.keep) for r in df.collect()}
+        hot_ids = [i for i in range(n) if i % 10 != 9]
+        hot_clusters = {rows[i][0] for i in hot_ids}
+        # rep-sampling bridge: the split clique merges back into ONE
+        # cluster rooted at the min hot id, with exactly one keep —
+        # the unbridged cap left s clusters / s keeps here
+        assert hot_clusters == {min(hot_ids)}, (hot_clusters, s, cap)
+        assert sum(1 for i in hot_ids if rows[i][1]) == 1
+
+        # streaming-refit parity on the SAME skewed corpus: the refit's
+        # pair regeneration must apply the identical cap + rep bridge,
+        # so state-derived clusters == the batch query
+        from tweets_spark_top_10_spark.streaming.semantic_dedup import (
+            refit_semantic_state,
+            semantic_clusters_from_state,
+        )
+
+        cells_state = str(tmp_path / "cells_state")
+        pairs_state = str(tmp_path / "pairs_state")
+        spark.read.parquet(str(tmp_path / "embeddings.parquet")).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+        ).write.parquet(cells_state)
+        refit_semantic_state(spark, cells_state, pairs_state)
+        got = sorted(
+            map(
+                tuple,
+                semantic_clusters_from_state(
+                    spark, cells_state, pairs_state
+                ).collect(),
+            )
+        )
+        assert got == sorted((i, c, k) for i, (c, k) in rows.items())
     finally:
         con.close()
         spark.catalog.clearCache()

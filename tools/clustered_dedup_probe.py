@@ -21,7 +21,19 @@ piled onto one direction:
   is emitted-edge volume, not wasted shuffle.
 
 Reports min-of-2 wall at 1x and 10x per protocol, capped vs uncapped
-hot-pair counts, and wall ratios.
+hot-pair counts, wall ratios, and — round-9 verdict item 5 — the
+RECALL cost of the cap on the hot mass, measured two ways:
+
+- ``pair_recall``: pairs the pipeline emits between hot vectors
+  (intra-sub-cell + rep-bridge links) / true ≥threshold hot pairs
+  (C(hot, 2) by construction — every hot vector is within threshold of
+  every other).  Low by design (~1/s): the cap trades pair
+  ENUMERATION for bounded work.
+- ``dedup_recall``: (hot - keeps_in_hot) / (hot - 1) from the query
+  output — the metric dedup actually ships.  The rep-sampling bridge
+  (``subcell_rep_pairs``) restores the split clique's transitive
+  closure, so this must be 1.0 (one keep) even though pair_recall
+  is ~1/s.
 
 Usage: python tools/clustered_dedup_probe.py [replicas] [hot_pct]
 """
@@ -89,6 +101,106 @@ def build(
     return out
 
 
+def hot_recall(spark, d: str, hot_pct: int, result_df) -> dict:
+    """Measured recall on the hot mass: re-run the query's own pair
+    stage (same building blocks: collapse, √N assignment, sub-cell
+    split, thresholded intra pairs, rep-bridge links) and count pairs
+    with BOTH endpoints hot; read keeps-in-hot off the query output."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from tweets_spark_top_10_spark.functions.similarity import (
+        dot,
+        ivf_assign_cells,
+        ivf_centroids,
+        l2_norm,
+        scaled_cell_params,
+        subcell_cap,
+        subcell_rep_pairs,
+        subcell_split,
+    )
+
+    src = os.path.join(d, "embeddings.parquet")
+    max_base = duckdb.sql(
+        f"SELECT MAX(vec_id % (SELECT MAX(vec_id)+1 FROM read_parquet('{os.path.join(BASE, 'embeddings.parquet')}'))) FROM read_parquet('{src}')"
+    ).fetchone()[0]
+    base_mod = duckdb.sql(
+        f"SELECT MAX(vec_id)+1 FROM read_parquet('{os.path.join(BASE, 'embeddings.parquet')}')"
+    ).fetchone()[0]
+
+    def is_hot(col):
+        return (col % base_mod) % 100 < hot_pct
+
+    vecs = spark.read.parquet(src).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    # exact-dup collapse (the query's prepass): reps only enter pairing
+    fp = F.xxhash64("vec").alias("__fp")
+    reps = vecs.select(fp, "vec_id").groupBy("__fp").agg(F.min("vec_id").alias("rep"))
+    rep_vecs = (
+        vecs.select("vec_id", fp)
+        .join(reps, "__fp")
+        .filter(F.col("vec_id") == F.col("rep"))
+        .join(vecs, "vec_id")
+        .select("vec_id", "vec")
+    )
+    n = vecs.count()
+    n_cells, stride = scaled_cell_params(n)
+    cap = subcell_cap(n, n_cells)
+    cents = ivf_centroids(vecs, "vec_id", "vec", n_cells, stride)
+    assigned = ivf_assign_cells(
+        rep_vecs.repartition(spark.sparkContext.defaultParallelism),
+        cents,
+        "vec_id",
+        vec_col="vec",
+        n_probe=1,
+    )
+    cells = subcell_split(assigned, "vec_id", cap).repartition(
+        spark.sparkContext.defaultParallelism, "cell_id", "sub_cell"
+    ).persist()
+    a = cells.select(
+        "cell_id", "sub_cell", F.col("vec_id").alias("id_a"),
+        F.col("vec").alias("va"), l2_norm(F.col("vec")).alias("na"),
+    )
+    b = cells.select(
+        "cell_id", "sub_cell", F.col("vec_id").alias("id_b"),
+        F.col("vec").alias("vb"), l2_norm(F.col("vec")).alias("nb"),
+    )
+    intra = (
+        a.join(b, ["cell_id", "sub_cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "__cos",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("__cos") >= 0.3)
+        .select("id_a", "id_b")
+    )
+    bridge = subcell_rep_pairs(cells, "vec_id", "vec", threshold=0.3)
+    emitted = (
+        intra.unionByName(bridge)
+        .filter(is_hot(F.col("id_a")) & is_hot(F.col("id_b")))
+        .count()
+    )
+    cells.unpersist()
+    hot_n = vecs.filter(is_hot(F.col("vec_id"))).count()
+    true_pairs = math.comb(hot_n, 2)
+    keeps = result_df.filter(
+        is_hot(F.col("vec_id")) & F.col("keep")
+    ).count()
+    return {
+        "hot_n": hot_n,
+        "hot_pairs_emitted": emitted,
+        "hot_true_pairs": true_pairs,
+        "pair_recall": round(emitted / true_pairs, 6) if true_pairs else None,
+        "keeps_in_hot": keeps,
+        "dedup_recall": round((hot_n - keeps) / (hot_n - 1), 6)
+        if hot_n > 1
+        else None,
+    }
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     hot_pct = int(sys.argv[2]) if len(sys.argv) > 2 else 90
@@ -145,6 +257,10 @@ def main() -> None:
                 "capped_hot_pairs_approx": capped_pairs,
                 "uncapped_hot_pairs": math.comb(hot, 2),
             }
+            if tag != "1x":  # recall cost of the cap, measured at scale
+                results[f"{mode}_{tag}"]["hot_recall"] = hot_recall(
+                    spark, d, hot_pct, fn(spark, d)
+                )
             print(f"{mode} {tag}: {results[f'{mode}_{tag}']}", flush=True)
             spark.catalog.clearCache()
         tags = list(walls)

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Round-close checklist in one command: fold the newest driver
+CORRECTNESS artifact into the catalog rotation, stage every driver
+artifact, and commit — so a round never again ends with an
+uncommitted working tree (the round-8 AND round-9 verdicts both
+flagged exactly this leak).
+
+Usage (last thing before the round ends, or first thing after the
+driver writes its artifacts)::
+
+    python tools/round_close.py            # fold + stage + commit
+    python tools/round_close.py --dry-run  # show what would happen
+
+The commit is skipped when nothing is staged (idempotent).  The
+commit message lists which artifacts landed.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+ARTIFACTS = [
+    "BENCH_HISTORY.jsonl",
+    "BENCH_FULL.json",
+    "tweets_spark_top_10_spark/queries/catalog.py",  # autofold target
+]
+GLOBS = ["BENCH_r*.json", "CORRECTNESS_r*.json"]
+
+
+def _run(cmd: list[str], dry: bool) -> str:
+    if dry:
+        print(f"DRY: {' '.join(cmd)}")
+        return ""
+    out = subprocess.run(
+        cmd, cwd=REPO, capture_output=True, text=True, check=False
+    )
+    if out.returncode not in (0, 1):  # git diff --cached exits 1 on diffs
+        print(out.stderr, file=sys.stderr)
+        raise SystemExit(out.returncode)
+    return out.stdout
+
+
+def main(argv: list[str]) -> int:
+    dry = "--dry-run" in argv
+    # 1. fold the newest driver artifact into the rotation tables
+    fold = subprocess.run(
+        [sys.executable, "tools/update_check_history.py"]
+        + (["--check"] if dry else []),
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=False,
+    )
+    print(fold.stdout.strip())
+    # 2. stage driver artifacts (explicit names; never add -A)
+    paths = [p for p in ARTIFACTS if (REPO / p).exists()]
+    for g in GLOBS:
+        paths.extend(
+            str(p.relative_to(REPO)) for p in sorted(REPO.glob(g))
+        )
+    _run(["git", "add", "--"] + paths, dry)
+    # 3. commit iff something is staged
+    staged = _run(["git", "diff", "--cached", "--name-only"], dry).strip()
+    if not staged:
+        print("nothing staged; working tree already captures the round")
+        return 0
+    names = ", ".join(sorted(staged.splitlines()))
+    _run(
+        [
+            "git",
+            "commit",
+            "-m",
+            f"Record round-close driver artifacts\n\nStaged: {names}",
+        ],
+        dry,
+    )
+    print(f"committed: {names}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -708,6 +708,71 @@ def blocked_components(
     )
 
 
+def bridged_components(
+    pairs: DataFrame,
+    bridges: DataFrame,
+    block_cols: list[str],
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Connected components over (block-local ``pairs``) ∪ (sparse
+    ``bridges`` that MAY cross blocks) — the split-cell semantic-dedup
+    case, where the bulk edge set partitions by (cell, sub_cell) but
+    rep-sampling links (``subcell_rep_pairs``) bridge sub-cells.
+
+    Two-level contraction: the bulk resolves with the one-stage
+    block-local union-find (:func:`blocked_components`), then each
+    bridge endpoint is re-labeled to its block-component id and the
+    global star contraction (:func:`connected_components`) runs over
+    the CONTRACTED bridge graph only — ≤ one node per (cell,
+    sub_cell), ~1.25·√N corpus-wide, never the corpus.  Because every
+    block label is the min id of its block component, the min-id label
+    of a merged group equals the min over all member nodes: identical
+    (node, component) output to running the global contraction over
+    the full edge union, at a fraction of the iterative-stage input.
+
+    Output: (node, component) for nodes appearing in ``pairs`` or
+    ``bridges``.
+    """
+    # The block-local pass is referenced FOUR times below (endpoint
+    # labeling, both sides of the label-edge build via `labels`, the
+    # node inventory) and its input is the expensive capped pair join —
+    # unpersisted, the union-find re-evaluated per reference (measured
+    # 6.3 → 34 s on the clustered 10× probe before this cache).
+    comp1 = persist_tracked(blocked_components(pairs, block_cols, src, dst))
+    ends = (
+        bridges.select(F.col(src).alias("node"))
+        .unionByName(bridges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    # bridge endpoint -> block-component label (itself when isolated
+    # within its sub-cell)
+    labels = ends.join(comp1, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("label")
+    )
+    label_edges = (
+        bridges.join(
+            labels.select(F.col("node").alias(src), F.col("label").alias("__la")),
+            src,
+        )
+        .join(
+            labels.select(F.col("node").alias(dst), F.col("label").alias("__lb")),
+            dst,
+        )
+        .select(F.col("__la").alias(src), F.col("__lb").alias(dst))
+        .filter(F.col(src) != F.col(dst))
+    )
+    label_comp = connected_components(label_edges, src, dst).select(
+        F.col("node").alias("__label"), F.col("component").alias("__final")
+    )
+    node_labels = comp1.unionByName(
+        labels.select("node", F.col("label").alias("component"))
+    ).distinct()
+    return node_labels.join(
+        label_comp, node_labels["component"] == label_comp["__label"], "left"
+    ).select("node", F.coalesce("__final", "component").alias("component"))
+
+
 def simhash64(
     df: DataFrame,
     text_col: str = "text",

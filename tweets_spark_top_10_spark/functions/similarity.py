@@ -228,6 +228,70 @@ def subcell_split(
     )
 
 
+def subcell_rep_pairs(
+    cells: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    threshold: float = 0.3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Rep-sampling bridge for split cells: the sub-cell cap
+    (:func:`subcell_split`) deliberately drops cross-sub-cell pairs
+    inside a hot cell — bounded work, but a tight cluster split into s
+    sub-cells would surface as s components (s-1 spurious keeps).
+    Linking one REPRESENTATIVE per (cell, sub_cell) — the min id, the
+    same canonical the keep-decision uses — restores the cluster's
+    transitive closure whenever the representatives themselves are
+    near-dups (they are, for the hot-pile case the cap exists for:
+    every member of the pile is within threshold of every other).
+
+    Scale shape: the rep table has ONE row per (cell, sub_cell) — at
+    most n_cells + N/cap ≈ 1.25·√N rows corpus-wide — and the rep
+    self-join is an equi-join on cell_id, so even the pathological
+    all-one-cell corpus evaluates C(s, 2) ≈ N/32 rep pairs, never a
+    corpus-sized product.  Unsplit cells (sub_cell = 0 everywhere)
+    contribute zero rows by the ``sub_a < sub_b`` condition.
+    Deterministic end to end (min-id reps, rounded cosine), so the
+    DuckDB oracle replays it exactly.
+
+    Output: (id_a, id_b) with id_a < id_b, cosine ≥ ``threshold``.
+    """
+    reps = cells.groupBy("cell_id", "sub_cell").agg(
+        F.min(id_col).alias("rep_id"),
+        F.min_by(vec_col, F.col(id_col)).alias("__v"),
+    )
+    a = reps.select(
+        "cell_id",
+        F.col("sub_cell").alias("__sa"),
+        F.col("rep_id").alias("id_a"),
+        F.col("__v").alias("va"),
+        l2_norm(F.col("__v")).alias("na"),
+    )
+    b = reps.select(
+        "cell_id",
+        F.col("sub_cell").alias("__sb"),
+        F.col("rep_id").alias("id_b"),
+        F.col("__v").alias("vb"),
+        l2_norm(F.col("__v")).alias("nb"),
+    )
+    return (
+        a.join(b, "cell_id")
+        .filter(F.col("__sa") < F.col("__sb"))
+        .withColumn(
+            "__cos",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                round_digits,
+            ),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+
+
 def semdedup_centroids(
     vectors: DataFrame, cand_id: str = "vec_id", vec_col: str = "vec"
 ) -> DataFrame:

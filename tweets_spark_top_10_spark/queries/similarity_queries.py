@@ -1316,10 +1316,32 @@ def opq_adc_rerank_top5_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.cell_id = b.cell_id AND a.sub_cell = b.sub_cell
        AND a.vec_id < b.vec_id
       WHERE {_COS.format(a='a.vec', b='b.vec', d=6)} >= 0.3
+    ), subreps AS (
+      -- rep-sampling bridge: the sub-cell cap drops cross-sub-cell
+      -- pairs inside a split cell; linking the per-sub-cell
+      -- representative (min id) restores the cluster's transitive
+      -- closure.  No-op on unsplit cells (single sub-cell).
+      SELECT cell_id, sub_cell, MIN(vec_id) AS rep_id
+      FROM subcells GROUP BY cell_id, sub_cell
+    ), repv AS (
+      SELECT r.cell_id, r.sub_cell, r.rep_id, s.vec
+      FROM subreps r JOIN subcells s
+        ON s.cell_id = r.cell_id AND s.sub_cell = r.sub_cell
+       AND s.vec_id = r.rep_id
+    ), rep_pairs AS (
+      SELECT LEAST(a.rep_id, b.rep_id) AS id_a,
+             GREATEST(a.rep_id, b.rep_id) AS id_b
+      FROM repv a JOIN repv b
+        ON a.cell_id = b.cell_id AND a.sub_cell < b.sub_cell
+      WHERE {_COS.format(a='a.vec', b='b.vec', d=6)} >= 0.3
     ), edges AS (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION
       SELECT id_b, id_a FROM pairs
+      UNION
+      SELECT id_a, id_b FROM rep_pairs
+      UNION
+      SELECT id_b, id_a FROM rep_pairs
     ), walk AS (
       WITH RECURSIVE w(n, m) AS (
         SELECT a, a FROM edges
@@ -1353,18 +1375,30 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict's flagged skew hole), and the grouping exploits that
     blocked pairs partition the graph: components resolve with a
     block-local union-find in ONE stage (``blocked_components``)
-    instead of an iterative global contraction.  Every stage is
+    instead of an iterative global contraction.  When a cell actually
+    split (detected with one metadata-sized aggregate on the persisted
+    assignment — balanced corpora keep the exact unsplit plan), the
+    dropped cross-sub-cell pairs are bridged by rep-sampling
+    (``subcell_rep_pairs``: per-sub-cell min-id representatives linked
+    within the cell, O(s²) per cell not O(c²)) and the components run
+    two-level (``bridged_components``: block-local union-find + star
+    contraction over the ~√N contracted bridge graph) — a split hot
+    cluster keeps ONE canonical instead of s.  Every stage is
     deterministic (strided centroids, rounded cosines, id tie-breaks,
     integer cap math), so the whole pipeline — including the
-    transitive closure, the √N quantizer sizing AND the skew cap —
-    replays in the DuckDB oracle."""
-    from tweets_spark_top_10_spark.functions.dedup import blocked_components
+    transitive closure, the √N quantizer sizing, the skew cap AND the
+    rep bridge — replays in the DuckDB oracle."""
+    from tweets_spark_top_10_spark.functions.dedup import (
+        blocked_components,
+        bridged_components,
+    )
     from tweets_spark_top_10_spark.functions.similarity import (
         dot,
         ivf_assign_cells,
         ivf_centroids,
         scaled_cell_params,
         subcell_cap,
+        subcell_rep_pairs,
         subcell_split,
     )
 
@@ -1458,8 +1492,22 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs cannot cross (cell, sub_cell) blocks — components resolve
     # block-locally in ONE stage (and the pair plan is already
     # partitioned by the block key, so the grouped map adds no shuffle)
-    # instead of the iterative global star contraction
-    comp = blocked_components(pairs, ["cell_id", "sub_cell"])
+    # instead of the iterative global star contraction.  One
+    # metadata-sized action on the persisted assignment (n_cells rows)
+    # decides whether any cell split: if none did, sub_cell = 0
+    # everywhere, the rep bridge is provably empty, and the plan stays
+    # EXACTLY the unsplit one — balanced corpora pay nothing.
+    max_cell = (
+        assigned.groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.max("__c"))
+        .first()[0]
+    )
+    if max_cell is not None and max_cell > cap:
+        rep_pairs = subcell_rep_pairs(cells, "vec_id", "vec", threshold=0.3)
+        comp = bridged_components(pairs, rep_pairs, ["cell_id", "sub_cell"])
+    else:
+        comp = blocked_components(pairs, ["cell_id", "sub_cell"])
     cluster = F.coalesce("component", "rep")
     return (
         member_map.join(comp, member_map["rep"] == comp["node"], "left")

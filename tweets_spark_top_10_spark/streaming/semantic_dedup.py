@@ -256,7 +256,9 @@ def refit_semantic_state(
     (``scaled_cell_params``; identical float64 sizing op), and the
     pair table is REGENERATED as all intra-cell pairs ≥ ``threshold``
     over the stored vectors (sub-cell-capped like the batch query, so
-    a pathological hot cell stays bounded).  With the default
+    a pathological hot cell stays bounded, plus the same
+    ``subcell_rep_pairs`` bridge so a split cell's cluster keeps one
+    canonical).  With the default
     ``keep_legacy_pairs=False`` the post-refit state is byte-identical
     to what a batch run over the stored corpus would produce — the
     strongest reproducibility contract, pinned by
@@ -347,6 +349,17 @@ def refit_semantic_state(
         .select("id_a", "id_b")
         .distinct()
     )
+    # Rep-sampling bridge, exactly the batch query's: a split cell's
+    # dropped cross-sub-cell pairs are represented by min-id rep links
+    # (empty whenever no cell split, so this stays byte-identical to
+    # the batch pipeline on balanced corpora too).
+    from tweets_spark_top_10_spark.functions.similarity import (
+        subcell_rep_pairs,
+    )
+
+    new_pairs = new_pairs.unionByName(
+        subcell_rep_pairs(cells, id_col, vec_col, threshold=threshold)
+    ).distinct()
     if keep_legacy_pairs and os.path.exists(pairs_path):
         new_pairs = (
             spark.read.parquet(pairs_path).unionByName(new_pairs).distinct()
