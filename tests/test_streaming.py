@@ -2774,6 +2774,88 @@ def test_streaming_semantic_refit_stream_decided(spark, sf_dir, tmp_path):
     assert spark.read.parquet(cents_path).select("fitted_n").head()[0] == n
 
 
+def test_streaming_skewed_merge_coarsens_then_converges(spark, tmp_path):
+    """Skewed-corpus contract for the INCREMENTAL merge path: between
+    refits the per-batch merge emits all intra-cell pairs (uncapped —
+    per-batch work is bounded by the batch side, not the cell), a
+    SUPERSET of the batch pipeline's capped+bridged pair set, so
+    stream-derived clusters may only COARSEN the batch answer (every
+    batch-merged group lands inside ONE stream group; dedup evidence is
+    never lost).  A refit then regenerates the exact batch state.
+    Fixture: the test_skew adversarial corpus — 90% of 800 vectors
+    near-identical on one direction, forcing the batch cap+bridge path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tweets_spark_top_10_spark.functions.similarity import (
+        semdedup_centroids,
+    )
+    from tweets_spark_top_10_spark.queries.catalog import QUERIES
+    from tweets_spark_top_10_spark.streaming.semantic_dedup import (
+        refit_semantic_state,
+        semantic_clusters_from_state,
+        upsert_semantic_pairs_batch,
+    )
+
+    n, dim = 800, 8
+
+    def emb(i: int) -> list[float]:
+        if i % 10 != 9:
+            return [1.0, (i + 1) * 2e-8] + [0.0] * (dim - 2)
+        j = 1 + (i // 10) % (dim - 1)
+        return [0.0] * j + [1.0] + [0.0] * (dim - 1 - j)
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "label": pa.array([i % 5 for i in range(n)], pa.int32()),
+                "embedding": pa.array(
+                    [emb(i) for i in range(n)], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    want_rows = QUERIES["semantic_dedup_keep"](spark, str(tmp_path)).collect()
+    want_cluster = {r.vec_id: r.cluster for r in want_rows}
+
+    vecs = spark.read.parquet(str(tmp_path / "embeddings.parquet")).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    cents = semdedup_centroids(vecs, cand_id="vec_id", vec_col="vec")
+    cells = str(tmp_path / "cells")
+    pairs = str(tmp_path / "pairs")
+    for lo, hi in ((0, n // 2), (n // 2, n)):
+        upsert_semantic_pairs_batch(
+            spark,
+            vecs.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            cents,
+            cells,
+            pairs,
+        )
+    got_cluster = {
+        r.vec_id: r.cluster
+        for r in semantic_clusters_from_state(spark, cells, pairs).collect()
+    }
+    # coarsening: every batch cluster maps into exactly one stream cluster
+    seen: dict[int, int] = {}
+    for vid, bc in want_cluster.items():
+        sc = got_cluster[vid]
+        assert seen.setdefault(bc, sc) == sc, (
+            f"batch cluster {bc} split across stream clusters "
+            f"{seen[bc]} and {sc} — incremental merge LOST evidence"
+        )
+
+    # convergence: a refit regenerates the exact batch state
+    refit_semantic_state(spark, cells, pairs)
+    got = sorted(
+        map(tuple, semantic_clusters_from_state(spark, cells, pairs).collect())
+    )
+    assert got == sorted(map(tuple, want_rows))
+
+
 def test_streaming_grouped_heavy_hitters_order_independent_exactness(
     spark, sf_dir, tmp_path
 ):

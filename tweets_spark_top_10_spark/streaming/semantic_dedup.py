@@ -23,6 +23,17 @@ vector are not retracted, matching how production dedup treats
 immutable content-addressed documents.  Full retraction needs the
 batch pipeline.
 
+Skewed-corpus contract: the incremental merge emits ALL intra-cell
+pairs (no sub-cell cap — each micro-batch joins only batch × stored,
+so per-batch work is bounded by the batch, not the cell), which is a
+SUPERSET of the batch pipeline's capped-plus-bridged pair set.  So
+between refits, stream-derived clusters can only COARSEN the batch
+answer (dedup evidence is never lost — every batch-merged group is
+contained in one stream group), and each
+:func:`refit_semantic_state` regenerates the exact batch state
+(cap + rep bridge included).  Pinned by
+``test_streaming_skewed_merge_coarsens_then_converges``.
+
 Cites: reference has no streaming analog (its speed layer,
 App.java:159-178, is commented out); this is engine-only capability.
 """
