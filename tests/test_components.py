@@ -54,3 +54,75 @@ def test_cc_deep_chain_converges_in_log_rounds(spark):
         f"deep chain took {dd._last_cc_rounds} rounds — lost the "
         "logarithmic contraction (label propagation would need ~512)"
     )
+
+
+def test_bridged_components_matches_global_cc_on_union(spark):
+    """bridged_components == connected_components over (pairs ∪ bridges)
+    on a hand-built graph exercising every edge class: multi-node block
+    components, single-edge blocks, an isolated bridge endpoint (a rep
+    with NO intra-sub-cell pair), a bridge chaining THREE blocks, and a
+    block untouched by any bridge."""
+    from tweets_spark_top_10_spark.functions.dedup import (
+        bridged_components,
+        connected_components,
+    )
+
+    # blocks keyed by (cell, sub): edges never cross a block
+    pairs = [
+        # cell 1, sub 0: component {1,2,3}
+        (1, 0, 1, 2),
+        (1, 0, 2, 3),
+        # cell 1, sub 1: component {10,11}
+        (1, 1, 10, 11),
+        # cell 1, sub 2: node 20 pairs with 21
+        (1, 2, 20, 21),
+        # cell 2, sub 0: component {50,51} — no bridge touches cell 2
+        (2, 0, 50, 51),
+    ]
+    # bridges may cross sub-cells within a cell; 30 is an ISOLATED rep
+    # (appears in no intra pair at all)
+    bridges = [(1, 10), (10, 20), (20, 30)]
+
+    pdf = spark.createDataFrame(
+        pairs, "cell_id int, sub_cell int, id_a long, id_b long"
+    )
+    bdf = spark.createDataFrame(bridges, "id_a long, id_b long")
+    got = {
+        (r.node, r.component)
+        for r in bridged_components(pdf, bdf, ["cell_id", "sub_cell"]).collect()
+    }
+    want = {
+        (r.node, r.component)
+        for r in connected_components(
+            pdf.select("id_a", "id_b").unionByName(bdf)
+        ).collect()
+    }
+    assert got == want
+    # the bridged chain collapses to ONE component rooted at the global
+    # min (1); cell 2 stays its own component
+    assert {c for n, c in got if n in (1, 2, 3, 10, 11, 20, 21, 30)} == {1}
+    assert {c for n, c in got if n in (50, 51)} == {50}
+
+
+def test_bridged_components_empty_bridges_degenerates_to_blocked(spark):
+    """With zero bridge edges the output must equal the plain
+    block-local union-find — the balanced-corpus degenerate case."""
+    from tweets_spark_top_10_spark.functions.dedup import (
+        blocked_components,
+        bridged_components,
+    )
+
+    pairs = [(1, 0, 1, 2), (1, 1, 7, 8), (2, 0, 3, 4)]
+    pdf = spark.createDataFrame(
+        pairs, "cell_id int, sub_cell int, id_a long, id_b long"
+    )
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        (r.node, r.component)
+        for r in bridged_components(pdf, empty, ["cell_id", "sub_cell"]).collect()
+    }
+    want = {
+        (r.node, r.component)
+        for r in blocked_components(pdf, ["cell_id", "sub_cell"]).collect()
+    }
+    assert got == want == {(1, 1), (2, 1), (7, 7), (8, 7), (3, 3), (4, 3)}
