@@ -174,10 +174,15 @@ def main() -> None:
         k: out[k]
         for k in (
             "metric", "value", "unit", "sf", "cpus", "timing",
-            "clean_run", "value_stable", "regressed", "note",
+            "clean_run", "value_stable", "note",
         )
         if k in out
     }
+    if "regressed" in out:
+        # keep the compact line inside the ~2000-char capture window
+        # even on a catastrophic run: first 10 names + the full count
+        compact["regressed_n"] = len(out["regressed"])
+        compact["regressed"] = out["regressed"][:10]
     compact["queries_n"] = len(timings)
     compact["detail"] = "per-query map in BENCH_FULL.json + BENCH_HISTORY.jsonl"
     try:  # write AFTER printing so a full disk can't eat the result

@@ -122,9 +122,8 @@ def hot_recall(spark, d: str, hot_pct: int, result_df) -> dict:
     )
 
     src = os.path.join(d, "embeddings.parquet")
-    max_base = duckdb.sql(
-        f"SELECT MAX(vec_id % (SELECT MAX(vec_id)+1 FROM read_parquet('{os.path.join(BASE, 'embeddings.parquet')}'))) FROM read_parquet('{src}')"
-    ).fetchone()[0]
+    # replica k's ids are orig + k*(max_orig+1), so nid % base_mod
+    # recovers the original id — hot iff the ORIGINAL id was hot
     base_mod = duckdb.sql(
         f"SELECT MAX(vec_id)+1 FROM read_parquet('{os.path.join(BASE, 'embeddings.parquet')}')"
     ).fetchone()[0]

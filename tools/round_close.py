@@ -31,14 +31,14 @@ ARTIFACTS = [
 GLOBS = ["BENCH_r*.json", "CORRECTNESS_r*.json"]
 
 
-def _run(cmd: list[str], dry: bool) -> str:
+def _run(cmd: list[str], dry: bool, ok_codes: tuple[int, ...] = (0,)) -> str:
     if dry:
         print(f"DRY: {' '.join(cmd)}")
         return ""
     out = subprocess.run(
         cmd, cwd=REPO, capture_output=True, text=True, check=False
     )
-    if out.returncode not in (0, 1):  # git diff --cached exits 1 on diffs
+    if out.returncode not in ok_codes:
         print(out.stderr, file=sys.stderr)
         raise SystemExit(out.returncode)
     return out.stdout
@@ -63,8 +63,10 @@ def main(argv: list[str]) -> int:
             str(p.relative_to(REPO)) for p in sorted(REPO.glob(g))
         )
     _run(["git", "add", "--"] + paths, dry)
-    # 3. commit iff something is staged
-    staged = _run(["git", "diff", "--cached", "--name-only"], dry).strip()
+    # 3. commit iff something is staged (diff --cached exits 1 on diffs)
+    staged = _run(
+        ["git", "diff", "--cached", "--name-only"], dry, ok_codes=(0, 1)
+    ).strip()
     if not staged:
         print("nothing staged; working tree already captures the round")
         return 0
