@@ -48,53 +48,7 @@ from tweets_spark_top_10_spark.queries.registry import ORACLE, QUERIES
 # zero fails; the r1 rows listed here are the 30 not re-checked in r2,
 # all green in r1).
 _LAST_CHECKED: dict[str, int] = {
-    # --- last driver row: round 7 ---
-    "status_priority_grouping_sets": 7,
-    "quantity_percentiles": 7,
-    "user_trailing_hour_value": 7,
-    "orders_profile": 7,
-    "deterministic_sample_stats": 7,
-    "customer_priority_lists": 7,
-    "embedding_norms": 7,
-    "knn_cosine_top5": 7,
-    "label_centroids": 7,
-    "embedding_near_dup_pairs": 7,
-    "ivf_knn_top5": 7,
-    "lsh_knn_top5": 7,
-    "dedup_exact_docs": 7,
-    "doc_token_stats": 7,
-    "doc_stopword_ratio": 7,
-    "simhash_near_dups": 7,
-    "urgent_vs_customer_avg_sql": 7,
-    "priority_revenue_ivm": 7,
-    "doc_token_ids": 7,
-    "nation_pair_trade_volume": 7,
-    "returned_item_losses": 7,
-    "user_conversion_funnel": 7,
-    "user_hourly_ohlc": 7,
-    "user_value_trend": 7,
-    "doc_feature_hashing": 7,
-    "event_value_winsorized": 7,
-    "pq_adc_top5_prebuilt": 7,
-    "opq_adc_top5_prebuilt": 7,
-    "semantic_dedup_keep": 7,
-    "ivfpq_adc_top5_prebuilt": 7,
-    "doc_gopher_repetition": 7,
-    "lang_token_budget_sample": 7,
-    "doc_dup_spans": 7,
-    "curriculum_interleave": 7,
-    "lang_mixture_weights": 7,
-    "doc_length_batches": 7,
-    "doc_quality_tiers": 7,
-    "label_centroids_arrow": 7,
-    "nation_balance_drift_ks": 7,
     # --- last driver row: round 8 ---
-    "late_shipping_priority": 8,
-    "nations_cust_and_supp": 8,
-    "urgent_only_customers": 8,
-    "lineitem_rollup": 8,
-    "monthly_revenue": 8,
-    "segment_order_stats": 8,
     "embedding_quantize_int8": 8,
     "doc_fingerprints": 8,
     "doc_split_assignment": 8,
@@ -119,7 +73,6 @@ _LAST_CHECKED: dict[str, int] = {
     "simhash_invariants": 8,
     "minhash_lsh_candidates": 8,
     "customer_balance_distribution": 8,
-    "approx_quantile_gate": 8,
     "dedup_canonical_docs": 8,
     "ivfpq_adc_top5": 8,
     "pq_adc_lloyd_top5": 8,
@@ -132,10 +85,6 @@ _LAST_CHECKED: dict[str, int] = {
     "doc_contamination": 8,
     "doc_pack_bins": 8,
     "part_name_fuzzy_pairs": 8,
-    "nation_trade_pagerank": 8,
-    "metrics_order_summary": 8,
-    "metrics_event_by_type": 8,
-    "media_audio_stats": 8,
     "pq_adc_opq_rerank_top5": 8,
     "opq_adc_rerank_top5_prebuilt": 8,
     "dedup_keep_best_quality": 8,
@@ -190,6 +139,57 @@ _LAST_CHECKED: dict[str, int] = {
     "user_hourly_gapfill": 9,
     "user_value_anomalies": 9,
     "event_value_moments": 9,
+    # --- last driver row: round 10 ---
+    "late_shipping_priority": 10,
+    "nations_cust_and_supp": 10,
+    "urgent_only_customers": 10,
+    "lineitem_rollup": 10,
+    "monthly_revenue": 10,
+    "segment_order_stats": 10,
+    "status_priority_grouping_sets": 10,
+    "quantity_percentiles": 10,
+    "user_trailing_hour_value": 10,
+    "orders_profile": 10,
+    "deterministic_sample_stats": 10,
+    "customer_priority_lists": 10,
+    "embedding_norms": 10,
+    "knn_cosine_top5": 10,
+    "label_centroids": 10,
+    "embedding_near_dup_pairs": 10,
+    "ivf_knn_top5": 10,
+    "lsh_knn_top5": 10,
+    "dedup_exact_docs": 10,
+    "doc_token_stats": 10,
+    "doc_stopword_ratio": 10,
+    "simhash_near_dups": 10,
+    "urgent_vs_customer_avg_sql": 10,
+    "approx_quantile_gate": 10,
+    "nation_trade_pagerank": 10,
+    "metrics_order_summary": 10,
+    "metrics_event_by_type": 10,
+    "media_audio_stats": 10,
+    "priority_revenue_ivm": 10,
+    "doc_token_ids": 10,
+    "nation_pair_trade_volume": 10,
+    "returned_item_losses": 10,
+    "user_conversion_funnel": 10,
+    "user_hourly_ohlc": 10,
+    "user_value_trend": 10,
+    "doc_feature_hashing": 10,
+    "event_value_winsorized": 10,
+    "pq_adc_top5_prebuilt": 10,
+    "opq_adc_top5_prebuilt": 10,
+    "semantic_dedup_keep": 10,
+    "ivfpq_adc_top5_prebuilt": 10,
+    "doc_gopher_repetition": 10,
+    "lang_token_budget_sample": 10,
+    "doc_dup_spans": 10,
+    "curriculum_interleave": 10,
+    "lang_mixture_weights": 10,
+    "doc_length_batches": 10,
+    "doc_quality_tiers": 10,
+    "label_centroids_arrow": 10,
+    "nation_balance_drift_ks": 10,
 }
 
 
