@@ -1,7 +1,10 @@
 #!/usr/bin/env python
 """Benchmark harness: run the catalog's headline queries and print ONE
-JSON line ``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
-"sf": ...}``.
+JSON line — a compact summary sized to survive the driver's ~2000-char
+stdout-tail capture.  The full record (per-query map, pq curve, 10x
+ratios, deltas) is persisted to BENCH_FULL.json and appended to
+BENCH_HISTORY.jsonl; stdout carries ONLY the compact line (round-10
+advice: two stdout objects broke whole-stdout json.loads consumers).
 
 Inputs:   $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 Parallel: local[$SPARK_GRAFT_CPUS] (default 32)
@@ -20,6 +23,21 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tweets_spark_top_10_spark.session import get_spark  # noqa: E402
+
+# The 5 queries that TRAIN a codebook/centroid artifact inline — the
+# in-query-training twins of the *_prebuilt serving queries.  Their
+# k-means/OPQ iterations dominate this box's run-to-run bench variance
+# (round-10 re-anchor: the 147.9-168.0 s spread was almost entirely
+# these), so the composite is reported with and without them.
+INLINE_TRAINING = frozenset(
+    {
+        "pq_adc_top5",
+        "pq_adc_lloyd_top5",
+        "pq_adc_opq_top5",
+        "pq_adc_opq_rerank_top5",
+        "ivfpq_adc_top5",
+    }
+)
 
 
 def main() -> None:
@@ -110,6 +128,21 @@ def main() -> None:
     scale_10x = _scale_10x(spark, sf_dir, timings)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Split composite (round-10 verdict item: make the headline
+    # regression-comparable).  The inline-codebook-training queries —
+    # exactly the in-query-training twins of the *_prebuilt serving
+    # queries — carry ±2-4 s/run of k-means/OPQ training noise on this
+    # box; everything else is stable.  Report the catalog wall EXCLUDING
+    # them and the training family separately, and regress each on its
+    # own anchor (BASELINE.md "Round-11 split composite").
+    training = {
+        n: t for n, t in timings.items() if n in INLINE_TRAINING
+    }
+    total_excl = round(
+        sum(t for n, t in timings.items() if t >= 0 and n not in INLINE_TRAINING),
+        3,
+    )
+    total_training = round(sum(t for t in training.values() if t >= 0), 3)
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     # `value` is THIS run's measurement (null when any query failed —
     # a deflated partial total must not masquerade as the headline;
@@ -131,8 +164,13 @@ def main() -> None:
         "timing": "min_of_2_passes",
         "clean_run": clean_run,
         "value_stable": stable,
+        "value_excl_training": total_excl if clean_run else None,
+        "value_training": total_training if clean_run else None,
+        "training_queries": sorted(INLINE_TRAINING & set(timings)),
         "value_note": "value = this run's total (null if any query failed); "
-        "value_stable = min over history runs with identical query set",
+        "value_stable = min over history runs with identical query set; "
+        "value_excl_training/value_training = split composite (the "
+        "inline-codebook-training family is the box's noise source)",
     }
     if pq_curve:
         out["pq_curve"] = pq_curve
@@ -163,18 +201,18 @@ def main() -> None:
     if note:
         out["note"] = note
 
-    print(json.dumps(out))
     # The driver's artifact capture keeps only the TAIL of stdout
-    # (~2000 chars), which truncates the full line above from the front
-    # (BENCH_r09.json landed with parsed=null).  Emit a compact summary
-    # as the LAST stdout line — small enough that the capture window
-    # always ends with one complete parseable object — and persist the
-    # full record to BENCH_FULL.json for the judge.
+    # (~2000 chars), which truncated a full-record line from the front
+    # (BENCH_r09.json landed with parsed=null) — and printing the full
+    # record AND a compact one broke whole-stdout json.loads consumers
+    # (round-10 advice).  So stdout carries ONLY this compact summary,
+    # and the full record lives in BENCH_FULL.json + BENCH_HISTORY.jsonl.
     compact = {
         k: out[k]
         for k in (
             "metric", "value", "unit", "sf", "cpus", "timing",
-            "clean_run", "value_stable", "note",
+            "clean_run", "value_stable", "value_excl_training",
+            "value_training", "note",
         )
         if k in out
     }
@@ -188,7 +226,13 @@ def main() -> None:
     try:  # write AFTER printing so a full disk can't eat the result
         with open(os.path.join(repo_dir, "BENCH_FULL.json"), "w") as fh:
             json.dump(out, fh)
-        rec = {"sf": float(sf), "total": total, "queries": timings}
+        rec = {
+            "sf": float(sf),
+            "total": total,
+            "total_excl_training": total_excl,
+            "total_training": total_training,
+            "queries": timings,
+        }
         if note:
             rec["note"] = note
         if pq_curve:  # build/query split tracked per round (r8 item 4)

@@ -2856,6 +2856,111 @@ def test_streaming_skewed_merge_coarsens_then_converges(spark, tmp_path):
     assert got == sorted(map(tuple, want_rows))
 
 
+def test_streaming_semantic_refit_collapses_exact_dup_mass(spark, tmp_path):
+    """Round-10 advice (medium): an EXACT-duplicate mass counted
+    uncollapsed can push its cell over the sub-cell cap, split by
+    id % s across sub-cells whose min-id reps are non-dup decoys
+    OUTSIDE threshold — a refit without the batch pipeline's xxhash64
+    collapse prepass then keeps s canonicals where the batch query
+    keeps one.  Fixture engineered to hit exactly that: 532 bitwise-
+    identical vectors + 9 low-id decoys that share the mass's cell
+    (argmin) but sit below the 0.3 cosine threshold to it, so every
+    sub-cell's min-id rep is either a decoy or a lone mass member and
+    the rep bridge cannot reconnect the mass.  The refit must still
+    equal the batch ``semantic_dedup_keep`` row-for-row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tweets_spark_top_10_spark.functions.similarity import (
+        ivf_assign_cells,
+        ivf_centroids,
+        scaled_cell_params,
+        semdedup_centroids,
+        subcell_cap,
+    )
+    from tweets_spark_top_10_spark.queries.catalog import QUERIES
+    from tweets_spark_top_10_spark.streaming.semantic_dedup import (
+        refit_semantic_state,
+        semantic_clusters_from_state,
+        upsert_semantic_pairs_batch,
+    )
+
+    n, dim = 600, 8
+    mass = [1.0] + [0.0] * (dim - 1)
+
+    def emb(i: int) -> list[float]:
+        if i == 0 or 10 <= i < 540:
+            return list(mass)  # bitwise-identical duplicate mass
+        if 1 <= i <= 9:
+            # decoy: argmin lands in the mass's cell (cos≈0.29 to mass
+            # beats ≤0.24 to every axis-filler centroid) but BELOW the
+            # 0.3 pair threshold; distinct floats so decoys are
+            # near-dups of each other, never exact dups
+            return [0.3, 0.25, 0.0, i * 1e-6, 0.0, 0.0, 0.0, 0.95]
+        axis = 1 + (i % 2)  # axis fillers spread the strided book
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[4] = (i - 540) * 1e-6
+        return v
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "label": pa.array([i % 5 for i in range(n)], pa.int32()),
+                "embedding": pa.array(
+                    [emb(i) for i in range(n)], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+
+    vecs = spark.read.parquet(str(tmp_path / "embeddings.parquet")).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    # fixture-hardness guard: UNcollapsed, the mass cell must exceed the
+    # cap (otherwise this test would pass trivially without the prepass)
+    n_cells, stride = scaled_cell_params(n)
+    cap = subcell_cap(n, n_cells)
+    book = ivf_centroids(vecs, "vec_id", "vec", n_cells, stride)
+    hot = (
+        ivf_assign_cells(vecs, book, "vec_id", "vec", n_probe=1)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c"))
+        .first()[0]
+    )
+    assert hot > cap, f"fixture too easy: hottest cell {hot} <= cap {cap}"
+
+    want_rows = QUERIES["semantic_dedup_keep"](spark, str(tmp_path)).collect()
+    mass_ids = {0} | set(range(10, 540))
+    want_mass_keeps = sum(
+        1 for r in want_rows if r.vec_id in mass_ids and r.keep
+    )
+    assert want_mass_keeps == 1, (
+        f"batch keeps {want_mass_keeps} canonicals of the exact-dup mass"
+    )
+
+    cents = semdedup_centroids(vecs, cand_id="vec_id", vec_col="vec")
+    cells = str(tmp_path / "cells")
+    pairs = str(tmp_path / "pairs")
+    for lo, hi in ((0, n // 2), (n // 2, n)):
+        upsert_semantic_pairs_batch(
+            spark,
+            vecs.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            cents,
+            cells,
+            pairs,
+        )
+    refit_semantic_state(spark, cells, pairs)
+    got = sorted(
+        map(tuple, semantic_clusters_from_state(spark, cells, pairs).collect())
+    )
+    assert got == sorted(map(tuple, want_rows))
+
+
 def test_streaming_grouped_heavy_hitters_order_independent_exactness(
     spark, sf_dir, tmp_path
 ):

@@ -46,7 +46,22 @@ def _run(cmd: list[str], dry: bool, ok_codes: tuple[int, ...] = (0,)) -> str:
 
 def main(argv: list[str]) -> int:
     dry = "--dry-run" in argv
-    # 1. fold the newest driver artifact into the rotation tables
+    # Remember whether catalog.py was already dirty BEFORE the fold so
+    # unrelated in-progress edits are never swept into the artifact
+    # commit (round-10 advice).
+    catalog = "tweets_spark_top_10_spark/queries/catalog.py"
+    pre_dirty = bool(
+        subprocess.run(
+            ["git", "diff", "--name-only", "--", catalog],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            check=False,
+        ).stdout.strip()
+    )
+    # 1. fold the newest driver artifact into the rotation tables —
+    # abort on failure so we never commit an unfolded catalog
+    # (round-10 advice: a silently-failed fold still staged+committed).
     fold = subprocess.run(
         [sys.executable, "tools/update_check_history.py"]
         + (["--check"] if dry else []),
@@ -56,8 +71,30 @@ def main(argv: list[str]) -> int:
         check=False,
     )
     print(fold.stdout.strip())
-    # 2. stage driver artifacts (explicit names; never add -A)
-    paths = [p for p in ARTIFACTS if (REPO / p).exists()]
+    if fold.returncode != 0:
+        print(fold.stderr, file=sys.stderr)
+        print("fold step failed; aborting before stage/commit", file=sys.stderr)
+        return fold.returncode
+    post_dirty = bool(
+        subprocess.run(
+            ["git", "diff", "--name-only", "--", catalog],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            check=False,
+        ).stdout.strip()
+    )
+    # 2. stage driver artifacts (explicit names; never add -A).  Stage
+    # catalog.py only when the FOLD dirtied it: if it carried edits
+    # before the fold ran, leave it to the feature commit that owns them.
+    artifacts = [p for p in ARTIFACTS if p != catalog]
+    if post_dirty and not pre_dirty:
+        artifacts.append(catalog)
+    elif pre_dirty:
+        print(
+            f"note: {catalog} had pre-existing edits; not staging it here"
+        )
+    paths = [p for p in artifacts if (REPO / p).exists()]
     for g in GLOBS:
         paths.extend(
             str(p.relative_to(REPO)) for p in sorted(REPO.glob(g))

@@ -576,6 +576,10 @@ def simhash_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") > 1)
         .select("h")
     )
+    # Bounded broadcast: dup_hashes only contains hashes with count > 1,
+    # and duplicates here exist solely by the seeded-gate construction
+    # above (the tenth-stride copies this query plants) — O(seeds) rows
+    # by construction, never corpus-scale.
     dup_docs = h.join(F.broadcast(dup_hashes), "h").select("doc_id", "text")
     # Disjoint three-way union (seed ids are offset; dup members already
     # in the tenth stride are excluded) — no dropDuplicates shuffle.

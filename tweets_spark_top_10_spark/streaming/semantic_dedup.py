@@ -23,16 +23,23 @@ vector are not retracted, matching how production dedup treats
 immutable content-addressed documents.  Full retraction needs the
 batch pipeline.
 
-Skewed-corpus contract: the incremental merge emits ALL intra-cell
-pairs (no sub-cell cap — each micro-batch joins only batch × stored,
-so per-batch work is bounded by the batch, not the cell), which is a
-SUPERSET of the batch pipeline's capped-plus-bridged pair set.  So
-between refits, stream-derived clusters can only COARSEN the batch
-answer (dedup evidence is never lost — every batch-merged group is
-contained in one stream group), and each
-:func:`refit_semantic_state` regenerates the exact batch state
-(cap + rep bridge included).  Pinned by
-``test_streaming_skewed_merge_coarsens_then_converges``.
+Skewed-corpus contract — scoped to the stream's OWN cell assignment
+(round-10 advice): the incremental merge emits ALL intra-cell pairs
+(no sub-cell cap — each micro-batch joins only batch × stored, so
+per-batch work is bounded by the batch, not the cell), which is a
+SUPERSET of what the capped-plus-bridged batch pair pipeline would
+emit OVER THE SAME CELL ASSIGNMENT.  So between refits, stream-derived
+clusters can only coarsen that same-assignment batch answer.  The
+contract does NOT extend to a batch run with its own fresh √N book
+when the stream's quantizer is stale (the very case refit exists
+for): near-dups the fresh book co-locates can land in different stale
+cells, so a batch cluster can split across stream groups until the
+next :func:`refit_semantic_state` — which regenerates the exact batch
+state (collapse prepass + cap + rep bridge included) and restores
+equality.  Pinned by
+``test_streaming_skewed_merge_coarsens_then_converges`` (same-book
+superset) and ``test_streaming_semantic_refit_matches_batch``
+(post-refit equality from a deliberately stale book).
 
 Cites: reference has no streaming analog (its speed layer,
 App.java:159-178, is commented out); this is engine-only capability.
@@ -178,6 +185,13 @@ def maintain_semantic_dedup(
     """
     if refit_growth is not None and centroids_path is None:
         raise ValueError("refit_growth requires centroids_path")
+    if refit_growth is not None and refit_growth <= 1:
+        # growth ≤ 1 would re-run the full O(N·√N) rebuild on EVERY
+        # micro-batch — never the intended cadence.
+        raise ValueError(
+            f"refit_growth must be > 1 (got {refit_growth}): the refit "
+            "triggers when stored_n >= refit_growth * fitted_n"
+        )
 
     spark0 = stream_vecs.sparkSession
     # Mutable closure state: [centroid DataFrame, corpus size at fit].
@@ -186,7 +200,20 @@ def maintain_semantic_dedup(
         _recover(centroids_path)
         if os.path.exists(centroids_path):
             persisted = spark0.read.parquet(centroids_path)
-            state[1] = persisted.select("fitted_n").head()[0]
+            if "fitted_n" not in persisted.columns:
+                raise ValueError(
+                    f"persisted centroid table at {centroids_path} has no "
+                    "fitted_n column — not a maintain_semantic_dedup "
+                    f"artifact (columns: {persisted.columns})"
+                )
+            head = persisted.select("fitted_n").head()
+            if head is None:
+                raise ValueError(
+                    f"persisted centroid table at {centroids_path} is "
+                    "empty — delete the directory to re-seed from the "
+                    "centroids argument"
+                )
+            state[1] = head[0]
             state[0] = persisted.drop("fitted_n").localCheckpoint(eager=True)
         else:
             if state[1] is None:
@@ -265,15 +292,23 @@ def refit_semantic_state(
     (stored corpus, new quantizer) — cells re-assign with the same
     strided √N quantizer the batch ``semantic_dedup_keep`` derives
     (``scaled_cell_params``; identical float64 sizing op), and the
-    pair table is REGENERATED as all intra-cell pairs ≥ ``threshold``
-    over the stored vectors (sub-cell-capped like the batch query, so
-    a pathological hot cell stays bounded, plus the same
+    pair table is REGENERATED with the batch query's full pipeline:
+    the exact-duplicate (xxhash64) collapse prepass — pairs run over
+    one min-id rep per bitwise-identical group, members rejoin via
+    explicit cos = 1.0 (rep, member) edges — then all intra-cell rep
+    pairs ≥ ``threshold`` (sub-cell-capped like the batch query, so a
+    pathological hot cell stays bounded, plus the same
     ``subcell_rep_pairs`` bridge so a split cell's cluster keeps one
-    canonical).  With the default
-    ``keep_legacy_pairs=False`` the post-refit state is byte-identical
-    to what a batch run over the stored corpus would produce — the
-    strongest reproducibility contract, pinned by
-    ``test_streaming_semantic_refit_matches_batch``.
+    canonical).  With the default ``keep_legacy_pairs=False`` the
+    state-derived (id, cluster, keep) — via
+    :func:`semantic_clusters_from_state` — is row-identical to the
+    batch ``semantic_dedup_keep`` run over the stored corpus (the pair
+    TABLE itself additionally carries the member edges the batch query
+    expresses as its member_map rejoin; the derived clusters are the
+    contract).  Pinned by
+    ``test_streaming_semantic_refit_matches_batch`` and, for the
+    exact-dup-mass-in-a-split-cell path the round-10 advice flagged,
+    ``test_streaming_semantic_refit_collapses_exact_dup_mass``.
     ``keep_legacy_pairs=True`` instead distinct-unions previously
     recorded pairs in: dedup evidence already found under the old
     quantizer survives even where the new one no longer co-locates it
@@ -327,11 +362,39 @@ def refit_semantic_state(
         cells_path,
         lambda staging: write_partitioned(assigned, staging, ["bucket"]),
     )
+    # Exact-duplicate collapse prepass — the batch pipeline's (round-10
+    # advice: without it, an exact-dup MASS counted uncollapsed can push
+    # its cell over cap, split by id across sub-cells, and survive as s
+    # canonicals where the batch query keeps one).  Pair generation runs
+    # over one min-id representative per bitwise-identical vector group;
+    # members rejoin through explicit (rep, member) edges — genuine
+    # cos = 1.0 pairs, so the pair-table semantics is unchanged — which
+    # is the state-form of the batch query's member_map rejoin: the CC
+    # component label is the min id either way, because each rep IS its
+    # group's min id.  The cells table above still stores EVERY vector
+    # (it is the durable corpus; identical vectors assign identically),
+    # only the pair pipeline collapses.
+    fp = F.xxhash64(vec_col).alias("__fp")
+    member_map = (
+        corpus.select(F.col(id_col), fp)
+        .join(
+            corpus.select(fp, F.col(id_col))
+            .groupBy("__fp")
+            .agg(F.min(id_col).alias("rep")),
+            "__fp",
+        )
+        .select(id_col, "rep")
+        .localCheckpoint(eager=True)
+    )
+    rep_ids = member_map.filter(F.col(id_col) == F.col("rep")).select(id_col)
     # Pair regeneration: the batch pipeline's cell-blocked, sub-cell-
     # capped intra-cell self-join over the snapshot (reads the
-    # checkpoint, not the just-swapped files).
+    # checkpoint, not the just-swapped files).  Sub-cell occupancy is
+    # counted over REPS, exactly as the batch query does.
     cells = subcell_split(
-        assigned.select(id_col, vec_col, "cell_id"), id_col, cap
+        assigned.select(id_col, vec_col, "cell_id").join(rep_ids, id_col),
+        id_col,
+        cap,
     ).repartition(spark.sparkContext.defaultParallelism, "cell_id", "sub_cell")
     a = cells.select(
         "cell_id",
@@ -368,9 +431,15 @@ def refit_semantic_state(
         subcell_rep_pairs,
     )
 
+    # Member edges close the collapse: every non-rep member links to its
+    # rep (rep < member by min-id construction, so (rep, member) is
+    # already in canonical (id_a < id_b) order).
+    member_edges = member_map.filter(F.col(id_col) != F.col("rep")).select(
+        F.col("rep").alias("id_a"), F.col(id_col).alias("id_b")
+    )
     new_pairs = new_pairs.unionByName(
         subcell_rep_pairs(cells, id_col, vec_col, threshold=threshold)
-    ).distinct()
+    ).unionByName(member_edges).distinct()
     if keep_legacy_pairs and os.path.exists(pairs_path):
         new_pairs = (
             spark.read.parquet(pairs_path).unionByName(new_pairs).distinct()
