@@ -141,3 +141,56 @@ def test_gram_identity_shuffles_are_fixed_width(spark, sf_dir):
         assert all(suffix == "L" for suffix in keyed), (
             f"{name}: gram/shingle exchange carries a non-long key\n{plan}"
         )
+
+
+def test_srp_banding_is_map_only_with_starvation_gate(spark, sf_dir):
+    """Round-11 SRP rewrite invariants: the signature build shuffles
+    NOTHING of its own — its only exchange is the bounded starvation
+    gate, which fires when the scan arrives in fewer splits than the
+    cluster has cores and stays OUT of the plan when the input is
+    already spread (a 100 TB scan must never be re-shuffled just to
+    band it)."""
+    from tweets_spark_top_10_spark.functions.similarity import (
+        srp_signatures,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    par = spark.sparkContext.defaultParallelism
+
+    # already-spread input: banding adds ZERO exchanges
+    spread = emb.repartition(par)
+    plan = _plan(srp_signatures(spread, "vec_id"))
+    # the one exchange is the repartition we asked for; none beyond it
+    assert plan.count("Exchange") == 1, plan
+
+    # starved input (small local scan, 1-2 splits): exactly one bounded
+    # round-robin spread appears before the fold projection
+    plan1 = _plan(srp_signatures(emb, "vec_id"))
+    assert plan1.count("Exchange") == 1, plan1
+    assert "RoundRobinPartitioning" in plan1, plan1
+
+
+def test_srp_sign_vectors_match_sql_md5_parity(spark):
+    """The SRP hyperplanes are plan-time constants computed with
+    hashlib; the DuckDB oracle (and the pre-round-11 implementation)
+    derive them IN-ENGINE from md5 parity.  Pin the cross-derivation:
+    hashlib md5 == Spark SQL md5 for every (t, j, p) at the default
+    geometry, so the banding oracle can never drift from the literal
+    sign vectors."""
+    from tweets_spark_top_10_spark.functions.similarity import (
+        _srp_sign_vectors,
+    )
+
+    signs = _srp_sign_vectors(2, 8, 64)  # 1024 planes: enough to pin
+    hp = spark.range(2 * 8 * 64).selectExpr(
+        "CAST(id div 512 AS INT) AS t",
+        "CAST((id div 64) % 8 AS INT) AS j",
+        "CAST(id % 64 AS INT) AS p",
+        "CAST(conv(substring(md5(concat_ws('_', id div 512, (id div 64) % 8,"
+        " id % 64)), 1, 1), 16, 10) AS INT) % 2 AS parity",
+    )
+    for r in hp.collect():
+        want = 1 if r.parity else -1
+        assert signs[r.t][r.j][r.p] == want, (r.t, r.j, r.p)

@@ -29,8 +29,13 @@ survive an unbounded stream:
    mid-stream-refit arms over the same replicated corpus — see
    :func:`probe_semantic_refit`.
 
+4. **Production-loop refit** (mode ``loop``): the refit arm driven by
+   ``maintain_semantic_dedup(refit_growth=2.0)`` itself — the LOOP
+   decides every refit from the durable ``fitted_n`` book — see
+   :func:`probe_semantic_refit_loop` (round-10 verdict item 5).
+
 Usage: python tools/stream_scale_probe.py [replicas] [batches] [mode]
-``mode`` is a comma set of {mg, sd, refit} (default ``mg,sd``).
+``mode`` is a comma set of {mg, sd, refit, loop} (default ``mg,sd``).
 Prints one JSON object; paste the summary table into BASELINE.md.
 """
 
@@ -302,6 +307,108 @@ def probe_semantic_refit(spark, work: str, replicas: int, batches: int):
     return arms
 
 
+def probe_semantic_refit_loop(spark, work: str, replicas: int, batches: int):
+    """The refit arm driven THROUGH the production loop (round-10
+    verdict item 5): same 100× feed and same deliberately-stale initial
+    book as :func:`probe_semantic_refit`, but every refit decision is
+    made by ``maintain_semantic_dedup(refit_growth=2.0)`` itself —
+    trigger on persisted ``fitted_n``, durable centroid book, atomic
+    swaps — with each batch arriving as a real file-stream micro-batch
+    (availableNow drain per appended file, re-attaching from the
+    persisted state every time, exactly how a production ingestion loop
+    runs).  Per-batch wall therefore INCLUDES stream startup/recovery
+    and any refit the loop chose; ``fitted_n`` is read back from the
+    durable book after each drain so the refit schedule the loop
+    actually decided is part of the record."""
+    from pyspark.sql import functions as F
+
+    from tweets_spark_top_10_spark.functions.similarity import semdedup_centroids
+    from tweets_spark_top_10_spark.streaming.semantic_dedup import (
+        maintain_semantic_dedup,
+    )
+
+    vecs = _sd_feed(spark, work, replicas)
+    n = vecs.count()
+    per = (n + batches - 1) // batches
+    import duckdb
+
+    src = os.path.join(BASE, "embeddings.parquet")
+    max_orig_id = duckdb.sql(
+        f"SELECT MAX(vec_id) FROM read_parquet('{src}')"
+    ).fetchone()[0]
+    slice0 = vecs.filter(F.col("vec_id") <= max_orig_id)
+    n0 = slice0.count()
+    stale = semdedup_centroids(
+        slice0, cand_id="vec_id", vec_col="vec"
+    ).localCheckpoint(eager=True)
+
+    feed_dir = os.path.join(work, f"sdl_feed_x{replicas}")
+    os.makedirs(feed_dir)
+    cells_path = os.path.join(work, f"sdl_cells_x{replicas}")
+    pairs_path = os.path.join(work, f"sdl_pairs_x{replicas}")
+    cents_path = os.path.join(work, f"sdl_cents_x{replicas}")
+    ckpt = os.path.join(work, f"sdl_ckpt_x{replicas}")
+    schema = vecs.schema
+    per_batch = []
+    fitted_trail = []
+    for b in range(batches):
+        # stage batch b as one new file in the stream source dir
+        batch_pdf = (
+            vecs.filter(
+                (F.col("vec_id") >= b * per) & (F.col("vec_id") < (b + 1) * per)
+            )
+            .toPandas()
+        )
+        batch_pdf.to_parquet(os.path.join(feed_dir, f"b{b:03d}.parquet"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+        t0 = time.perf_counter()
+        maintain_semantic_dedup(
+            stream,
+            stale,
+            cells_path,
+            pairs_path,
+            checkpoint=ckpt,
+            refit_growth=2.0,
+            centroids_path=cents_path,
+            fitted_on=n0,
+        ).awaitTermination()
+        wall = time.perf_counter() - t0
+        fitted_n = (
+            spark.read.parquet(cents_path).select("fitted_n").head()[0]
+        )
+        refitted = bool(fitted_trail) and fitted_n != fitted_trail[-1]
+        fitted_trail.append(fitted_n)
+        per_batch.append(
+            {
+                "batch": b,
+                "drain_s": round(wall, 2),
+                "fitted_n": fitted_n,
+                "loop_refitted": refitted or (b == 0 and fitted_n != n0),
+            }
+        )
+        print(
+            f"sd-refit-loop x{replicas} batch {b}: {per_batch[-1]}", flush=True
+        )
+    walls = [r["drain_s"] for r in per_batch]
+    return {
+        "per_batch": per_batch,
+        "drain_s_first3_avg": round(sum(walls[:3]) / 3, 2),
+        "drain_s_last3_avg": round(sum(walls[-3:]) / 3, 2),
+        "drain_s_total": round(sum(walls), 2),
+        "loop_refits": [
+            {"after_batch": r["batch"], "fitted_n": r["fitted_n"]}
+            for r in per_batch
+            if r["loop_refitted"]
+        ],
+        "initial_fitted_n": n0,
+        "final_pairs": spark.read.parquet(pairs_path).count(),
+    }
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     batches = int(sys.argv[2]) if len(sys.argv) > 2 else 20
@@ -335,6 +442,11 @@ def main() -> None:
             spark.catalog.clearCache()
     if "refit" in mode:
         results[f"semantic_refit_{replicas}x"] = probe_semantic_refit(
+            spark, work, replicas, batches
+        )
+        spark.catalog.clearCache()
+    if "loop" in mode:
+        results[f"semantic_refit_loop_{replicas}x"] = probe_semantic_refit_loop(
             spark, work, replicas, batches
         )
         spark.catalog.clearCache()
