@@ -2672,6 +2672,60 @@ def test_streaming_semantic_refit_matches_batch(spark, sf_dir, tmp_path):
     assert recovered == want
 
 
+def test_streaming_semantic_refit_guards(spark, sf_dir, tmp_path):
+    """Round-10 advice (low): entry validation on the stream-decided
+    refit — refit_growth ≤ 1 (a full O(N·√N) rebuild EVERY micro-batch)
+    rejects loudly, a persisted centroid table without fitted_n (not a
+    maintainer artifact) rejects with the column list, and an empty one
+    names the recovery action instead of raising NoneType errors."""
+    import pytest
+
+    from tweets_spark_top_10_spark.functions.similarity import ivf_centroids
+    from tweets_spark_top_10_spark.streaming.semantic_dedup import (
+        maintain_semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    src = tmp_path / "g_src"
+    src.mkdir()
+    vecs.limit(10).toPandas().to_parquet(src / "b.parquet")
+    stream = file_stream(spark, str(src), vecs.schema, max_files_per_trigger=1)
+    book = ivf_centroids(vecs, "vec_id", "vec", n_cells=4, stride=29)
+    args = dict(
+        cells_path=str(tmp_path / "g_cells"),
+        pairs_path=str(tmp_path / "g_pairs"),
+        checkpoint=str(tmp_path / "g_ckpt"),
+    )
+
+    with pytest.raises(ValueError, match="refit_growth must be > 1"):
+        maintain_semantic_dedup(
+            stream, book, refit_growth=1.0,
+            centroids_path=str(tmp_path / "g_cents"), **args,
+        )
+    with pytest.raises(ValueError, match="requires centroids_path"):
+        maintain_semantic_dedup(stream, book, refit_growth=2.0, **args)
+
+    # a foreign parquet at centroids_path: reject naming the columns
+    foreign = str(tmp_path / "g_foreign")
+    book.write.parquet(foreign)
+    with pytest.raises(ValueError, match="no fitted_n column"):
+        maintain_semantic_dedup(
+            stream, book, refit_growth=2.0, centroids_path=foreign, **args
+        )
+
+    # an empty (zero-row) book: reject naming the recovery action
+    empty = str(tmp_path / "g_empty")
+    book.limit(0).withColumn("fitted_n", F.lit(16)).write.parquet(empty)
+    with pytest.raises(ValueError, match="empty"):
+        maintain_semantic_dedup(
+            stream, book, refit_growth=2.0, centroids_path=empty, **args
+        )
+
+
 def test_streaming_semantic_refit_stream_decided(spark, sf_dir, tmp_path):
     """Round-10 production cadence: the STREAM decides when to re-fit.
     ``maintain_semantic_dedup(refit_growth=2.0)`` starts from a
