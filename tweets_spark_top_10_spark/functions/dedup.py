@@ -807,25 +807,21 @@ def simhash64(
     # the signature is 1 iff 2s > c.  Plain shift+AND sums generate far
     # less code than 64 CASE WHEN branches (first-execution codegen
     # compile dropped ~2x); SUM skips null hashes (token-less docs).
+    # Both 64-term groups are built as SQL strings: Column-by-Column
+    # construction cost ~1.3 s of Py4J driver time PER CALL (the r11
+    # srp_signatures lesson); the parsed trees are identical.
     votes = [
-        F.sum(F.shiftrightunsigned(F.col("__th"), j).bitwiseAND(F.lit(1))).alias(
-            f"v{j}"
-        )
+        F.expr(f"sum(shiftrightunsigned(__th, {j}) & 1)").alias(f"v{j}")
         for j in range(64)
     ]
     voted = exploded.groupBy(id_col).agg(
         F.count("__th").alias("__c"), *votes
     )
-    sig = None
-    for j in range(64):
-        bit = F.shiftleft(
-            (
-                F.coalesce(F.col(f"v{j}"), F.lit(0)) * 2 > F.col("__c")
-            ).cast("long"),
-            j,
-        )
-        sig = bit if sig is None else sig.bitwiseOR(bit)
-    return voted.select(F.col(id_col), sig.alias(out_col))
+    sig_sql = " | ".join(
+        f"shiftleft(CAST(coalesce(v{j}, 0) * 2 > __c AS BIGINT), {j})"
+        for j in range(64)
+    )
+    return voted.select(F.col(id_col), F.expr(sig_sql).alias(out_col))
 
 
 def simhash_md5(
@@ -856,18 +852,19 @@ def simhash_md5(
         .cast("long")
         .alias("__th"),
     )
+    # SQL-string construction, same rationale (and same parsed tree) as
+    # simhash64; no coalesce here — explode (not explode_outer) means
+    # every surviving group has >= 1 non-null hash.
     votes = [
-        F.sum(F.shiftrightunsigned(F.col("__th"), j).bitwiseAND(F.lit(1))).alias(
-            f"v{j}"
-        )
+        F.expr(f"sum(shiftrightunsigned(__th, {j}) & 1)").alias(f"v{j}")
         for j in range(bits)
     ]
     voted = exploded.groupBy(id_col).agg(F.count("__th").alias("__c"), *votes)
-    sig = None
-    for j in range(bits):
-        bit = F.shiftleft((F.col(f"v{j}") * 2 > F.col("__c")).cast("long"), j)
-        sig = bit if sig is None else sig.bitwiseOR(bit)
-    return voted.select(F.col(id_col), sig.alias(out_col))
+    sig_sql = " | ".join(
+        f"shiftleft(CAST(v{j} * 2 > __c AS BIGINT), {j})"
+        for j in range(bits)
+    )
+    return voted.select(F.col(id_col), F.expr(sig_sql).alias(out_col))
 
 
 def simhash_near_pairs(
