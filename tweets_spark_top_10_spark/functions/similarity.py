@@ -412,9 +412,11 @@ def srp_signatures(
     ``S⁺ = Σ codes[p] over p with sign +1`` (one HOF fold per bit over
     its literal ~dim/2-element position list).  All integer, all
     order-free, and ~4× fewer interpreted-lambda evaluations than the
-    naive per-bit ``zip_with`` fold (head-to-head at sf0.1: 0.26 s vs
-    3.7 s zip_with vs 0.83 s Arrow numpy-GEMM — the fold beats even
-    the GEMM because nothing crosses the Python boundary).  The only
+    naive per-bit ``zip_with`` fold (head-to-head at sf0.1, forced
+    single-split: ~1.2 s vs 3.7 s zip_with; an Arrow numpy-GEMM pandas
+    UDF measured 0.83 s — comparable wall, but the fold keeps the
+    serving path JVM-only, with no Python-worker/Arrow dependency and
+    nothing crossing the process boundary).  The only
     fan-out is the final n_tables-rows-per-vector explode of finished
     (t, band) structs: no join, no groupBy, no shuffle at all —
     banding is a map-only stage whatever the corpus size.
