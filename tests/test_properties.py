@@ -195,3 +195,45 @@ def test_connected_components_matches_union_find(spark, edges):
         r.node: r.component for r in connected_components(df).collect()
     }
     assert got == want
+
+
+def test_srp_signatures_match_definition_at_nondefault_geometry(spark):
+    """The SRP banding oracle pins the DEFAULT 8x8x64 geometry; the
+    round-11 row-local rewrite bakes the geometry into generated SQL,
+    so mis-indexed positions or bit weights at OTHER geometries would
+    escape it.  Cross-check three non-default (n_tables, n_bits, dim)
+    points against a brute-force Python evaluation of the definition:
+    int8 maxabs quantization, md5-parity ±1 hyperplanes, integer dots,
+    band = sum of 2^j over positive bits."""
+    import math
+
+    from tweets_spark_top_10_spark.functions.similarity import (
+        _srp_sign_vectors,
+        srp_signatures,
+    )
+
+    for n_tables, n_bits, dim in ((3, 4, 16), (2, 13, 8), (1, 8, 5)):
+        rows = [
+            (i, [math.sin(i * dim + p) for p in range(dim)])
+            for i in range(12)
+        ] + [(99, [0.0] * dim)]  # zero vector: filtered out
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            (r.vec_id, r.t): r.band
+            for r in srp_signatures(
+                df, "vec_id", "embedding", n_tables, n_bits, dim
+            ).collect()
+        }
+        signs = _srp_sign_vectors(n_tables, n_bits, dim)
+        want = {}
+        for i, vec in rows[:-1]:
+            mx = max(abs(x) for x in vec)
+            codes = [math.floor(x * 127.0 / mx) for x in vec]
+            for t in range(n_tables):
+                band = 0
+                for j in range(n_bits):
+                    dot = sum(c * s for c, s in zip(codes, signs[t][j]))
+                    if dot > 0:
+                        band |= 1 << j
+                want[(i, t)] = band
+        assert got == want, (n_tables, n_bits, dim)
