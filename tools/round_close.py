@@ -71,7 +71,9 @@ def main(argv: list[str]) -> int:
         check=False,
     )
     print(fold.stdout.strip())
-    if fold.returncode != 0:
+    if fold.returncode != 0 and not dry:
+        # dry mode uses --check, whose nonzero just means "would fold" —
+        # only a REAL fold failure must abort before stage/commit
         print(fold.stderr, file=sys.stderr)
         print("fold step failed; aborting before stage/commit", file=sys.stderr)
         return fold.returncode
