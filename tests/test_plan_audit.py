@@ -83,24 +83,36 @@ def test_catalog_priority_tiers_are_valid():
     from tweets_spark_top_10_spark.queries.catalog import (
         _LAST_CHECKED,
         _RED_LATEST,
+        _REPROVE_NEXT,
     )
 
     unknown = [n for n in _LAST_CHECKED if n not in QUERIES]
     assert not unknown, f"_LAST_CHECKED names not in registry: {unknown}"
     unknown_red = [n for n in _RED_LATEST if n not in QUERIES]
     assert not unknown_red, f"_RED_LATEST names not in registry: {unknown_red}"
+    unknown_rp = [n for n in _REPROVE_NEXT if n not in QUERIES]
+    assert not unknown_rp, f"_REPROVE_NEXT names not in registry: {unknown_rp}"
 
     def tier(n):
-        return -1 if n in _RED_LATEST else _LAST_CHECKED.get(n, 0)
+        if n in _RED_LATEST:
+            return -2
+        if n in _REPROVE_NEXT:
+            return -1
+        return _LAST_CHECKED.get(n, 0)
 
     tiers = [tier(n) for n in QUERIES]
     assert tiers == sorted(tiers), (
-        "registry not in red-first/stale-first order: "
+        "registry not in red-first/reprove/stale-first order: "
         f"{[(n, tier(n)) for n in QUERIES]}"
     )
-    # red-latest queries must occupy the prefix, ahead of never-checked
+    # red-latest queries must occupy the prefix, ahead of everything
     names = list(QUERIES)
     assert set(names[: len(_RED_LATEST)]) == set(_RED_LATEST)
+    # then the rewritten-since-last-check queries
+    rp = set(_REPROVE_NEXT) - set(_RED_LATEST)
+    assert (
+        set(names[len(_RED_LATEST) : len(_RED_LATEST) + len(rp)]) == rp
+    )
 
 
 def test_no_new_shuffles(spark, sf_dir):

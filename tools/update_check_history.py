@@ -8,8 +8,11 @@ the driver's ~50-row budget lands on the most informative rows:
 
 1. queries whose LATEST driver row is red (ERR / hash-fail /
    ``no_oracle``) — a fix has landed locally and needs driver proof;
-2. queries never driver-checked (new this round);
-3. everything else, stalest round first.
+2. queries in ``_REPROVE_NEXT`` — green, but their implementation was
+   rewritten after their last row (builder-curated; retired here once
+   a driver row from >= the marked round lands);
+3. queries never driver-checked (new this round);
+4. everything else, stalest round first.
 
 This tool recomputes both structures from the artifacts and rewrites
 the dict/set literals in place, so the rotation never drifts from
@@ -88,6 +91,33 @@ def render_red(red: set[str]) -> str:
     return "\n".join(lines)
 
 
+def _parse_reprove(src: str) -> dict[str, tuple[int, str]]:
+    """name -> (marked_round, original entry line) from the
+    ``_REPROVE_NEXT`` block (empty when the block is absent or {})."""
+    block = re.search(
+        r"_REPROVE_NEXT: dict\[str, int\] = \{(.*?)\n\}", src, re.DOTALL
+    )
+    if not block:
+        return {}
+    out: dict[str, tuple[int, str]] = {}
+    for line in block.group(1).splitlines():
+        m = re.search(r'"([^"]+)":\s*(\d+)', line)
+        if m:
+            out[m.group(1)] = (int(m.group(2)), line)
+    return out
+
+
+def render_reprove(reprove: dict[str, tuple[int, str]]) -> str:
+    """Entry lines survive verbatim (inline curation comments kept)."""
+    if not reprove:
+        return "_REPROVE_NEXT: dict[str, int] = {}"
+    lines = ["_REPROVE_NEXT: dict[str, int] = {"]
+    for name in sorted(reprove):
+        lines.append(reprove[name][1])
+    lines.append("}")
+    return "\n".join(lines)
+
+
 def _max_folded(src: str) -> int:
     """Largest round number already present in the committed
     ``_LAST_CHECKED`` block (0 if none)."""
@@ -106,12 +136,26 @@ def main(argv: list[str]) -> int:
     red_block = re.compile(
         r"_RED_LATEST: set\[str\] = (?:set\(\)|\{.*?\n\})", re.DOTALL
     )
+    reprove_block = re.compile(
+        r"_REPROVE_NEXT: dict\[str, int\] = \{(?:\}|.*?\n\})", re.DOTALL
+    )
     if not last_block.search(src) or not red_block.search(src):
         print(f"expected blocks not found in {CATALOG}", file=sys.stderr)
         return 2
     last, red = collect()
     new_src = last_block.sub(render_last(last).replace("\\", r"\\"), src)
     new_src = red_block.sub(render_red(red).replace("\\", r"\\"), new_src)
+    # A _REPROVE_NEXT entry retires once a driver row from >= its
+    # marked round lands (the rewrite got its re-proof).
+    if reprove_block.search(src):
+        reprove = {
+            n: v
+            for n, v in _parse_reprove(src).items()
+            if last.get(n, 0) < v[0]
+        }
+        new_src = reprove_block.sub(
+            render_reprove(reprove).replace("\\", r"\\"), new_src
+        )
     if "--check" in argv:
         if new_src != src:
             # Autofold covers exactly ONE legitimate cause: the driver

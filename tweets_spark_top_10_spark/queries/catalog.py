@@ -6,16 +6,22 @@ registered queries per round (r1: 50 of 66, r2: 50 of 80), so
 whatever the harness's budget, the queries whose verdicts carry the
 most NEW information must come first.
 
-Rotation policy (round-2 item 1, amended by round-6 item 1c):
-**red-first, then stale-first**.  Every query is keyed by the last
-round in which the driver recorded a row for it (``_LAST_CHECKED``;
-absent = never checked = round 0), and by whether that latest row was
-red — ERR / hash-fail / ``no_oracle`` (``_RED_LATEST``).  Order:
+Rotation policy (round-2 item 1, amended by round-6 item 1c and
+round 11): **red-first, then rewritten-since-last-check, then
+stale-first**.  Every query is keyed by the last round in which the
+driver recorded a row for it (``_LAST_CHECKED``; absent = never
+checked = round 0), by whether that latest row was red — ERR /
+hash-fail / ``no_oracle`` (``_RED_LATEST``) — and by whether its
+implementation was rewritten after that row (``_REPROVE_NEXT``).
+Order:
 
 1. red-latest queries first (a local fix needs driver proof — these
    carry the most information and must never miss the budget),
-2. then never-driver-checked queries (new this round),
-3. then progressively staler green tiers, oldest first,
+2. then green queries whose implementation was rewritten since their
+   last row (the rewrite needs driver re-proof NOW, not in 3 rounds
+   when its tier comes back around),
+3. then never-driver-checked queries (new this round),
+4. then progressively staler green tiers, oldest first,
 
 and within a tier the original registration order is preserved.  Under
 a ~50-row budget this guarantees a red row gets re-checked the very
@@ -198,13 +204,30 @@ _LAST_CHECKED: dict[str, int] = {
 # ahead of everything, including never-checked queries.
 _RED_LATEST: set[str] = set()
 
+# Queries whose IMPLEMENTATION was rewritten after their last driver
+# row (name -> round the rewrite landed in).  Builder-curated when a
+# green query's plan changes materially: freshest-tier queries sort
+# LAST under stale-first ordering, so without this a rewrite could
+# wait ~3 rounds for driver re-proof (round-11: the lsh_knn_top5 SRP
+# rewrite landed the round after its last check).  These sort just
+# after red; tools/update_check_history.py clears a name once a driver
+# row from >= its marked round lands.
+_REPROVE_NEXT: dict[str, int] = {
+    "lsh_knn_top5": 11,  # SRP banding rewritten row-local (r11 item 1)
+    "simhash_invariants": 11,  # same construction change
+    "simhash_near_dups": 11,  # simhash SQL-string expression rebuild
+}
+
 
 def _reorder() -> None:
-    """Stable sort of the registry: red-latest first, then ascending
-    last-checked round, registration order preserved within a tier."""
+    """Stable sort of the registry: red-latest first, then rewritten-
+    since-last-check (_REPROVE_NEXT), then ascending last-checked
+    round, registration order preserved within a tier."""
     names = sorted(
         QUERIES,
-        key=lambda n: -1 if n in _RED_LATEST else _LAST_CHECKED.get(n, 0),
+        key=lambda n: -2
+        if n in _RED_LATEST
+        else (-1 if n in _REPROVE_NEXT else _LAST_CHECKED.get(n, 0)),
     )
     ordered = {n: QUERIES[n] for n in names}
     QUERIES.clear()
