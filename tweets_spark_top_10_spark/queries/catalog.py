@@ -54,56 +54,7 @@ from tweets_spark_top_10_spark.queries.registry import ORACLE, QUERIES
 # zero fails; the r1 rows listed here are the 30 not re-checked in r2,
 # all green in r1).
 _LAST_CHECKED: dict[str, int] = {
-    # --- last driver row: round 8 ---
-    "embedding_quantize_int8": 8,
-    "doc_fingerprints": 8,
-    "doc_split_assignment": 8,
-    "doc_normalize": 8,
-    "sliding_event_windows": 8,
-    "hourly_event_windows": 8,
-    "event_value_udaf": 8,
-    "doc_pii_redact": 8,
-    "salted_token_count_top20": 8,
-    "stratified_sample_docs": 8,
-    "top_bigrams": 8,
-    "label_centroids_pandas": 8,
-    "user_sessions": 8,
-    "doc_quality": 8,
-    "langid_heuristic": 8,
-    "lsh_knn_invariants": 8,
-    "doc_tfidf_top3": 8,
-    "pq_codes": 8,
-    "doc_sentences_udtf": 8,
-    "pq_adc_top5": 8,
-    "ngram_jaccard_dup_pairs": 8,
-    "simhash_invariants": 8,
-    "minhash_lsh_candidates": 8,
-    "customer_balance_distribution": 8,
-    "dedup_canonical_docs": 8,
-    "ivfpq_adc_top5": 8,
-    "pq_adc_lloyd_top5": 8,
-    "dedup_components": 8,
-    "lateral_top2_orders_sql": 8,
-    "event_props_variant": 8,
-    "mergeable_user_sketches": 8,
-    "user_latest_event": 8,
-    "pq_adc_opq_top5": 8,
-    "doc_contamination": 8,
-    "doc_pack_bins": 8,
-    "part_name_fuzzy_pairs": 8,
-    "pq_adc_opq_rerank_top5": 8,
-    "opq_adc_rerank_top5_prebuilt": 8,
-    "dedup_keep_best_quality": 8,
     # --- last driver row: round 9 ---
-    "media_frame_counts": 9,
-    "media_resize_stats": 9,
-    "media_image_features": 9,
-    "ref_top10_tokens": 9,
-    "top_event_types": 9,
-    "q1_pricing_summary": 9,
-    "top_revenue_orders": 9,
-    "regional_customer_revenue": 9,
-    "top_orders_per_customer": 9,
     "user_running_value": 9,
     "customers_without_big_orders": 9,
     "supplier_distinct_parts": 9,
@@ -163,11 +114,9 @@ _LAST_CHECKED: dict[str, int] = {
     "label_centroids": 10,
     "embedding_near_dup_pairs": 10,
     "ivf_knn_top5": 10,
-    "lsh_knn_top5": 10,
     "dedup_exact_docs": 10,
     "doc_token_stats": 10,
     "doc_stopword_ratio": 10,
-    "simhash_near_dups": 10,
     "urgent_vs_customer_avg_sql": 10,
     "approx_quantile_gate": 10,
     "nation_trade_pagerank": 10,
@@ -196,6 +145,57 @@ _LAST_CHECKED: dict[str, int] = {
     "doc_quality_tiers": 10,
     "label_centroids_arrow": 10,
     "nation_balance_drift_ks": 10,
+    # --- last driver row: round 11 ---
+    "media_frame_counts": 11,
+    "media_resize_stats": 11,
+    "media_image_features": 11,
+    "ref_top10_tokens": 11,
+    "top_event_types": 11,
+    "q1_pricing_summary": 11,
+    "top_revenue_orders": 11,
+    "regional_customer_revenue": 11,
+    "top_orders_per_customer": 11,
+    "embedding_quantize_int8": 11,
+    "lsh_knn_top5": 11,
+    "doc_fingerprints": 11,
+    "doc_split_assignment": 11,
+    "doc_normalize": 11,
+    "sliding_event_windows": 11,
+    "hourly_event_windows": 11,
+    "event_value_udaf": 11,
+    "doc_pii_redact": 11,
+    "salted_token_count_top20": 11,
+    "stratified_sample_docs": 11,
+    "top_bigrams": 11,
+    "label_centroids_pandas": 11,
+    "user_sessions": 11,
+    "doc_quality": 11,
+    "langid_heuristic": 11,
+    "lsh_knn_invariants": 11,
+    "doc_tfidf_top3": 11,
+    "pq_codes": 11,
+    "doc_sentences_udtf": 11,
+    "pq_adc_top5": 11,
+    "ngram_jaccard_dup_pairs": 11,
+    "simhash_near_dups": 11,
+    "simhash_invariants": 11,
+    "minhash_lsh_candidates": 11,
+    "customer_balance_distribution": 11,
+    "dedup_canonical_docs": 11,
+    "ivfpq_adc_top5": 11,
+    "pq_adc_lloyd_top5": 11,
+    "dedup_components": 11,
+    "lateral_top2_orders_sql": 11,
+    "event_props_variant": 11,
+    "mergeable_user_sketches": 11,
+    "user_latest_event": 11,
+    "pq_adc_opq_top5": 11,
+    "doc_contamination": 11,
+    "doc_pack_bins": 11,
+    "part_name_fuzzy_pairs": 11,
+    "pq_adc_opq_rerank_top5": 11,
+    "opq_adc_rerank_top5_prebuilt": 11,
+    "dedup_keep_best_quality": 11,
 }
 
 
@@ -212,11 +212,7 @@ _RED_LATEST: set[str] = set()
 # rewrite landed the round after its last check).  These sort just
 # after red; tools/update_check_history.py clears a name once a driver
 # row from >= its marked round lands.
-_REPROVE_NEXT: dict[str, int] = {
-    "lsh_knn_top5": 11,  # SRP banding rewritten row-local (r11 item 1)
-    "simhash_invariants": 11,  # same construction change
-    "simhash_near_dups": 11,  # simhash SQL-string expression rebuild
-}
+_REPROVE_NEXT: dict[str, int] = {}
 
 
 def _reorder() -> None:
