@@ -1,0 +1,92 @@
+"""Unit contracts for the standing 100x scale sentinel
+(tools/scale_sentinel.py, round-11 verdict item 5) — the pure-Python
+record/compare logic only; the Spark probe itself is exercised by the
+per-round sentinel run recorded in BENCH_HISTORY.jsonl."""
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tools import scale_sentinel  # noqa: E402
+
+
+def _write_history(tmp_path, lines):
+    p = tmp_path / "BENCH_HISTORY.jsonl"
+    p.write_text("".join(json.dumps(x) + "\n" for x in lines))
+    return p
+
+
+def test_prior_best_ignores_bench_lines_and_other_replicas(
+    tmp_path, monkeypatch
+):
+    hist = _write_history(
+        tmp_path,
+        [
+            # a normal bench line must be invisible to the sentinel
+            {"sf": 0.1, "total": 100.0, "queries": {"lsh_knn_top5": 1.4}},
+            {
+                "kind": "scale_sentinel",
+                "round": 11,
+                "replicas": 10,  # other replica count: not comparable
+                "sentinel": {"lsh_knn_top5": {"10x": {"wall_s": 2.0}}},
+            },
+            {
+                "kind": "scale_sentinel",
+                "round": 11,
+                "replicas": 100,
+                "sentinel": {
+                    "lsh_knn_top5": {
+                        "1x": {"wall_s": 1.6},
+                        "100x": {"wall_s": 4.1},
+                    }
+                },
+            },
+            {
+                "kind": "scale_sentinel",
+                "round": 12,
+                "replicas": 100,
+                "sentinel": {
+                    "lsh_knn_top5": {
+                        "1x": {"wall_s": 1.7},
+                        "100x": {"wall_s": 4.9},
+                    }
+                },
+            },
+        ],
+    )
+    monkeypatch.setattr(scale_sentinel, "HISTORY", str(hist))
+    best = scale_sentinel.prior_best_100x(100)
+    # min across recorded 100x walls, the 10x line excluded
+    assert best == {"lsh_knn_top5": 4.1}
+    assert scale_sentinel.latest_recorded_round() == 12
+
+
+def test_sentinel_lines_are_invisible_to_bench_history_readers(tmp_path):
+    """bench.py's _stable_total/_own_history_timings must skip sentinel
+    lines: they carry no `queries` dict, the key both readers require —
+    otherwise a sentinel append would corrupt the headline-min logic."""
+    import bench
+
+    hist = _write_history(
+        tmp_path,
+        [
+            {"sf": 0.1, "total": 100.0, "queries": {"q": 1.0}},
+            {
+                "kind": "scale_sentinel",
+                "round": 12,
+                "replicas": 100,
+                "sentinel": {"q": {"1x": {"wall_s": 1.0}, "100x": {"wall_s": 3.0}}},
+            },
+        ],
+    )
+    assert bench._stable_total(str(tmp_path), 0.1, {"q"}, None) == 100.0
+    src, timings = bench._own_history_timings(str(tmp_path), 0.1)
+    assert timings == {"q": 1.0}
+
+
+def test_current_round_is_max_correctness_plus_one(tmp_path, monkeypatch):
+    (tmp_path / "CORRECTNESS_r03.json").write_text("{}")
+    (tmp_path / "CORRECTNESS_r11.json").write_text("{}")
+    monkeypatch.setattr(scale_sentinel, "REPO", str(tmp_path))
+    assert scale_sentinel.current_round() == 12

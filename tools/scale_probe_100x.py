@@ -141,13 +141,12 @@ def spill_totals(ui: str) -> tuple[int, int, int]:
         return (-1, -1, -1)
 
 
-def main() -> None:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    probe_queries = (
-        sys.argv[2].split(",")
-        if len(sys.argv) > 2
-        else ["heavy_hitters_top10", "pq_adc_top5_prebuilt", "dedup_canonical_docs"]
-    )
+def run_probe(replicas: int, probe_queries: list[str]) -> dict[str, dict]:
+    """Build 1x/{replicas}x fixtures, run each query at both scales
+    (one untimed warm pass + min-of-2 timed), return
+    {query: {"1x": rec, "{replicas}x": rec}} with wall/spill/shuffle
+    per rec.  Callable so the standing sentinel
+    (tools/scale_sentinel.py) shares the exact probe semantics."""
     work = tempfile.mkdtemp(prefix="scale_probe_")
     t0 = time.perf_counter()
     one, many = build_fixtures(work, replicas)
@@ -198,8 +197,18 @@ def main() -> None:
             results.setdefault(name, {})[tag] = rec
             print(f"{name} {tag}: {rec}", flush=True)
 
-    print(json.dumps(results))
     shutil.rmtree(work, ignore_errors=True)
+    return results
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    probe_queries = (
+        sys.argv[2].split(",")
+        if len(sys.argv) > 2
+        else ["heavy_hitters_top10", "pq_adc_top5_prebuilt", "dedup_canonical_docs"]
+    )
+    print(json.dumps(run_probe(replicas, probe_queries)))
 
 
 if __name__ == "__main__":
