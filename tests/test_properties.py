@@ -237,3 +237,31 @@ def test_srp_signatures_match_definition_at_nondefault_geometry(spark):
                         band |= 1 << j
                 want[(i, t)] = band
         assert got == want, (n_tables, n_bits, dim)
+
+
+def test_srp_signatures_entry_guards(spark):
+    """Round-12 ADVICE closures: (a) n_bits > 62 must raise at entry —
+    the generated band SQL embeds the Python literal ``1 << j``, which
+    overflows BIGINT at j=63 (the old ``shiftleft`` wrapped silently);
+    (b) a vector whose length != dim must fail LOUDLY at execution —
+    before the guard, a longer vector folded its extra positions into
+    S_all (flipping bits vs the posexplode-era plan, which ignored
+    p >= dim) and a shorter one nulled bits to 0."""
+    import pytest
+
+    from tweets_spark_top_10_spark.functions.similarity import (
+        srp_signatures,
+    )
+
+    one = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="n_bits=63"):
+        srp_signatures(one, "vec_id", "embedding", 1, 63, 2)
+
+    mixed = spark.createDataFrame(
+        [(1, [1.0] * 4), (2, [1.0] * 3), (3, [1.0] * 5)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="vector length != dim=4"):
+        srp_signatures(mixed, "vec_id", "embedding", 2, 4, 4).collect()

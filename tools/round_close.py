@@ -46,13 +46,34 @@ def _run(cmd: list[str], dry: bool, ok_codes: tuple[int, ...] = (0,)) -> str:
 
 def main(argv: list[str]) -> int:
     dry = "--dry-run" in argv
+    # The artifact commit is a plain `git commit`, so ANYTHING already
+    # staged would be swept into it.  Refuse to run over a non-empty
+    # index — commit or unstage the in-progress work first.
+    pre_staged = subprocess.run(
+        ["git", "diff", "--cached", "--name-only"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=False,
+    ).stdout.strip()
+    if pre_staged:
+        print(
+            "index already has staged files; commit or unstage them "
+            "before round_close so they are not swept into the "
+            "artifact commit:\n  " + "\n  ".join(pre_staged.splitlines()),
+            file=sys.stderr,
+        )
+        return 1
     # Remember whether catalog.py was already dirty BEFORE the fold so
     # unrelated in-progress edits are never swept into the artifact
     # commit (round-10 advice).
     catalog = "tweets_spark_top_10_spark/queries/catalog.py"
+    # Diff against HEAD (not the index) so STAGED pre-existing edits
+    # also count as dirty — `git diff --name-only` alone misses them,
+    # and the artifact commit would sweep staged feature edits in.
     pre_dirty = bool(
         subprocess.run(
-            ["git", "diff", "--name-only", "--", catalog],
+            ["git", "diff", "HEAD", "--name-only", "--", catalog],
             cwd=REPO,
             capture_output=True,
             text=True,
@@ -79,7 +100,7 @@ def main(argv: list[str]) -> int:
         return fold.returncode
     post_dirty = bool(
         subprocess.run(
-            ["git", "diff", "--name-only", "--", catalog],
+            ["git", "diff", "HEAD", "--name-only", "--", catalog],
             cwd=REPO,
             capture_output=True,
             text=True,
@@ -109,6 +130,18 @@ def main(argv: list[str]) -> int:
     if not staged:
         print("nothing staged; working tree already captures the round")
         return 0
+    # Soft reminder (never blocks the artifact commit): the standing
+    # 100x sentinel should have a recorded line for the round being
+    # worked (round-11 verdict item 5).
+    check = subprocess.run(
+        [sys.executable, "tools/scale_sentinel.py", "--check"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=False,
+    )
+    if check.stdout.strip():
+        print(check.stdout.strip())
     names = ", ".join(sorted(staged.splitlines()))
     _run(
         [

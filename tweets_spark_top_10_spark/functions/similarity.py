@@ -424,7 +424,21 @@ def srp_signatures(
     slower than the HOF fold — these are position-list FOLDS, not
     unrolled chains; only the explode and the hyperplane-table join
     died.)
+
+    Entry contracts (round 12): ``n_bits`` must be ≤ 62 — band codes
+    are BIGINT and the generated SQL embeds the literal ``1 << j``,
+    which overflows at j ≥ 63 (want wider signatures? add tables, not
+    bits).  And every vector must have exactly ``dim`` elements: a
+    longer one would shift ``S_all`` (extra positions folded) and a
+    shorter one would null out bits silently, so mismatches
+    ``raise_error`` at execution instead of banding differently.
     """
+    if n_bits > 62:
+        raise ValueError(
+            f"srp_signatures: n_bits={n_bits} > 62 — band codes are "
+            "BIGINT and the 1<<j term overflows at bit 63; use more "
+            "tables (n_tables) instead of wider bands"
+        )
     signs = _srp_sign_vectors(n_tables, n_bits, dim)
 
     v = (
@@ -462,12 +476,32 @@ def srp_signatures(
     # in a single call: building them as pyspark Column HOFs costs
     # thousands of Py4J round-trips (~6 s of driver time measured at
     # the defaults) for an otherwise-identical expression tree.
+    # Length guard lives INSIDE the consumed expression (a standalone
+    # assert column would be pruned away): wrong-length vectors fail
+    # loudly here rather than silently folding extra positions into
+    # S_all (longer) or nulling bits to 0 (shorter).
     codes = v.select(
         F.col(id_col),
-        F.transform(
-            "__v",
-            lambda x: F.floor(x * F.lit(127.0) / F.col("__mx")).cast("int"),
-        ).alias("__codes"),
+        F.when(
+            F.size("__v") != F.lit(dim),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"srp_signatures: vector length != dim={dim}; got "
+                    ),
+                    F.size("__v").cast("string"),
+                )
+            ).cast("array<int>"),
+        )
+        .otherwise(
+            F.transform(
+                "__v",
+                lambda x: F.floor(x * F.lit(127.0) / F.col("__mx")).cast(
+                    "int"
+                ),
+            )
+        )
+        .alias("__codes"),
     ).withColumn(
         "__sall",
         F.expr(

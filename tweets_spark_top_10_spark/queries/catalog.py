@@ -212,7 +212,14 @@ _RED_LATEST: set[str] = set()
 # rewrite landed the round after its last check).  These sort just
 # after red; tools/update_check_history.py clears a name once a driver
 # row from >= its marked round lands.
-_REPROVE_NEXT: dict[str, int] = {}
+_REPROVE_NEXT: dict[str, int] = {
+    # round-12: srp_signatures gained entry guards (n_bits <= 62
+    # ValueError; in-plan raise_error on vector length != dim) — the
+    # __codes expression is now wrapped in a CASE WHEN, so re-prove
+    # the SRP-banding consumer even though valid-data values are
+    # byte-identical (guards verified perf-neutral, same harness).
+    "lsh_knn_top5": 12,
+}
 
 
 def _reorder() -> None:
