@@ -90,3 +90,30 @@ def test_current_round_is_max_correctness_plus_one(tmp_path, monkeypatch):
     (tmp_path / "CORRECTNESS_r11.json").write_text("{}")
     monkeypatch.setattr(scale_sentinel, "REPO", str(tmp_path))
     assert scale_sentinel.current_round() == 12
+
+
+def test_round_close_refuses_non_empty_index(tmp_path, monkeypatch):
+    """round_close's artifact commit is a plain `git commit`, so
+    anything pre-staged would be swept into it — the tool must refuse
+    to run over a non-empty index (round-12 ADVICE closure)."""
+    import subprocess
+
+    from tools import round_close
+
+    subprocess.run(
+        ["git", "init", "-q", str(tmp_path)], check=True, capture_output=True
+    )
+    env_cfg = [
+        ["git", "-C", str(tmp_path), "config", "user.email", "t@t"],
+        ["git", "-C", str(tmp_path), "config", "user.name", "t"],
+    ]
+    for cmd in env_cfg:
+        subprocess.run(cmd, check=True, capture_output=True)
+    (tmp_path / "feature.py").write_text("x = 1\n")
+    subprocess.run(
+        ["git", "-C", str(tmp_path), "add", "feature.py"],
+        check=True,
+        capture_output=True,
+    )
+    monkeypatch.setattr(round_close, "REPO", tmp_path)
+    assert round_close.main([]) == 1  # refuses before fold/stage/commit
