@@ -212,13 +212,16 @@ _RED_LATEST: set[str] = set()
 # rewrite landed the round after its last check).  These sort just
 # after red; tools/update_check_history.py clears a name once a driver
 # row from >= its marked round lands.
+#
+# round-12: srp_signatures gained entry guards (n_bits <= 62
+# ValueError; in-plan raise_error on vector length != dim) — the
+# __codes expression is now wrapped in a CASE WHEN, so re-prove the
+# SRP-banding consumer even though valid-data values are
+# byte-identical (guards verified perf-neutral, same harness).
+# NOTE: only ENTRY lines inside the braces survive regeneration by
+# tools/update_check_history.py — keep curation notes out here.
 _REPROVE_NEXT: dict[str, int] = {
-    # round-12: srp_signatures gained entry guards (n_bits <= 62
-    # ValueError; in-plan raise_error on vector length != dim) — the
-    # __codes expression is now wrapped in a CASE WHEN, so re-prove
-    # the SRP-banding consumer even though valid-data values are
-    # byte-identical (guards verified perf-neutral, same harness).
-    "lsh_knn_top5": 12,
+    "lsh_knn_top5": 12,  # r12 srp entry guards
 }
 
 
