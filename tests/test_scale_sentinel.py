@@ -85,6 +85,75 @@ def test_sentinel_lines_are_invisible_to_bench_history_readers(tmp_path):
     assert timings == {"q": 1.0}
 
 
+def _rec(q, wall, shuffle, spill=0.0, regressed=(), watch=()):
+    return {
+        "kind": "scale_sentinel",
+        "round": 12,
+        "replicas": 100,
+        "sentinel": {
+            q: {
+                "1x": {"wall_s": 1.0},
+                "100x": {
+                    "wall_s": wall,
+                    "shuffle_read_mb": shuffle,
+                    "spill_mem_mb": spill,
+                    "spill_disk_mb": 0.0,
+                },
+            }
+        },
+        "regressed": [{"query": n, "tier": "wall"} for n in regressed],
+        "wall_watch": [{"query": n, "tier": "wall"} for n in watch],
+    }
+
+
+def _cur(wall, shuffle, spill=0.0):
+    return {
+        "q": {
+            "1x": {"wall_s": 1.0},
+            "100x": {
+                "wall_s": wall,
+                "shuffle_read_mb": shuffle,
+                "spill_mem_mb": spill,
+                "spill_disk_mb": 0.0,
+            },
+        }
+    }
+
+
+def test_classify_two_tier():
+    """Calibrated by the round-12 seed pair: identical code measured
+    29.7 then 47.9 s at 100x with byte-identical shuffle telemetry —
+    a pure-wall 1.5x gate is noise; telemetry drift is not."""
+    seed = _rec("q", wall=30.0, shuffle=15000.0)
+
+    # 1.6x wall, flat telemetry -> watch, not regression
+    reg, watch = scale_sentinel.classify(
+        _cur(48.0, 15000.0), [seed], 100
+    )
+    assert reg == [] and watch[0]["query"] == "q"
+
+    # same wall flag in two CONSECUTIVE rounds -> escalates
+    prev = _rec("q", wall=48.0, shuffle=15000.0, watch=["q"])
+    reg, watch = scale_sentinel.classify(_cur(49.0, 15000.0), [seed, prev], 100)
+    assert reg[0]["tier"] == "wall" and reg[0]["consecutive"] and not watch
+
+    # >10% shuffle-byte drift -> PLAN regression immediately, any wall
+    reg, _ = scale_sentinel.classify(_cur(31.0, 18000.0), [seed], 100)
+    assert reg[0]["tier"] == "plan"
+
+    # new spill where prior had none -> immediate
+    reg, _ = scale_sentinel.classify(_cur(31.0, 15000.0, spill=512.0), [seed], 100)
+    assert reg[0]["tier"] == "spill"
+
+    # flat everything -> clean
+    reg, watch = scale_sentinel.classify(_cur(31.0, 15100.0), [seed], 100)
+    assert reg == [] and watch == []
+
+    # first-ever query seeds silently
+    reg, watch = scale_sentinel.classify(_cur(31.0, 15000.0), [], 100)
+    assert reg == [] and watch == []
+
+
 def test_current_round_is_max_correctness_plus_one(tmp_path, monkeypatch):
     (tmp_path / "CORRECTNESS_r03.json").write_text("{}")
     (tmp_path / "CORRECTNESS_r11.json").write_text("{}")

@@ -24,12 +24,26 @@ Sentinel set and why each is there:
 - ``lsh_knn_top5``           — map-only SRP banding + bounded (t, band)
   candidate join (the round-11 rewrite).
 
-Regression rule: a query regresses when its 100x wall exceeds
-``REGRESS_FACTOR`` (1.5) x the best prior recorded 100x wall for the
-same (query, replicas) — the probe box carries ~±10% noise
-(BASELINE.md round-10 re-anchor), so 1.5x fires on plan-shape breaks,
-not weather.  First-ever rows cannot regress; they seed the reference.
-The ratio itself is NOT gated: each family's expected ratio differs by
+Regression rule (two-tier — calibrated by the round-12 seed pair,
+where `minhash_lsh_candidates` measured 29.7 s then 47.9 s at 100x on
+IDENTICAL code with byte-identical shuffle telemetry, so a pure-wall
+1.5x gate is uninformative for the shuffle-heavy shapes):
+
+1. **PLAN tier, immediate**: the 100x shuffle-read bytes drift >10%
+   from the latest prior record, or spill appears where the prior had
+   none.  The probe's replication is deterministic, so bytes moved are
+   a plan/data property, not weather — any drift IS a plan change and
+   flags the same round, regardless of wall.
+2. **WALL tier, persistent**: the 100x wall exceeds ``REGRESS_FACTOR``
+   (1.5) x the best prior wall with FLAT telemetry.  One such round is
+   recorded as ``wall_watch`` (exit 0 — observed box noise reaches
+   1.6x on the 15 GB-shuffle query); the SAME query wall-flagged in
+   two consecutive sentinel rounds escalates to ``regressed`` — a
+   sustained compute-only slowdown (e.g. a codegen or HOF regression)
+   moves no bytes but does not clear either.
+
+First-ever rows cannot regress; they seed the reference.  The 1x/100x
+ratio itself is NOT gated: each family's expected ratio differs by
 design (2.5x map-only .. 48x O(N^1.5)) and is documented per-family in
 BASELINE.md.
 
@@ -74,11 +88,9 @@ def current_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
-def prior_best_100x(replicas: int) -> dict[str, float]:
-    """Best (min) prior 100x wall per query from recorded sentinel
-    lines at the same replica count."""
-    best: dict[str, float] = {}
-    tag = f"{replicas}x"
+def prior_records(replicas: int) -> list[dict]:
+    """All prior sentinel lines at this replica count, file order."""
+    out: list[dict] = []
     try:
         with open(HISTORY) as fh:
             for line in fh:
@@ -86,17 +98,111 @@ def prior_best_100x(replicas: int) -> dict[str, float]:
                     rec = json.loads(line)
                 except ValueError:
                     continue
-                if rec.get("kind") != "scale_sentinel":
-                    continue
-                if rec.get("replicas") != replicas:
-                    continue
-                for q, scales in rec.get("sentinel", {}).items():
-                    w = scales.get(tag, {}).get("wall_s")
-                    if isinstance(w, (int, float)):
-                        best[q] = min(best.get(q, float("inf")), w)
+                if (
+                    rec.get("kind") == "scale_sentinel"
+                    and rec.get("replicas") == replicas
+                ):
+                    out.append(rec)
     except OSError:
         pass
+    return out
+
+
+def prior_best_100x(replicas: int) -> dict[str, float]:
+    """Best (min) prior 100x wall per query from recorded sentinel
+    lines at the same replica count."""
+    best: dict[str, float] = {}
+    tag = f"{replicas}x"
+    for rec in prior_records(replicas):
+        for q, scales in rec.get("sentinel", {}).items():
+            w = scales.get(tag, {}).get("wall_s")
+            if isinstance(w, (int, float)):
+                best[q] = min(best.get(q, float("inf")), w)
     return best
+
+
+def classify(
+    results: dict[str, dict],
+    priors: list[dict],
+    replicas: int,
+    factor: float = REGRESS_FACTOR,
+) -> tuple[list[dict], list[dict]]:
+    """(regressed, wall_watch) per the two-tier rule in the module
+    docstring.  `results` is run_probe output; `priors` the recorded
+    sentinel lines (file order).  Pure so the tiers are unit-testable
+    without a Spark run."""
+    tag = f"{replicas}x"
+    best: dict[str, float] = {}
+    latest_rec: dict[str, dict] = {}  # query -> its newest prior rec
+    for rec in priors:
+        for q, scales in rec.get("sentinel", {}).items():
+            w = scales.get(tag, {}).get("wall_s")
+            if isinstance(w, (int, float)):
+                best[q] = min(best.get(q, float("inf")), w)
+                latest_rec[q] = scales[tag]
+    latest_flagged: set[str] = set()
+    if priors:
+        last = priors[-1]
+        latest_flagged = {
+            e["query"] for e in last.get("regressed", [])
+        } | {e["query"] for e in last.get("wall_watch", [])}
+
+    regressed: list[dict] = []
+    wall_watch: list[dict] = []
+    for q, scales in results.items():
+        cur = scales.get(tag, {})
+        ref = latest_rec.get(q)
+        if ref is None:
+            continue  # first-ever row seeds the reference
+        wall, ref_best = cur.get("wall_s"), best[q]
+        # PLAN tier: bytes moved are deterministic — drift is a plan
+        # change, flagged immediately.  -1 marks a failed UI probe.
+        cur_sh, ref_sh = cur.get("shuffle_read_mb", -1), ref.get(
+            "shuffle_read_mb", -1
+        )
+        cur_spill = max(0, cur.get("spill_mem_mb", 0)) + max(
+            0, cur.get("spill_disk_mb", 0)
+        )
+        ref_spill = max(0, ref.get("spill_mem_mb", 0)) + max(
+            0, ref.get("spill_disk_mb", 0)
+        )
+        if cur_sh >= 0 and ref_sh >= 0 and abs(cur_sh - ref_sh) > 0.10 * max(
+            ref_sh, 1.0
+        ):
+            regressed.append(
+                {
+                    "query": q,
+                    "tier": "plan",
+                    "shuffle_read_mb": cur_sh,
+                    "prior_shuffle_read_mb": ref_sh,
+                    "wall_100x_s": wall,
+                }
+            )
+            continue
+        if cur_spill > 0 and ref_spill == 0:
+            regressed.append(
+                {
+                    "query": q,
+                    "tier": "spill",
+                    "spill_mb": round(cur_spill, 1),
+                    "wall_100x_s": wall,
+                }
+            )
+            continue
+        # WALL tier: flat telemetry — one round is watch, two is real.
+        if isinstance(wall, (int, float)) and wall > factor * ref_best:
+            entry = {
+                "query": q,
+                "tier": "wall",
+                "wall_100x_s": wall,
+                "prior_best_s": ref_best,
+            }
+            if q in latest_flagged:
+                entry["consecutive"] = True
+                regressed.append(entry)
+            else:
+                wall_watch.append(entry)
+    return regressed, wall_watch
 
 
 def latest_recorded_round() -> int | None:
@@ -135,16 +241,10 @@ def main() -> int:
 
     results = run_probe(replicas, SENTINEL_QUERIES)
     tag = f"{replicas}x"
-    prior = prior_best_100x(replicas)
-    regressed = []
     for q, scales in results.items():
         w1, wn = scales["1x"]["wall_s"], scales[tag]["wall_s"]
         scales["ratio"] = round(wn / w1, 2) if w1 else None
-        ref = prior.get(q)
-        if ref is not None and wn > REGRESS_FACTOR * ref:
-            regressed.append(
-                {"query": q, "wall_100x_s": wn, "prior_best_s": ref}
-            )
+    regressed, wall_watch = classify(results, prior_records(replicas), replicas)
     line = {
         "kind": "scale_sentinel",
         "round": current_round(),
@@ -154,13 +254,18 @@ def main() -> int:
         ),
         "sentinel": results,
         "regressed": regressed,
+        "wall_watch": wall_watch,
     }
     note = os.environ.get("SPARK_GRAFT_BENCH_NOTE")
     if note:
         line["note"] = note
     with open(HISTORY, "a") as fh:
         fh.write(json.dumps(line) + "\n")
-    print(json.dumps({k: line[k] for k in ("kind", "round", "regressed")}))
+    print(
+        json.dumps(
+            {k: line[k] for k in ("kind", "round", "regressed", "wall_watch")}
+        )
+    )
     return 1 if regressed else 0
 
 
