@@ -23,6 +23,13 @@ Sentinel set and why each is there:
   (the plan-hint-pinned shape that spilled 27.9 GB under sort-merge).
 - ``lsh_knn_top5``           — map-only SRP banding + bounded (t, band)
   candidate join (the round-11 rewrite).
+- ``regional_customer_revenue`` — the de-hinted TPC-H star join +
+  per-customer pre-agg (15M customers / 60M lineitem at 100×; the
+  shape a resurrected broadcast hint would OOM).
+- ``user_sessions``          — gap sessionization over per-user
+  windows (100× users, fixed time range — window-partitioning shape).
+- ``pq_adc_top5_prebuilt``   — ANN serving scan over a prebuilt index;
+  the ~flat-at-100× claim the training/serving split rests on.
 
 Regression rule (two-tier — calibrated by the round-12 seed pair,
 where `minhash_lsh_candidates` measured 29.7 s then 47.9 s at 100x on
@@ -72,6 +79,9 @@ SENTINEL_QUERIES = [
     "semantic_dedup_keep",
     "minhash_lsh_candidates",
     "lsh_knn_top5",
+    "regional_customer_revenue",
+    "user_sessions",
+    "pq_adc_top5_prebuilt",
 ]
 REGRESS_FACTOR = 1.5
 
