@@ -265,3 +265,21 @@ def test_srp_signatures_entry_guards(spark):
     )
     with pytest.raises(Exception, match="vector length != dim=4"):
         srp_signatures(mixed, "vec_id", "embedding", 2, 4, 4).collect()
+
+    # boundary: n_bits=62 is legal (bit 61 is the top term, no overflow)
+    two = spark.createDataFrame(
+        [(1, [1.0, -2.0]), (2, [3.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = srp_signatures(two, "vec_id", "embedding", 1, 62, 2).collect()
+    assert len(rows) == 2
+    assert all(0 <= r.band < (1 << 62) for r in rows)  # no sign wrap
+
+    # zero and EMPTY vectors drop at the maxabs>0 filter BEFORE the
+    # length guard — they cannot band; only nonzero wrong-length raises
+    degenerate = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [0.0, 0.0]), (3, [])],
+        "vec_id long, embedding array<double>",
+    )
+    out = srp_signatures(degenerate, "vec_id", "embedding", 2, 4, 2)
+    assert sorted({r.vec_id for r in out.collect()}) == [1]

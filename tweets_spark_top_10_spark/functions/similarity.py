@@ -432,6 +432,11 @@ def srp_signatures(
     longer one would shift ``S_all`` (extra positions folded) and a
     shorter one would null out bits silently, so mismatches
     ``raise_error`` at execution instead of banding differently.
+    Ordering caveat: all-zero AND empty vectors are dropped by the
+    ``maxabs > 0`` filter BEFORE the length guard runs — they cannot
+    band (every sign bit is undefined), and dropping them mirrors the
+    zero-vector contract the oracle replays; only a non-empty,
+    nonzero, wrong-length vector raises.
     """
     if n_bits > 62:
         raise ValueError(
