@@ -127,12 +127,10 @@ def main(argv: list[str]) -> int:
     staged = _run(
         ["git", "diff", "--cached", "--name-only"], dry, ok_codes=(0, 1)
     ).strip()
-    if not staged:
-        print("nothing staged; working tree already captures the round")
-        return 0
-    # Soft reminder (never blocks the artifact commit): the standing
-    # 100x sentinel should have a recorded line for the round being
-    # worked (round-11 verdict item 5).
+    # Soft reminder (never blocks or gates the artifact commit): the
+    # standing 100x sentinel should have a recorded line for the round
+    # being worked (round-11 verdict item 5) — print it even when
+    # nothing is staged, so a no-op close still surfaces the gap.
     check = subprocess.run(
         [sys.executable, "tools/scale_sentinel.py", "--check"],
         cwd=REPO,
@@ -142,6 +140,9 @@ def main(argv: list[str]) -> int:
     )
     if check.stdout.strip():
         print(check.stdout.strip())
+    if not staged:
+        print("nothing staged; working tree already captures the round")
+        return 0
     names = ", ".join(sorted(staged.splitlines()))
     _run(
         [
