@@ -54,53 +54,7 @@ from tweets_spark_top_10_spark.queries.registry import ORACLE, QUERIES
 # zero fails; the r1 rows listed here are the 30 not re-checked in r2,
 # all green in r1).
 _LAST_CHECKED: dict[str, int] = {
-    # --- last driver row: round 9 ---
-    "user_running_value": 9,
-    "customers_without_big_orders": 9,
-    "supplier_distinct_parts": 9,
-    "part_predicates": 9,
-    "event_props_k": 9,
-    "customer_balance_ranks": 9,
-    "order_status_cube": 9,
-    "segment_priority_sets": 9,
-    "part_string_funcs": 9,
-    "props_map_access": 9,
-    "props_key_counts": 9,
-    "approx_distinct_users": 9,
-    "nation_activity_full_outer": 9,
-    "customer_order_counts_right": 9,
-    "part_lineitem_left": 9,
-    "quantity_bucket_ranges": 9,
-    "purchase_last_view_asof": 9,
-    "event_lag_lead": 9,
-    "priority_status_pivot": 9,
-    "bloom_semi_revenue": 9,
-    "orders_cdc_merge": 9,
-    "orders_quality_audit": 9,
-    "orders_snapshot_diff": 9,
-    "orders_scd2_history": 9,
-    "concurrent_part_shipments": 9,
-    "orders_pit_lookup": 9,
-    "priority_price_minmax_ivm": 9,
-    "customer_ancestry_depth_sql": 9,
-    "order_measures_unpivot": 9,
-    "nullsafe_segment_match": 9,
-    "synthetic_events_by_type": 9,
-    "doc_chunks": 9,
-    "doc_weighted_sample": 9,
-    "customer_pseudonymized_spend": 9,
-    "grouped_heavy_hitters": 9,
-    "heavy_hitters_top10": 9,
-    "hourly_heavy_hitters": 9,
-    "embedding_arrow_norms": 9,
-    "user_hourly_gapfill": 9,
-    "user_value_anomalies": 9,
-    "event_value_moments": 9,
     # --- last driver row: round 10 ---
-    "late_shipping_priority": 10,
-    "nations_cust_and_supp": 10,
-    "urgent_only_customers": 10,
-    "lineitem_rollup": 10,
     "monthly_revenue": 10,
     "segment_order_stats": 10,
     "status_priority_grouping_sets": 10,
@@ -119,10 +73,6 @@ _LAST_CHECKED: dict[str, int] = {
     "doc_stopword_ratio": 10,
     "urgent_vs_customer_avg_sql": 10,
     "approx_quantile_gate": 10,
-    "nation_trade_pagerank": 10,
-    "metrics_order_summary": 10,
-    "metrics_event_by_type": 10,
-    "media_audio_stats": 10,
     "priority_revenue_ivm": 10,
     "doc_token_ids": 10,
     "nation_pair_trade_volume": 10,
@@ -156,7 +106,6 @@ _LAST_CHECKED: dict[str, int] = {
     "regional_customer_revenue": 11,
     "top_orders_per_customer": 11,
     "embedding_quantize_int8": 11,
-    "lsh_knn_top5": 11,
     "doc_fingerprints": 11,
     "doc_split_assignment": 11,
     "doc_normalize": 11,
@@ -196,6 +145,57 @@ _LAST_CHECKED: dict[str, int] = {
     "pq_adc_opq_rerank_top5": 11,
     "opq_adc_rerank_top5_prebuilt": 11,
     "dedup_keep_best_quality": 11,
+    # --- last driver row: round 12 ---
+    "user_running_value": 12,
+    "customers_without_big_orders": 12,
+    "late_shipping_priority": 12,
+    "nations_cust_and_supp": 12,
+    "urgent_only_customers": 12,
+    "lineitem_rollup": 12,
+    "supplier_distinct_parts": 12,
+    "part_predicates": 12,
+    "event_props_k": 12,
+    "customer_balance_ranks": 12,
+    "order_status_cube": 12,
+    "segment_priority_sets": 12,
+    "part_string_funcs": 12,
+    "props_map_access": 12,
+    "props_key_counts": 12,
+    "approx_distinct_users": 12,
+    "nation_activity_full_outer": 12,
+    "customer_order_counts_right": 12,
+    "part_lineitem_left": 12,
+    "quantity_bucket_ranges": 12,
+    "purchase_last_view_asof": 12,
+    "event_lag_lead": 12,
+    "priority_status_pivot": 12,
+    "lsh_knn_top5": 12,
+    "nation_trade_pagerank": 12,
+    "metrics_order_summary": 12,
+    "metrics_event_by_type": 12,
+    "media_audio_stats": 12,
+    "bloom_semi_revenue": 12,
+    "orders_cdc_merge": 12,
+    "orders_quality_audit": 12,
+    "orders_snapshot_diff": 12,
+    "orders_scd2_history": 12,
+    "concurrent_part_shipments": 12,
+    "orders_pit_lookup": 12,
+    "priority_price_minmax_ivm": 12,
+    "customer_ancestry_depth_sql": 12,
+    "order_measures_unpivot": 12,
+    "nullsafe_segment_match": 12,
+    "synthetic_events_by_type": 12,
+    "doc_chunks": 12,
+    "doc_weighted_sample": 12,
+    "customer_pseudonymized_spend": 12,
+    "grouped_heavy_hitters": 12,
+    "heavy_hitters_top10": 12,
+    "hourly_heavy_hitters": 12,
+    "embedding_arrow_norms": 12,
+    "user_hourly_gapfill": 12,
+    "user_value_anomalies": 12,
+    "event_value_moments": 12,
 }
 
 
@@ -220,9 +220,7 @@ _RED_LATEST: set[str] = set()
 # byte-identical (guards verified perf-neutral, same harness).
 # NOTE: only ENTRY lines inside the braces survive regeneration by
 # tools/update_check_history.py — keep curation notes out here.
-_REPROVE_NEXT: dict[str, int] = {
-    "lsh_knn_top5": 12,  # r12 srp entry guards
-}
+_REPROVE_NEXT: dict[str, int] = {}
 
 
 def _reorder() -> None:
