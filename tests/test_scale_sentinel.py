@@ -4,9 +4,10 @@ record/compare logic only; the Spark probe itself is exercised by the
 per-round sentinel run recorded in BENCH_HISTORY.jsonl."""
 
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools import scale_sentinel  # noqa: E402
 
@@ -85,10 +86,10 @@ def test_sentinel_lines_are_invisible_to_bench_history_readers(tmp_path):
     assert timings == {"q": 1.0}
 
 
-def _rec(q, wall, shuffle, spill=0.0, regressed=(), watch=()):
+def _rec(q, wall, shuffle, spill=0.0, regressed=(), watch=(), round=12, tier="wall"):
     return {
         "kind": "scale_sentinel",
-        "round": 12,
+        "round": round,
         "replicas": 100,
         "sentinel": {
             q: {
@@ -101,7 +102,7 @@ def _rec(q, wall, shuffle, spill=0.0, regressed=(), watch=()):
                 },
             }
         },
-        "regressed": [{"query": n, "tier": "wall"} for n in regressed],
+        "regressed": [{"query": n, "tier": tier} for n in regressed],
         "wall_watch": [{"query": n, "tier": "wall"} for n in watch],
     }
 
@@ -136,6 +137,31 @@ def test_classify_two_tier():
     prev = _rec("q", wall=48.0, shuffle=15000.0, watch=["q"])
     reg, watch = scale_sentinel.classify(_cur(49.0, 15000.0), [seed, prev], 100)
     assert reg[0]["tier"] == "wall" and reg[0]["consecutive"] and not watch
+
+    # ... but a SAME-ROUND re-run (three round-12 lines exist in real
+    # history) must NOT self-escalate: the watch line is from this
+    # round, so a second slow run this round stays a watch.
+    seed11 = _rec("q", wall=30.0, shuffle=15000.0, round=11)
+    prev12 = _rec("q", wall=48.0, shuffle=15000.0, round=12, watch=["q"])
+    reg, watch = scale_sentinel.classify(
+        _cur(49.0, 15000.0), [seed11, prev12], 100, cur_round=12
+    )
+    assert reg == [] and watch[0]["query"] == "q"
+    # a LATER round seeing the round-12 watch does escalate
+    reg, watch = scale_sentinel.classify(
+        _cur(49.0, 15000.0), [seed11, prev12], 100, cur_round=13
+    )
+    assert reg[0].get("consecutive") and not watch
+
+    # a prior PLAN/SPILL flag is not a wall precedent: plan flag last
+    # round + slow-flat wall this round -> watch, not consecutive.
+    prev_plan = _rec(
+        "q", wall=31.0, shuffle=15000.0, round=12, regressed=["q"], tier="plan"
+    )
+    reg, watch = scale_sentinel.classify(
+        _cur(49.0, 15000.0), [seed11, prev_plan], 100, cur_round=13
+    )
+    assert reg == [] and watch[0]["query"] == "q"
 
     # >10% shuffle-byte drift -> PLAN regression immediately, any wall
     reg, _ = scale_sentinel.classify(_cur(31.0, 18000.0), [seed], 100)

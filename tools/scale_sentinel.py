@@ -2,8 +2,8 @@
 
 The per-family 100x probes were run ad-hoc each round; a scale
 regression therefore surfaced only when someone re-ran the right probe.
-This tool makes a FIXED 4-query sentinel — spanning the scale-sensitive
-plan shapes — a once-per-round record: it reuses
+This tool makes a FIXED sentinel set (see ``SENTINEL_QUERIES``) —
+spanning the scale-sensitive plan shapes — a once-per-round record: it reuses
 ``tools/scale_probe_100x.run_probe`` (same fixtures, same min-of-2
 timing, same spill telemetry) and APPENDS one line to
 ``BENCH_HISTORY.jsonl``::
@@ -118,16 +118,26 @@ def prior_records(replicas: int) -> list[dict]:
     return out
 
 
-def prior_best_100x(replicas: int) -> dict[str, float]:
-    """Best (min) prior 100x wall per query from recorded sentinel
-    lines at the same replica count."""
+def _best_and_latest(
+    priors: list[dict], tag: str
+) -> tuple[dict[str, float], dict[str, dict]]:
+    """Per query: min prior wall at `tag`, and the newest prior
+    telemetry record (file order = chronological)."""
     best: dict[str, float] = {}
-    tag = f"{replicas}x"
-    for rec in prior_records(replicas):
+    latest_rec: dict[str, dict] = {}
+    for rec in priors:
         for q, scales in rec.get("sentinel", {}).items():
             w = scales.get(tag, {}).get("wall_s")
             if isinstance(w, (int, float)):
                 best[q] = min(best.get(q, float("inf")), w)
+                latest_rec[q] = scales[tag]
+    return best, latest_rec
+
+
+def prior_best_100x(replicas: int) -> dict[str, float]:
+    """Best (min) prior 100x wall per query from recorded sentinel
+    lines at the same replica count."""
+    best, _ = _best_and_latest(prior_records(replicas), f"{replicas}x")
     return best
 
 
@@ -136,25 +146,35 @@ def classify(
     priors: list[dict],
     replicas: int,
     factor: float = REGRESS_FACTOR,
+    cur_round: int | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """(regressed, wall_watch) per the two-tier rule in the module
     docstring.  `results` is run_probe output; `priors` the recorded
     sentinel lines (file order).  Pure so the tiers are unit-testable
-    without a Spark run."""
+    without a Spark run.
+
+    Escalation reads the newest prior record from a STRICTLY EARLIER
+    round than `cur_round` (a same-round re-run — which happens, three
+    round-12 lines exist in history — must not turn one noisy wall
+    into a 'consecutive-rounds' regression), and only its WALL-tier
+    flags count: a plan/spill flag followed by a slow wall is two
+    different symptoms, not a sustained compute slowdown."""
     tag = f"{replicas}x"
-    best: dict[str, float] = {}
-    latest_rec: dict[str, dict] = {}  # query -> its newest prior rec
-    for rec in priors:
-        for q, scales in rec.get("sentinel", {}).items():
-            w = scales.get(tag, {}).get("wall_s")
-            if isinstance(w, (int, float)):
-                best[q] = min(best.get(q, float("inf")), w)
-                latest_rec[q] = scales[tag]
+    best, latest_rec = _best_and_latest(priors, tag)
     latest_flagged: set[str] = set()
-    if priors:
-        last = priors[-1]
+    earlier = [
+        r
+        for r in priors
+        if isinstance(r.get("round"), int)
+        and (cur_round is None or r["round"] < cur_round)
+    ]
+    if earlier:
+        last_round = max(r["round"] for r in earlier)
+        last = [r for r in earlier if r["round"] == last_round][-1]
         latest_flagged = {
-            e["query"] for e in last.get("regressed", [])
+            e["query"]
+            for e in last.get("regressed", [])
+            if e.get("tier") == "wall"
         } | {e["query"] for e in last.get("wall_watch", [])}
 
     regressed: list[dict] = []
@@ -254,7 +274,12 @@ def main() -> int:
     for q, scales in results.items():
         w1, wn = scales["1x"]["wall_s"], scales[tag]["wall_s"]
         scales["ratio"] = round(wn / w1, 2) if w1 else None
-    regressed, wall_watch = classify(results, prior_records(replicas), replicas)
+    regressed, wall_watch = classify(
+        results,
+        prior_records(replicas),
+        replicas,
+        cur_round=current_round(),
+    )
     line = {
         "kind": "scale_sentinel",
         "round": current_round(),

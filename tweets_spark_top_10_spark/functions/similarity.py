@@ -428,7 +428,12 @@ def srp_signatures(
     Entry contracts (round 12): ``n_bits`` must be ≤ 62 — band codes
     are BIGINT and the generated SQL embeds the literal ``1 << j``,
     which overflows at j ≥ 63 (want wider signatures? add tables, not
-    bits).  And every vector must have exactly ``dim`` elements: a
+    bits).  62 is the deliberately pinned ceiling, one bit stricter
+    than the arithmetic minimum: n_bits=63 would exactly saturate
+    signed-BIGINT max (sum of ``1<<j`` for j=0..62 is 2^63-1), leaving
+    zero headroom and an all-ones code one increment from the sign
+    bit; we keep that last bit clear by contract, and the boundary
+    tests pin 62 legal / 63 illegal.  And every vector must have exactly ``dim`` elements: a
     longer one would shift ``S_all`` (extra positions folded) and a
     shorter one would null out bits silently, so mismatches
     ``raise_error`` at execution instead of banding differently.
