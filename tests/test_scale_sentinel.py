@@ -180,6 +180,82 @@ def test_classify_two_tier():
     assert reg == [] and watch == []
 
 
+def _stream_line(round, total, pairs=75081, cells=8.5, regressed=(), watch=()):
+    return {
+        "kind": "scale_sentinel",
+        "round": round,
+        "replicas": 100,
+        "stream": {
+            "query": "maintain_semantic_dedup",
+            "replicas": 10,
+            "batches": 6,
+            "merge_total_s": total,
+            "final_pairs_rows": pairs,
+            "final_cells_mb": cells,
+        },
+        "regressed": [{"query": n, "tier": "wall"} for n in regressed],
+        "wall_watch": [{"query": n, "tier": "wall"} for n in watch],
+    }
+
+
+def _stream_cur(total, pairs=75081, cells=8.5):
+    return {
+        "query": "maintain_semantic_dedup",
+        "replicas": 10,
+        "batches": 6,
+        "merge_total_s": total,
+        "final_pairs_rows": pairs,
+        "final_cells_mb": cells,
+    }
+
+
+def test_classify_stream_two_tier():
+    """The streaming row's plan gate is EXACT on accumulated pairs
+    (deterministic replay); cells_mb gets 10%; wall follows the same
+    round-aware two-tier policy as the batch rows."""
+    seed = _stream_line(11, 30.0)
+
+    # first-ever seeds silently
+    assert scale_sentinel.classify_stream(_stream_cur(30.0), []) == ([], [])
+    # a prior line WITHOUT a stream rec is not a reference
+    assert scale_sentinel.classify_stream(
+        _stream_cur(30.0), [{"kind": "scale_sentinel", "round": 11}]
+    ) == ([], [])
+
+    # flat everything -> clean
+    reg, watch = scale_sentinel.classify_stream(_stream_cur(31.0), [seed])
+    assert reg == [] and watch == []
+
+    # ANY pair-count drift -> plan regression immediately
+    reg, _ = scale_sentinel.classify_stream(
+        _stream_cur(30.0, pairs=75082), [seed]
+    )
+    assert reg[0]["tier"] == "plan" and "final_pairs_rows" in reg[0]
+
+    # >10% cell-state drift -> plan regression
+    reg, _ = scale_sentinel.classify_stream(
+        _stream_cur(30.0, cells=10.0), [seed]
+    )
+    assert reg[0]["tier"] == "plan" and "final_cells_mb" in reg[0]
+
+    # slow wall, flat telemetry -> watch
+    reg, watch = scale_sentinel.classify_stream(
+        _stream_cur(48.0), [seed], cur_round=12
+    )
+    assert reg == [] and watch[0]["tier"] == "wall"
+
+    # watch in an EARLIER round escalates; same-round re-run does not
+    prev = _stream_line(12, 48.0, watch=["maintain_semantic_dedup"])
+    reg, watch = scale_sentinel.classify_stream(
+        _stream_cur(49.0), [seed, prev], cur_round=13
+    )
+    assert reg[0].get("consecutive") and not watch
+    reg, watch = scale_sentinel.classify_stream(
+        _stream_cur(49.0), [seed, prev], cur_round=12
+    )
+    assert reg == [] and watch[0]["query"] == "maintain_semantic_dedup"
+
+
 def test_current_round_is_max_correctness_plus_one(tmp_path, monkeypatch):
     (tmp_path / "CORRECTNESS_r03.json").write_text("{}")
     (tmp_path / "CORRECTNESS_r11.json").write_text("{}")

@@ -31,6 +31,20 @@ Sentinel set and why each is there:
 - ``pq_adc_top5_prebuilt``   — ANN serving scan over a prebuilt index;
   the ~flat-at-100× claim the training/serving split rests on.
 
+Plus ONE streaming-maintenance row (round-12 verdict item 5 — state
+growth was the only scale surface with no standing per-round record):
+a 10x / 6-micro-batch ``maintain_semantic_dedup`` replay through
+``tools/stream_scale_probe.probe_semantic_dedup`` (fixed full-corpus
+quantizer, content-disjoint cyclic-shift feed).  Recorded under the
+line's ``stream`` key; gated by :func:`classify_stream` — the final
+accumulated pair count is DETERMINISTIC (fixed feed, seeded
+quantizer), so any drift is a semantics/plan change and flags
+immediately; cell-state bytes get the 10% plan gate; total merge wall
+gets the same two-tier watch/escalate policy as the batch rows.  The
+100x/10-batch production-loop replay (~407 s, BASELINE.md round-11)
+stays an ad-hoc probe — this row is its per-round canary at ~1/8 the
+cost, exercising the identical upsert path.
+
 Regression rule (two-tier — calibrated by the round-12 seed pair,
 where `minhash_lsh_candidates` measured 29.7 s then 47.9 s at 100x on
 IDENTICAL code with byte-identical shuffle telemetry, so a pure-wall
@@ -56,9 +70,10 @@ BASELINE.md.
 
 Usage::
 
-    python tools/scale_sentinel.py [replicas]   # default 100
-    python tools/scale_sentinel.py --check      # no probe: report the
-                                                # latest recorded round
+    python tools/scale_sentinel.py [replicas]     # default 100
+    python tools/scale_sentinel.py --no-stream    # batch rows only
+    python tools/scale_sentinel.py --check        # no probe: report
+                                                  # latest recorded round
 Exit code 1 when any sentinel regressed (so round automation can trip).
 """
 
@@ -84,6 +99,8 @@ SENTINEL_QUERIES = [
     "pq_adc_top5_prebuilt",
 ]
 REGRESS_FACTOR = 1.5
+STREAM_REPLICAS = 10
+STREAM_BATCHES = 6
 
 
 def current_round() -> int:
@@ -141,6 +158,30 @@ def prior_best_100x(replicas: int) -> dict[str, float]:
     return best
 
 
+def _earlier_round_wall_flags(
+    priors: list[dict], cur_round: int | None
+) -> set[str]:
+    """Queries wall-flagged (watch or wall-tier regressed) in the
+    newest prior record from a STRICTLY EARLIER round — the only
+    precedent that can turn this round's slow wall into 'consecutive
+    rounds'."""
+    earlier = [
+        r
+        for r in priors
+        if isinstance(r.get("round"), int)
+        and (cur_round is None or r["round"] < cur_round)
+    ]
+    if not earlier:
+        return set()
+    last_round = max(r["round"] for r in earlier)
+    last = [r for r in earlier if r["round"] == last_round][-1]
+    return {
+        e["query"]
+        for e in last.get("regressed", [])
+        if e.get("tier") == "wall"
+    } | {e["query"] for e in last.get("wall_watch", [])}
+
+
 def classify(
     results: dict[str, dict],
     priors: list[dict],
@@ -161,21 +202,7 @@ def classify(
     different symptoms, not a sustained compute slowdown."""
     tag = f"{replicas}x"
     best, latest_rec = _best_and_latest(priors, tag)
-    latest_flagged: set[str] = set()
-    earlier = [
-        r
-        for r in priors
-        if isinstance(r.get("round"), int)
-        and (cur_round is None or r["round"] < cur_round)
-    ]
-    if earlier:
-        last_round = max(r["round"] for r in earlier)
-        last = [r for r in earlier if r["round"] == last_round][-1]
-        latest_flagged = {
-            e["query"]
-            for e in last.get("regressed", [])
-            if e.get("tier") == "wall"
-        } | {e["query"] for e in last.get("wall_watch", [])}
+    latest_flagged = _earlier_round_wall_flags(priors, cur_round)
 
     regressed: list[dict] = []
     wall_watch: list[dict] = []
@@ -235,6 +262,121 @@ def classify(
     return regressed, wall_watch
 
 
+def run_stream_row(
+    replicas: int = STREAM_REPLICAS, batches: int = STREAM_BATCHES
+) -> dict:
+    """One streaming-maintenance sentinel row: replay a 10x
+    content-disjoint embedding corpus through
+    ``upsert_semantic_pairs_batch`` in ``batches`` micro-batches
+    against a fixed full-corpus quantizer (the exact
+    ``probe_semantic_dedup`` protocol, BASELINE.md round-9) and
+    compress the per-batch telemetry into one record."""
+    import shutil
+    import tempfile
+
+    try:
+        from tools.stream_scale_probe import probe_semantic_dedup
+    except ImportError:  # run as a script: sys.path[0] is tools/
+        from stream_scale_probe import probe_semantic_dedup
+
+    from tweets_spark_top_10_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scale-probe",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "24g"
+            ),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="stream_sentinel_")
+    try:
+        res = probe_semantic_dedup(spark, work, replicas, batches)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    per = res["per_batch"]
+    return {
+        "query": "maintain_semantic_dedup",
+        "replicas": replicas,
+        "batches": batches,
+        "merge_total_s": round(sum(r["merge_s"] for r in per), 2),
+        "first3_avg_s": res["merge_s_first3_avg"],
+        "last3_avg_s": res["merge_s_last3_avg"],
+        "final_pairs_rows": per[-1]["pairs_rows"],
+        "final_cells_mb": per[-1]["cells_mb"],
+    }
+
+
+def classify_stream(
+    cur: dict,
+    priors: list[dict],
+    factor: float = REGRESS_FACTOR,
+    cur_round: int | None = None,
+) -> tuple[list[dict], list[dict]]:
+    """(regressed, wall_watch) for the streaming row.  The replay is
+    deterministic end-to-end (fixed feed, seeded quantizer, range
+    batching), so the accumulated pair count is an EXACT plan gate —
+    any drift means the upsert semantics changed; cell-state bytes get
+    the 10% gate (parquet framing jitter); total merge wall follows
+    the same two-tier watch/escalate policy as the batch rows."""
+    recs = [
+        r
+        for r in priors
+        if isinstance(r.get("stream"), dict)
+        and r["stream"].get("replicas") == cur.get("replicas")
+        and r["stream"].get("batches") == cur.get("batches")
+    ]
+    if not recs:
+        return [], []  # first-ever row seeds the reference
+    q = cur["query"]
+    latest = recs[-1]["stream"]
+    walls = [
+        r["stream"]["merge_total_s"]
+        for r in recs
+        if isinstance(r["stream"].get("merge_total_s"), (int, float))
+    ]
+    if cur.get("final_pairs_rows") != latest.get("final_pairs_rows"):
+        return [
+            {
+                "query": q,
+                "tier": "plan",
+                "final_pairs_rows": cur.get("final_pairs_rows"),
+                "prior_pairs_rows": latest.get("final_pairs_rows"),
+                "merge_total_s": cur.get("merge_total_s"),
+            }
+        ], []
+    cur_mb, ref_mb = cur.get("final_cells_mb"), latest.get("final_cells_mb")
+    if (
+        isinstance(cur_mb, (int, float))
+        and isinstance(ref_mb, (int, float))
+        and abs(cur_mb - ref_mb) > 0.10 * max(ref_mb, 1.0)
+    ):
+        return [
+            {
+                "query": q,
+                "tier": "plan",
+                "final_cells_mb": cur_mb,
+                "prior_cells_mb": ref_mb,
+                "merge_total_s": cur.get("merge_total_s"),
+            }
+        ], []
+    wall = cur.get("merge_total_s")
+    if walls and isinstance(wall, (int, float)) and wall > factor * min(walls):
+        entry = {
+            "query": q,
+            "tier": "wall",
+            "merge_total_s": wall,
+            "prior_best_s": min(walls),
+        }
+        if q in _earlier_round_wall_flags(recs, cur_round):
+            entry["consecutive"] = True
+            return [entry], []
+        return [], [entry]
+    return [], []
+
+
 def latest_recorded_round() -> int | None:
     latest = None
     try:
@@ -263,7 +405,8 @@ def main() -> int:
         )
         return 0 if latest == cur else 1
 
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    positional = [a for a in sys.argv[1:] if not a.startswith("--")]
+    replicas = int(positional[0]) if positional else 100
     try:
         from tools.scale_probe_100x import run_probe
     except ImportError:  # run as a script: sys.path[0] is tools/
@@ -274,12 +417,18 @@ def main() -> int:
     for q, scales in results.items():
         w1, wn = scales["1x"]["wall_s"], scales[tag]["wall_s"]
         scales["ratio"] = round(wn / w1, 2) if w1 else None
+    priors = prior_records(replicas)
     regressed, wall_watch = classify(
-        results,
-        prior_records(replicas),
-        replicas,
-        cur_round=current_round(),
+        results, priors, replicas, cur_round=current_round()
     )
+    stream_rec = None
+    if "--no-stream" not in sys.argv:
+        stream_rec = run_stream_row()
+        s_reg, s_watch = classify_stream(
+            stream_rec, priors, cur_round=current_round()
+        )
+        regressed.extend(s_reg)
+        wall_watch.extend(s_watch)
     line = {
         "kind": "scale_sentinel",
         "round": current_round(),
@@ -291,6 +440,8 @@ def main() -> int:
         "regressed": regressed,
         "wall_watch": wall_watch,
     }
+    if stream_rec is not None:
+        line["stream"] = stream_rec
     note = os.environ.get("SPARK_GRAFT_BENCH_NOTE")
     if note:
         line["note"] = note
