@@ -1,0 +1,86 @@
+"""Tokenizer-training queries: distributed BPE merge learning.
+
+Oracle strategy mirrors ``graph_queries`` (the other fixed-round
+iterative op): the SAME number of rounds unrolled as SQL CTEs, so the
+comparison is full-value.  Each round is (pair counts from the current
+symbol strings) -> (argmax with the count DESC, lhs, rhs tie-break) ->
+(one leftmost-non-overlapping replace) — the exact semantics of the
+Spark builder in ``functions/bpe.py``, expressed in DuckDB's own list
+and string primitives rather than replayed through a shared library.
+Counts are integers and tie-breaks are byte-order string comparisons,
+so the merge sequence matches exactly, no rounding bands needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tweets_spark_top_10_spark.queries.registry import register
+from tweets_spark_top_10_spark.sources.registry import load_table
+
+# AS MATERIALIZED is load-bearing: DuckDB INLINES plain CTEs, and each
+# round references w{prev} twice (pair counts + the replace), so an
+# un-materialized chain duplicates the base scan 2^rounds times —
+# measured as an EMFILE blowup (hundreds of parquet opens) before it
+# even gets slow.  Materializing w/b makes the oracle linear in
+# rounds, mirroring the Spark side's per-round localCheckpoint.
+_BPE_ROUND_CTE = r"""
+    c{i} AS MATERIALIZED (
+      SELECT arr[j] AS lhs, arr[j+1] AS rhs,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT arr, freq, unnest(range(1, len(arr))) AS j
+        FROM (SELECT string_split(trim(s), ' ') AS arr, freq FROM w{prev})
+      )
+      GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT lhs, rhs, cnt FROM c{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT replace(s,
+               ' ' || (SELECT lhs FROM b{i}) || ' ' || (SELECT rhs FROM b{i}) || ' ',
+               ' ' || (SELECT lhs FROM b{i}) || (SELECT rhs FROM b{i}) || ' ') AS s,
+             freq
+      FROM w{prev}
+    )"""
+
+
+def _bpe_oracle(merges: int) -> str:
+    rounds = ",".join(
+        _BPE_ROUND_CTE.format(i=i, prev=i - 1) for i in range(1, merges + 1)
+    )
+    finals = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS merge_rank, lhs, rhs, "
+        f"cnt AS pair_count FROM b{i}"
+        for i in range(1, merges + 1)
+    )
+    return rf"""
+    WITH w0 AS MATERIALIZED (
+      SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS s,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents
+      )
+      GROUP BY 1
+    ),
+    {rounds}
+    SELECT * FROM ({finals})
+    """
+
+
+@register("bpe_merge_table", oracle=_bpe_oracle(8))
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merge rules learned from the documents corpus
+    (Sennrich'16 subword-unit training), fully distributed: the corpus
+    collapses to a Zipf-compressed word-frequency table once, then
+    each round is a pair-explode + map-side-combined groupBy + a
+    bounded ONE-ROW argmax collect + one narrow codegen'd string
+    replace (see ``functions/bpe.py`` for the 100 TB contract).  The
+    oracle unrolls the identical 8 rounds as DuckDB CTEs."""
+    from tweets_spark_top_10_spark.functions.bpe import bpe_learn_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_learn_merges(docs, text_col="text", merges=8)

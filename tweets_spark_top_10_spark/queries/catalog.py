@@ -34,6 +34,7 @@ from __future__ import annotations
 
 # Import order is alphabetical-ish; each module registers on import.
 from tweets_spark_top_10_spark.queries import (  # noqa: F401
+    bpe_queries,
     graph_queries,
     metrics_queries,
     multimodal_queries,
