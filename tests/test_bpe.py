@@ -88,9 +88,47 @@ def test_bpe_handmade_overlaps_and_ties(spark):
     )]
 
 
+def _py_apply_merges(texts, merge_rules):
+    """Segmented word-frequency dict after applying merges in order."""
+    freq = collections.Counter(
+        tok for t in texts for tok in re.split(r"\s+", t) if tok
+    )
+    words = {" " + " ".join(w) + " ": c for w, c in freq.items()}
+    for lhs, rhs in merge_rules:
+        pat, rep = f" {lhs} {rhs} ", f" {lhs}{rhs} "
+        merged: dict[str, int] = {}
+        for s, c in words.items():
+            k = s.replace(pat, rep)
+            merged[k] = merged.get(k, 0) + c
+        words = merged
+    return words
+
+
+def test_bpe_subword_vocab_matches_python_reference(spark, sf_dir):
+    """Encode half: top-20 subword counts after the learned merges ==
+    the pure-Python segmentation, exactly (count DESC, subword ASC)."""
+    from tweets_spark_top_10_spark.queries import QUERIES
+
+    texts = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )["text"].to_pylist()
+    rules = [(lh, rh) for _, lh, rh, _ in _py_bpe(texts, 8)]
+    counts: collections.Counter = collections.Counter()
+    for s, c in _py_apply_merges(texts, rules).items():
+        for sym in s.split():
+            counts[sym] += c
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r.subword, r.n)
+        for r in QUERIES["bpe_subword_vocab_top20"](spark, sf_dir).collect()
+    ]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == expected
+    assert len(got) == 20
+
+
 def test_bpe_oracle_harness_compare(spark, sf_dir):
     """Full driver-style compare (row count + dtype-strict canon hash)
-    against the unrolled MATERIALIZED-CTE oracle."""
+    against the unrolled MATERIALIZED-CTE oracles, both queries."""
     from tests.oracle_harness import compare
     from tweets_spark_top_10_spark.queries import ORACLE, QUERIES
 
@@ -99,12 +137,9 @@ def test_bpe_oracle_harness_compare(spark, sf_dir):
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{sf_dir}/documents.parquet')"
     )
-    res = compare(
-        QUERIES["bpe_merge_table"](spark, sf_dir),
-        con,
-        ORACLE["bpe_merge_table"],
-    )
-    assert res.ok, res.detail
+    for name in ("bpe_merge_table", "bpe_subword_vocab_top20"):
+        res = compare(QUERIES[name](spark, sf_dir), con, ORACLE[name])
+        assert res.ok, f"{name}: {res.detail}"
 
 
 def test_bpe_rejects_bad_merge_count(spark):

@@ -90,19 +90,15 @@ def _adjacent_pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
-def bpe_learn_merges(
-    docs: DataFrame, text_col: str = "text", merges: int = 8
-) -> DataFrame:
-    """Learn the first ``merges`` BPE merge rules from a corpus.
-
-    Returns (merge_rank int, lhs string, rhs string, pair_count long),
-    merge_rank 1-based in merge order.  Stops early (fewer rows) if the corpus
-    runs out of adjacent pairs.  The result is driver-sized by
-    construction (K rows) — the iteration state stays distributed.
-    """
+def _learn(
+    docs: DataFrame, text_col: str, merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Shared learn loop: the driver-sized merge list plus the FINAL
+    segmented word-frequency table (still distributed) — the learn
+    query returns the former, the encode/vocab query consumes the
+    latter without re-deriving state."""
     if merges < 1:
         raise ValueError(f"merges must be >= 1, got {merges}")
-    spark = docs.sparkSession
     words = word_frequency_table(docs, text_col).localCheckpoint(eager=True)
 
     learned: list[tuple[int, str, str, int]] = []
@@ -125,4 +121,40 @@ def bpe_learn_merges(
                 F.lit(f" {lhs}{rhs} "),
             ),
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(learned, MERGE_SCHEMA)
+    return learned, words
+
+
+def bpe_learn_merges(
+    docs: DataFrame, text_col: str = "text", merges: int = 8
+) -> DataFrame:
+    """Learn the first ``merges`` BPE merge rules from a corpus.
+
+    Returns (merge_rank int, lhs string, rhs string, pair_count long),
+    merge_rank 1-based in merge order.  Stops early (fewer rows) if the corpus
+    runs out of adjacent pairs.  The result is driver-sized by
+    construction (K rows) — the iteration state stays distributed.
+    """
+    learned, _ = _learn(docs, text_col, merges)
+    return docs.sparkSession.createDataFrame(learned, MERGE_SCHEMA)
+
+
+def bpe_subword_counts(
+    docs: DataFrame, text_col: str = "text", merges: int = 8
+) -> DataFrame:
+    """Corpus-wide subword frequencies AFTER applying the learned
+    merges — the encode half of tokenizer training, the operation that
+    actually touches 100 TB.  The count runs on the Zipf-compressed
+    word-frequency table weighted by word frequency, which equals the
+    corpus-wide subword count exactly (segmentation is per-word), so
+    the corpus is scanned ONCE total (by ``word_frequency_table``) no
+    matter how many merges were learned.  Returns (subword string,
+    n long), every subword in the segmented corpus."""
+    _, words = _learn(docs, text_col, merges)
+    return (
+        words.select(
+            F.explode(F.split(F.trim(F.col("s")), " ")).alias("subword"),
+            "freq",
+        )
+        .groupBy("subword")
+        .agg(F.sum("freq").alias("n"))
+    )

@@ -14,6 +14,7 @@ so the merge sequence matches exactly, no rounding bands needed.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from tweets_spark_top_10_spark.queries.registry import register
 from tweets_spark_top_10_spark.sources.registry import load_table
@@ -71,6 +72,33 @@ def _bpe_oracle(merges: int) -> str:
     """
 
 
+def _bpe_vocab_oracle(merges: int, top: int) -> str:
+    rounds = ",".join(
+        _BPE_ROUND_CTE.format(i=i, prev=i - 1) for i in range(1, merges + 1)
+    )
+    return rf"""
+    WITH w0 AS MATERIALIZED (
+      SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS s,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents
+      )
+      GROUP BY 1
+    ),
+    {rounds}
+    SELECT subword, CAST(SUM(freq) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(string_split(trim(s), ' ')) AS subword, freq
+      FROM w{merges}
+    )
+    GROUP BY 1
+    ORDER BY n DESC, subword
+    LIMIT {top}
+    """
+
+
 @register("bpe_merge_table", oracle=_bpe_oracle(8))
 def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 BPE merge rules learned from the documents corpus
@@ -84,3 +112,19 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_learn_merges(docs, text_col="text", merges=8)
+
+
+@register("bpe_subword_vocab_top20", oracle=_bpe_vocab_oracle(8, 20))
+def bpe_subword_vocab_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus subwords after applying the 8 learned merges —
+    the ENCODE half of tokenizer training.  Counting runs on the
+    Zipf-compressed word-frequency table weighted by frequency (equal
+    to the corpus-wide subword count, since segmentation is per-word),
+    so the corpus is scanned once regardless of merge count; the top-K
+    plans as TakeOrderedAndProject with a deterministic (n DESC,
+    subword ASC) tie-break."""
+    from tweets_spark_top_10_spark.functions.bpe import bpe_subword_counts
+    from tweets_spark_top_10_spark.operators.topk import top_k
+
+    counts = bpe_subword_counts(load_table(spark, sf_dir, "documents"))
+    return top_k(counts, [F.desc("n"), F.asc("subword")], k=20)
