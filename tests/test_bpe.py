@@ -150,3 +150,107 @@ def test_bpe_rejects_bad_merge_count(spark):
     docs = spark.createDataFrame([("x",)], ["text"])
     with pytest.raises(ValueError, match="merges"):
         bpe_learn_merges(docs, merges=0)
+
+
+def test_streaming_bpe_vocab_matches_batch(spark, sf_dir, tmp_path):
+    """Maintained word table == batch word_frequency_table of the full
+    corpus; with the growth trigger crossed on every batch, the
+    maintained merge table == batch bpe_learn_merges — exact, the
+    whole path is deterministic.  Then: a small follow-up batch under
+    the growth threshold folds into the WORD table but leaves the
+    merge table untouched (fitted_tokens unchanged), and a replayed
+    batch-id is a byte-level no-op on the word table."""
+    import pandas as pd
+
+    from tweets_spark_top_10_spark.functions.bpe import (
+        bpe_learn_merges,
+        word_frequency_table,
+    )
+    from tweets_spark_top_10_spark.sources.registry import load_table
+    from tweets_spark_top_10_spark.streaming.bpe import (
+        _fold_words_batch,
+        maintain_bpe_vocab,
+        read_bpe_merges,
+        read_bpe_words,
+    )
+    from tweets_spark_top_10_spark.streaming.sources import file_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    src = tmp_path / "doc_stream"
+    src.mkdir()
+    # 200/120/180: each batch grows tokens well past 1.2x the fitted
+    # size (doc sizes vary ~; margins are 30%+), so every batch
+    # re-learns and the final merge table covers the full corpus
+    pdf.iloc[:200].to_parquet(src / "b1.parquet", index=False)
+    pdf.iloc[200:320].to_parquet(src / "b2.parquet", index=False)
+    pdf.iloc[320:].to_parquet(src / "b3.parquet", index=False)
+
+    state = str(tmp_path / "bpe_state")
+    q = maintain_bpe_vocab(
+        file_stream(spark, str(src), docs.schema, max_files_per_trigger=1),
+        state,
+        checkpoint=str(tmp_path / "ckpt"),
+        merges=8,
+        relearn_growth=1.2,
+    )
+    q.awaitTermination()
+
+    got_words = sorted(map(tuple, read_bpe_words(spark, state).collect()))
+    want_words = sorted(
+        map(tuple, word_frequency_table(docs).collect())
+    )
+    assert got_words == want_words
+
+    got_merges = sorted(map(tuple, read_bpe_merges(spark, state).collect()))
+    want_merges = sorted(
+        map(tuple, bpe_learn_merges(docs, merges=8).collect())
+    )
+    assert got_merges == want_merges
+
+    # follow-up batch below the growth threshold: words fold, merges
+    # hold.  Fresh checkpoint restarts batch ids at 0 — the stored
+    # marker is the FIRST run's last id, so the fold must still land.
+    extra = pd.DataFrame(
+        {
+            "doc_id": [100000 + i for i in range(10)],
+            "text": ["zq zq zq" for _ in range(10)],
+        }
+    )
+    src2 = tmp_path / "doc_stream2"
+    src2.mkdir()
+    extra.to_parquet(src2 / "b1.parquet", index=False)
+    q2 = maintain_bpe_vocab(
+        file_stream(spark, str(src2), docs.schema, max_files_per_trigger=1),
+        state,
+        checkpoint=str(tmp_path / "ckpt2"),
+        merges=8,
+        relearn_growth=1.2,
+    )
+    q2.awaitTermination()
+    words2 = dict(read_bpe_words(spark, state).collect())
+    assert words2[" z q "] == 30  # 10 docs x 3 occurrences
+    assert sorted(map(tuple, read_bpe_merges(spark, state).collect())) == (
+        got_merges
+    )
+
+    # replayed batch-id: byte-level no-op on the word table
+    before = sorted(map(tuple, read_bpe_words(spark, state).collect()))
+    replay = spark.createDataFrame(extra)
+    _fold_words_batch(spark, replay, state, "text", batch_id=0)
+    after = sorted(map(tuple, read_bpe_words(spark, state).collect()))
+    assert after == before
+
+
+def test_streaming_bpe_rejects_bad_growth(spark, tmp_path):
+    import pytest
+
+    from tweets_spark_top_10_spark.streaming.bpe import maintain_bpe_vocab
+
+    with pytest.raises(ValueError, match="relearn_growth"):
+        maintain_bpe_vocab(
+            spark.readStream.format("rate").load(),
+            str(tmp_path / "s"),
+            checkpoint=str(tmp_path / "c"),
+            relearn_growth=1.0,
+        )

@@ -93,13 +93,27 @@ def _adjacent_pair_counts(words: DataFrame) -> DataFrame:
 def _learn(
     docs: DataFrame, text_col: str, merges: int
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
-    """Shared learn loop: the driver-sized merge list plus the FINAL
-    segmented word-frequency table (still distributed) — the learn
-    query returns the former, the encode/vocab query consumes the
-    latter without re-deriving state."""
+    """Shared learn loop over a document corpus: the driver-sized merge
+    list plus the FINAL segmented word-frequency table (still
+    distributed) — the learn query returns the former, the encode/vocab
+    query consumes the latter without re-deriving state."""
     if merges < 1:
         raise ValueError(f"merges must be >= 1, got {merges}")
-    words = word_frequency_table(docs, text_col).localCheckpoint(eager=True)
+    return learn_from_words(
+        word_frequency_table(docs, text_col), merges
+    )
+
+
+def learn_from_words(
+    words: DataFrame, merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Learn loop over an existing (s, freq) word-frequency table —
+    the entry the STREAMING maintainer uses to re-learn merges from
+    its incrementally-maintained word table without touching the raw
+    corpus (``streaming/bpe.py``)."""
+    if merges < 1:
+        raise ValueError(f"merges must be >= 1, got {merges}")
+    words = words.localCheckpoint(eager=True)
 
     learned: list[tuple[int, str, str, int]] = []
     for rank in range(1, merges + 1):

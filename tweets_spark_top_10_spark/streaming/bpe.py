@@ -1,0 +1,168 @@
+"""Streaming tokenizer-vocabulary maintenance: incremental word counts
+plus stream-decided BPE merge re-learning.
+
+A production tokenizer is trained on a corpus that keeps growing; the
+expensive inputs — the Zipf-compressed word-frequency table and the
+merge rules derived from it — are maintained artifacts, not per-run
+recomputations.  This module attaches both to a document stream
+(availableNow trigger, like the other maintained indexes):
+
+1. **Word-frequency table** ({state_dir}/words, columns ``s, freq``):
+   each micro-batch's word counts fold ADDITIVELY into the stored
+   table (union → groupBy sum → atomic dir swap).  Replay idempotence
+   rides the MG batch-id-marker protocol
+   (``streaming/heavy_hitters._already_merged``): a redelivered
+   micro-batch (crash between the swap and the streaming checkpoint
+   commit) skips the fold instead of double-counting.  The fold
+   rewrites the word table per batch — at Zipf scale that table is
+   ~millions of rows against a billions-of-tokens corpus, and the
+   additive merge cannot touch less than the hot words every batch
+   contains, so partition-pruning buys nothing here (unlike the
+   per-row last-writer-wins indexes in ``streaming/sketch.py``).
+
+2. **Merge table** ({state_dir}/merges, the ``functions/bpe``
+   MERGE_SCHEMA plus a ``fitted_tokens`` bookkeeping column): when the
+   stored corpus has grown ``relearn_growth``× past the size the
+   current rules were learned on, the loop re-learns from the word
+   table (``functions/bpe.learn_from_words`` — never re-reads the raw
+   corpus) and swaps.  Same crash contract as
+   ``maintain_semantic_dedup``: the merge-table swap (and
+   ``fitted_tokens`` with it) advances LAST, so a crash inside the
+   re-learn leaves the trigger armed and the replayed batch re-runs
+   it; the re-learn is a deterministic function of the stored word
+   table, so it converges regardless of which swaps landed.
+
+Differential gates (tests/test_bpe.py): drained stream's word table ==
+batch ``word_frequency_table`` of the full corpus exactly; with
+``relearn_growth`` crossed on the final batch, merge table == batch
+``bpe_learn_merges`` exactly; a replayed batch is a byte-level no-op.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tweets_spark_top_10_spark.functions.bpe import (
+    MERGE_SCHEMA,
+    learn_from_words,
+    word_frequency_table,
+)
+from tweets_spark_top_10_spark.streaming.heavy_hitters import (
+    _already_merged,
+    _recover,
+)
+from tweets_spark_top_10_spark.streaming.ivm import _swap_write
+
+
+def _words_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, "words")
+
+
+def _merges_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, "merges")
+
+
+def read_bpe_words(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current maintained word-frequency table (s, freq)."""
+    _recover(_words_dir(state_dir))
+    return spark.read.parquet(_words_dir(state_dir))
+
+
+def read_bpe_merges(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current maintained merge table (MERGE_SCHEMA columns)."""
+    _recover(_merges_dir(state_dir))
+    return spark.read.parquet(_merges_dir(state_dir)).drop("fitted_tokens")
+
+
+def _fold_words_batch(
+    spark: SparkSession, batch_docs: DataFrame, state_dir: str,
+    text_col: str, batch_id: int | None,
+) -> None:
+    """Additively merge one batch's word counts into the stored table
+    (skipped entirely when ``batch_id`` already landed)."""
+    words = _words_dir(state_dir)
+    _recover(words)
+    if _already_merged(words, batch_id):
+        return
+    delta = word_frequency_table(batch_docs, text_col)
+    if os.path.exists(words):
+        merged = (
+            spark.read.parquet(words)
+            .unionByName(delta)
+            .groupBy("s")
+            .agg(F.sum("freq").alias("freq"))
+        )
+    else:
+        merged = delta
+    # the swap overwrites the dir the plan reads from — materialize
+    # the merged counts off the old files first
+    _swap_write(merged.localCheckpoint(eager=True), words, batch_id)
+
+
+def _stored_tokens(spark: SparkSession, state_dir: str) -> int:
+    """Total word occurrences in the stored table — the corpus-growth
+    metric the re-learn trigger compares against ``fitted_tokens``."""
+    row = (
+        spark.read.parquet(_words_dir(state_dir))
+        .agg(F.sum("freq"))
+        .first()
+    )
+    return int(row[0] or 0)
+
+
+def maintain_bpe_vocab(
+    docs_stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    merges: int = 8,
+    relearn_growth: float = 2.0,
+):
+    """Attach word-count + merge-rule maintenance to a document stream.
+
+    ``relearn_growth``: re-learn when stored tokens >= growth ×
+    ``fitted_tokens`` (the token count the current rules were learned
+    on).  Must be > 1 — at 1.0 every micro-batch would pay the full
+    K-round re-learn, which is never the production cadence (re-learn
+    at each doubling amortizes the K scans to O(1) per ingested
+    token).  Bootstrap (no merge table yet) always learns.
+    """
+    if relearn_growth <= 1:
+        raise ValueError(
+            f"relearn_growth must be > 1 (got {relearn_growth}): the "
+            "re-learn triggers when stored >= growth * fitted_tokens"
+        )
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        _fold_words_batch(spark, batch_df, state_dir, text_col, batch_id)
+        mdir = _merges_dir(state_dir)
+        _recover(mdir)
+        fitted = None
+        if os.path.exists(mdir):
+            head = spark.read.parquet(mdir).select("fitted_tokens").head()
+            fitted = int(head[0]) if head is not None else None
+        total = _stored_tokens(spark, state_dir)
+        if fitted is not None and total < relearn_growth * fitted:
+            return
+        learned, _ = learn_from_words(
+            spark.read.parquet(_words_dir(state_dir)), merges
+        )
+        table = spark.createDataFrame(learned, MERGE_SCHEMA).withColumn(
+            "fitted_tokens", F.lit(total).cast("long")
+        )
+        # merge table + fitted_tokens advance LAST — crash inside the
+        # re-learn leaves the trigger armed, replay converges
+        _swap_write(table, mdir, batch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
