@@ -65,12 +65,20 @@ def test_query_start_releases_previous_querys_persists(spark, sf_dir):
 
 
 def test_catalog_sweep_leaves_no_net_cached_blocks(spark, sf_dir):
-    """A mini catalog sweep + final release leaves zero cached RDD
-    blocks (the assertable form of 'no net cached RDDs after a sweep';
-    uses queries without localCheckpoint anchors so the storage-info
-    check is exact)."""
+    """A mini catalog sweep + final release adds zero NET cached RDD
+    blocks (the swept queries carry no localCheckpoint anchors, so any
+    growth would be a leaked persist).  Asserted as no-net-growth, not
+    ==0: earlier tests in a shared session legitimately leave
+    localCheckpoint anchors (ContextCleaner frees them on GC, and the
+    module docstring pins them as deliberately untracked) — a suite
+    ordered with such a test before this one (e.g. test_bpe) would
+    otherwise fail on blocks this sweep never created."""
+    import gc
+
+    gc.collect()  # drop py-side refs so lingering anchors can clean
     spark.catalog.clearCache()
+    before = _tracked_cached_rdd_count(spark)
     for name in ["simhash_invariants", "ngram_jaccard_dup_pairs", "doc_tfidf_top3"]:
         QUERIES[name](spark, sf_dir).count()
     release_persisted(spark)
-    assert _tracked_cached_rdd_count(spark) == 0
+    assert _tracked_cached_rdd_count(spark) <= before
