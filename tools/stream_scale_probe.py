@@ -35,7 +35,9 @@ survive an unbounded stream:
    :func:`probe_semantic_refit_loop` (round-10 verdict item 5).
 
 Usage: python tools/stream_scale_probe.py [replicas] [batches] [mode]
-``mode`` is a comma set of {mg, sd, refit, loop} (default ``mg,sd``).
+``mode`` is a comma set of {mg, sd, refit, loop, bpe} (default
+``mg,sd``); ``bpe`` probes the streaming tokenizer-vocab maintainer
+(:func:`probe_bpe_vocab`, round-13).
 Prints one JSON object; paste the summary table into BASELINE.md.
 """
 
@@ -409,6 +411,82 @@ def probe_semantic_refit_loop(spark, work: str, replicas: int, batches: int):
     }
 
 
+def _docs_feed(spark, work: str, replicas: int):
+    """Content-disjoint x``replicas`` document corpus: per-replica
+    token tagging after punctuation sanitization (the
+    scale_probe_100x documents protocol), so replicas multiply the
+    VOCABULARY — the dimension the BPE word table grows with."""
+    import duckdb
+
+    src = os.path.join(BASE, "documents.parquet")
+    feed_path = os.path.join(work, f"bpe_feed_x{replicas}.parquet")
+    if not os.path.exists(feed_path):
+        duckdb.sql(f"""
+          COPY (
+            SELECT d.doc_id + r.k * (SELECT MAX(doc_id)+1 FROM read_parquet('{src}')) AS doc_id,
+                   array_to_string(
+                     list_transform(
+                       string_split(regexp_replace(d.text, '[^a-zA-Z0-9 ]', '', 'g'), ' '),
+                       x -> 'r' || r.k || x), ' ') AS text
+            FROM read_parquet('{src}') d,
+                 (SELECT UNNEST(RANGE({replicas})) AS k) r
+          ) TO '{feed_path}' (FORMAT PARQUET)
+        """)
+    return spark.read.parquet(feed_path)
+
+
+def probe_bpe_vocab(
+    spark, work: str, replicas: int, batches: int,
+    merges: int = 8, growth: float = 2.0,
+):
+    """Replay documents x``replicas`` through the streaming BPE vocab
+    maintainer (``streaming/bpe.bpe_step`` — the identical per-batch
+    body the foreachBatch wiring runs) and record, per batch, the
+    fold+decide+relearn wall, whether the growth trigger fired, and
+    the word-table footprint.  The quantities that decide 100 TB
+    viability: fold wall must track BATCH size (not accumulated corpus
+    — the union+groupBy rewrites the Zipf table, which grows with
+    vocabulary, not tokens), and relearns must thin out as fitted_n
+    doubles."""
+    from pyspark.sql import functions as F
+
+    from tweets_spark_top_10_spark.streaming.bpe import bpe_step
+
+    feed = _docs_feed(spark, work, replicas)
+    lo, hi = [
+        int(x)
+        for x in feed.agg(F.min("doc_id"), F.max("doc_id")).first()
+    ]
+    per = (hi - lo + batches) // batches
+    state = os.path.join(work, f"bpe_state_x{replicas}")
+    per_batch = []
+    for b in range(batches):
+        batch_df = feed.filter(
+            (F.col("doc_id") >= lo + b * per)
+            & (F.col("doc_id") < lo + (b + 1) * per)
+        )
+        t0 = time.perf_counter()
+        tel = bpe_step(batch_df, state, "text", merges, growth, batch_id=b)
+        wall = time.perf_counter() - t0
+        per_batch.append(
+            {
+                "batch": b,
+                "step_s": round(wall, 2),
+                "relearned": tel["relearned"],
+                "stored_tokens": tel["stored_tokens"],
+                "words_mb": round(_du(os.path.join(state, "words")) / 1e6, 2),
+            }
+        )
+        print(f"bpe x{replicas} batch {b}: {per_batch[-1]}", flush=True)
+    walls = [r["step_s"] for r in per_batch]
+    return {
+        "per_batch": per_batch,
+        "relearn_count": sum(1 for r in per_batch if r["relearned"]),
+        "step_s_first3_avg": round(sum(walls[:3]) / 3, 2),
+        "step_s_last3_avg": round(sum(walls[-3:]) / 3, 2),
+    }
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     batches = int(sys.argv[2]) if len(sys.argv) > 2 else 20
@@ -450,6 +528,12 @@ def main() -> None:
             spark, work, replicas, batches
         )
         spark.catalog.clearCache()
+    if "bpe" in mode:
+        for tag, reps in (("1x", 1), (f"{replicas}x", replicas)):
+            results[f"bpe_vocab_{tag}"] = probe_bpe_vocab(
+                spark, work, reps, batches
+            )
+            spark.catalog.clearCache()
 
     print(json.dumps(results))
     shutil.rmtree(work, ignore_errors=True)

@@ -137,28 +137,9 @@ def maintain_bpe_vocab(
         )
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        _fold_words_batch(spark, batch_df, state_dir, text_col, batch_id)
-        mdir = _merges_dir(state_dir)
-        _recover(mdir)
-        fitted = None
-        if os.path.exists(mdir):
-            head = spark.read.parquet(mdir).select("fitted_tokens").head()
-            fitted = int(head[0]) if head is not None else None
-        total = _stored_tokens(spark, state_dir)
-        if fitted is not None and total < relearn_growth * fitted:
-            return
-        learned, _ = learn_from_words(
-            spark.read.parquet(_words_dir(state_dir)), merges
+        bpe_step(
+            batch_df, state_dir, text_col, merges, relearn_growth, batch_id
         )
-        table = spark.createDataFrame(learned, MERGE_SCHEMA).withColumn(
-            "fitted_tokens", F.lit(total).cast("long")
-        )
-        # merge table + fitted_tokens advance LAST — crash inside the
-        # re-learn leaves the trigger armed, replay converges
-        _swap_write(table, mdir, batch_id)
 
     return (
         docs_stream.writeStream.foreachBatch(step)
@@ -166,3 +147,41 @@ def maintain_bpe_vocab(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def bpe_step(
+    batch_df: DataFrame,
+    state_dir: str,
+    text_col: str,
+    merges: int,
+    relearn_growth: float,
+    batch_id: int | None,
+) -> dict:
+    """One micro-batch of vocab maintenance — the exact body
+    ``maintain_bpe_vocab`` runs per batch, exposed so the scale probe
+    (``tools/stream_scale_probe.py`` mode ``bpe``) drives the
+    IDENTICAL path it measures.  Returns {folded, relearned,
+    stored_tokens} telemetry."""
+    if batch_df.isEmpty():
+        return {"folded": False, "relearned": False, "stored_tokens": None}
+    spark = batch_df.sparkSession
+    _fold_words_batch(spark, batch_df, state_dir, text_col, batch_id)
+    mdir = _merges_dir(state_dir)
+    _recover(mdir)
+    fitted = None
+    if os.path.exists(mdir):
+        head = spark.read.parquet(mdir).select("fitted_tokens").head()
+        fitted = int(head[0]) if head is not None else None
+    total = _stored_tokens(spark, state_dir)
+    if fitted is not None and total < relearn_growth * fitted:
+        return {"folded": True, "relearned": False, "stored_tokens": total}
+    learned, _ = learn_from_words(
+        spark.read.parquet(_words_dir(state_dir)), merges
+    )
+    table = spark.createDataFrame(learned, MERGE_SCHEMA).withColumn(
+        "fitted_tokens", F.lit(total).cast("long")
+    )
+    # merge table + fitted_tokens advance LAST — crash inside the
+    # re-learn leaves the trigger armed, replay converges
+    _swap_write(table, mdir, batch_id)
+    return {"folded": True, "relearned": True, "stored_tokens": total}
