@@ -36,6 +36,7 @@ from __future__ import annotations
 from tweets_spark_top_10_spark.queries import (  # noqa: F401
     bpe_queries,
     graph_queries,
+    layout_queries,
     metrics_queries,
     multimodal_queries,
     relational,
