@@ -1,0 +1,108 @@
+"""Johnson–Lindenstrauss random projection (functions/similarity.rp_project).
+
+The catalog oracle replays the same sign matrix in DuckDB — a
+shared-algorithm bug would pass both engines, so the independent gates
+live here: (a) a pure-Python sequential-sum reference reproduces every
+projected value EXACTLY (same md5 sign matrix, same fold order, same
+round — no replay of Spark SQL involved), and (b) the projection
+actually does its job: measured pairwise-distance distortion sits
+inside the JL band for d_out=16. Plus the scale contract (map-only
+plan) and the loud-failure contract (wrong-length vectors raise).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tweets_spark_top_10_spark.functions.similarity import (
+    _rp_sign_matrix,
+    rp_project,
+)
+from tweets_spark_top_10_spark.sources.registry import load_table
+
+D_OUT, DIM = 16, 64
+
+
+def _python_project(vec, signs):
+    """Sequential left-to-right fold — the exact order Spark's
+    ``aggregate`` uses, so doubles match bit-for-bit before the round."""
+    out = []
+    scale = math.sqrt(float(D_OUT))
+    for j in range(D_OUT):
+        acc = 0.0
+        for p in range(DIM):
+            acc = acc + float(vec[p]) * float(signs[j][p])
+        out.append(round(acc / scale, 6))
+    return out
+
+
+def test_rp_matches_python_reference_exactly(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        r["vec_id"]: [r[f"y{j}"] for j in range(D_OUT)]
+        for r in rp_project(emb, "vec_id", d_out=D_OUT, dim=DIM).collect()
+    }
+    src = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    signs = _rp_sign_matrix(D_OUT, DIM)
+    assert len(got) == len(src)
+    for vid, vec in src.items():
+        assert got[vid] == _python_project(vec, signs), vid
+
+
+def test_rp_distance_distortion_inside_jl_band(spark, sf_dir):
+    """|Px - Py|^2 / |x - y|^2 is chi^2(d_out)/d_out-distributed for a
+    ±1 JL matrix; with d_out=16 the per-pair std is sqrt(2/16) ~ 0.35.
+    Gates (fixture-measured at sf0.001, 4950 pairs: mean 1.0031,
+    min 0.155, max 2.767): every pair inside [0.1, 5], sample mean
+    inside [0.85, 1.15]."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    rows = rp_project(emb, "vec_id", d_out=D_OUT, dim=DIM).collect()
+    proj = {r["vec_id"]: np.array([r[f"y{j}"] for j in range(D_OUT)]) for r in rows}
+    src = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    ids = sorted(src)
+    ratios = []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            d2 = float(np.sum((src[ids[a]] - src[ids[b]]) ** 2))
+            if d2 == 0:
+                continue
+            p2 = float(np.sum((proj[ids[a]] - proj[ids[b]]) ** 2))
+            ratios.append(p2 / d2)
+    assert ratios
+    assert min(ratios) > 0.1 and max(ratios) < 5.0, (min(ratios), max(ratios))
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.15, mean
+
+
+def test_rp_is_map_only(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = (
+        rp_project(emb, "vec_id", d_out=D_OUT, dim=DIM)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 0, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_rp_wrong_length_raises_and_zero_projects_to_zero(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0] * DIM), (1, [1.0] * DIM)], "id long, embedding array<double>"
+    )
+    rows = {r["id"]: r for r in rp_project(df, "id", d_out=D_OUT, dim=DIM).collect()}
+    assert all(rows[0][f"y{j}"] == 0.0 for j in range(D_OUT))
+
+    bad = spark.createDataFrame(
+        [(2, [1.0] * (DIM - 1))], "id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="vector length"):
+        rp_project(bad, "id", d_out=D_OUT, dim=DIM).collect()
+
+    with pytest.raises(ValueError, match="d_out"):
+        rp_project(df, "id", d_out=0, dim=DIM)

@@ -644,3 +644,90 @@ def lsh_knn(
             F.col("rank"),
         )
     )
+
+
+def _rp_sign_matrix(d_out: int, dim: int, seed: str = "rp") -> list[list[int]]:
+    """±1 Johnson–Lindenstrauss projection matrix from md5 parity of
+    "seed_j_p" — the :func:`_srp_sign_vectors` trick, reused for a
+    REAL-VALUED projection instead of a 1-bit signature.  md5 is a
+    cross-engine builtin, so the DuckDB oracle can re-derive the exact
+    matrix; Achlioptas (2003) shows ±1 entries satisfy the JL
+    distance-preservation lemma just like Gaussian ones.  Tiny
+    (d_out·dim ints, 1024 at the defaults) and deterministic, so it
+    ships as plan literals."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{seed}_{j}_{p}".encode()).hexdigest()[0], 16) % 2
+            else -1
+            for p in range(dim)
+        ]
+        for j in range(d_out)
+    ]
+
+
+def rp_project(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    d_out: int = 16,
+    dim: int = 64,
+    seed: str = "rp",
+    digits: int = 6,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project each
+    ``dim``-float embedding to ``d_out`` doubles, ``y_j = <v, s_j> /
+    sqrt(d_out)`` with deterministic ±1 rows ``s_j`` from
+    :func:`_rp_sign_matrix`.
+
+    THE pre-indexing shrink for a 100 TB embedding corpus: JL bounds
+    pairwise-distance distortion by ~sqrt(2/d_out) regardless of the
+    source dimension, so ANN recall degrades gracefully while index
+    build/serve cost drops by dim/d_out (4x at the defaults) — project
+    once, index/search in the small space, exact-rerank survivors in
+    the original space (the `pq_adc_rerank` pattern).
+
+    Plan shape: MAP-ONLY — the matrix is plan literals, each output is
+    one ``zip_with``·``aggregate`` fold over the row's array, no join,
+    no shuffle, whatever the corpus size (asserted in
+    ``tests/test_rp.py``).  Output is ``d_out`` named double COLUMNS
+    (y0..y{d_out-1}), not an array: scalar doubles canonicalize in
+    every downstream hasher, and the fold order is ascending-position
+    in both engines so the oracle's ``list_dot_product`` reproduces
+    the same IEEE sum before the shared ROUND.
+
+    Contract (mirrors ``srp_signatures``): a non-``dim``-length vector
+    would silently null out (``zip_with`` pads), so it raises in-plan
+    instead; zero vectors project to the zero vector (no filter — JL
+    is linear, unlike the sign banding where zero has no side).
+    """
+    if d_out < 1:
+        raise ValueError(f"rp_project: d_out must be >= 1, got {d_out}")
+    signs = _rp_sign_matrix(d_out, dim, seed)
+    v = vectors.select(
+        F.col(id_col),
+        F.when(
+            F.size(vec_col) != F.lit(dim),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"rp_project: vector length != dim={dim}; got "),
+                    F.size(vec_col).cast("string"),
+                )
+            ).cast("array<double>"),
+        )
+        .otherwise(F.transform(vec_col, lambda x: x.cast("double")))
+        .alias("__v"),
+    )
+    # One generated-SQL projection (the srp_signatures lesson: building
+    # d_out HOF columns through pyspark costs thousands of Py4J calls).
+    scale = f"sqrt(CAST({d_out} AS DOUBLE))"
+    cols = [
+        "round(aggregate(zip_with(__v, array("
+        + ",".join(f"{s}.0D" for s in signs[j])
+        + "), (x, s) -> x * s), 0.0D, (a, x) -> a + x)"
+        + f" / {scale}, {digits}) AS y{j}"
+        for j in range(d_out)
+    ]
+    return v.selectExpr(id_col, *cols)

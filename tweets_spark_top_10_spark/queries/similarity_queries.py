@@ -18,6 +18,7 @@ from tweets_spark_top_10_spark.functions.similarity import (
     ivf_knn,
     l2_norm,
     lsh_knn,
+    rp_project,
     srp_knn,
 )
 from tweets_spark_top_10_spark.queries.registry import register
@@ -1598,3 +1599,39 @@ def ivfpq_adc_top5_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes_wide=spark.read.parquet(codes_path),
         k=5,
     )
+
+
+def _rp_oracle(d_out: int = 16, seed: str = "rp") -> str:
+    """DuckDB twin of :func:`rp_project` generated from the SAME sign
+    matrix (the metrics-compiler discipline: one source, two engines —
+    the pair cannot drift).  ``list_dot_product`` accumulates in
+    ascending position order like Spark's ``aggregate`` fold, so both
+    engines perform the identical IEEE double sum before the shared
+    ROUND."""
+    from tweets_spark_top_10_spark.functions.similarity import _rp_sign_matrix
+
+    signs = _rp_sign_matrix(d_out, 64, seed)
+    cols = ",\n           ".join(
+        f"ROUND(list_dot_product(v, [{','.join(f'{s}.0' for s in signs[j])}])"
+        f" / sqrt(CAST({d_out} AS DOUBLE)), 6) AS y{j}"
+        for j in range(d_out)
+    )
+    return f"""
+    SELECT vec_id,
+           {cols}
+    FROM (SELECT vec_id, {_DOUBLE_VEC} AS v FROM embeddings)
+    """
+
+
+@register("embedding_rp_project", oracle=_rp_oracle())
+def embedding_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss 64→16 projection of the whole embedding
+    corpus (``functions/similarity.rp_project``): the map-only,
+    zero-shuffle pre-indexing shrink — project once, build the ANN
+    index in the 4x-smaller space, exact-rerank in the original.
+    Independent gates beyond this oracle (``tests/test_rp.py``):
+    numpy reproduces every projected value exactly from the same md5
+    sign matrix, and measured pairwise-distance distortion sits inside
+    the JL bound band."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rp_project(emb, "vec_id", d_out=16, dim=64)
