@@ -129,3 +129,23 @@ def test_fingerprint_tracks_source_mutation(tmp_path):
     assert fp1 != fp2
     assert fingerprint_paths(f) == fp2  # deterministic
     assert fingerprint_paths(tmp_path / "nope") != fp2  # missing is distinct
+
+
+def test_prune_stale_keeps_newest_and_protected(tmp_path):
+    import os
+
+    from tweets_spark_top_10_spark.queries.layout_queries import _prune_stale
+
+    for i in range(9):
+        d = tmp_path / f"sg_bkt_orders_8_fp{i}"
+        d.mkdir()
+        os.utime(d, ns=(i * 10**9, i * 10**9))  # fp0 oldest ... fp8 newest
+    (tmp_path / "sg_bkt_customer_8_other").mkdir()  # different family
+    evicted = _prune_stale(
+        tmp_path, "sg_bkt_orders_8_", keep=6, protect={"sg_bkt_orders_8_fp0"}
+    )
+    # 9 entries, keep newest 6 -> fp0/fp1/fp2 are candidates; fp0 protected
+    assert sorted(evicted) == ["sg_bkt_orders_8_fp1", "sg_bkt_orders_8_fp2"]
+    left = {p.name for p in tmp_path.iterdir()}
+    assert "sg_bkt_orders_8_fp0" in left and "sg_bkt_customer_8_other" in left
+    assert "sg_bkt_orders_8_fp1" not in left

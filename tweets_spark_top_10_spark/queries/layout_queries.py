@@ -60,16 +60,48 @@ def bucketed_table(
     name = f"sg_bkt_{table}_{n_buckets}_{fp}"
     if spark.catalog.tableExists(name):
         return name
-    path = user_cache_dir("spark_graft_bucketed") / name
+    root = user_cache_dir("spark_graft_bucketed")
     write_bucketed(
         load_table(spark, sf_dir, table),
         table_name=name,
-        path=str(path),
+        path=str(root / name),
         bucket_cols=[key],
         num_buckets=n_buckets,
         sort_cols=[key],
     )
+    _prune_stale(root, f"sg_bkt_{table}_{n_buckets}_", keep=_KEEP, protect={name})
     return name
+
+
+# Retention per (table, bucket-count) family: the standing sf fixtures
+# need 3 entries; probe/test corpora mint throwaway fingerprints that
+# would otherwise accumulate ~200 MB per probe run. 6 = the standing
+# set plus headroom.
+_KEEP = 6
+
+
+def _prune_stale(root: Path, prefix: str, keep: int, protect: set[str]) -> list[str]:
+    """Evict the oldest-by-mtime cache dirs under ``root`` matching
+    ``prefix`` beyond the newest ``keep``; never the ``protect``\\ ed
+    (just-built) ones.  Runs only at build time — a pruned entry was by
+    definition not the one this session just registered, and the next
+    session that needs it rebuilds from source (the cache is a pure
+    rebuildable derivative; losing an entry costs one write, never
+    correctness).  Returns the evicted names (for the unit test)."""
+    import shutil
+
+    entries = sorted(
+        (p for p in root.iterdir() if p.is_dir() and p.name.startswith(prefix)),
+        key=lambda p: p.stat().st_mtime,
+        reverse=True,
+    )
+    evicted = []
+    for p in entries[keep:]:
+        if p.name in protect:
+            continue
+        shutil.rmtree(p, ignore_errors=True)
+        evicted.append(p.name)
+    return evicted
 
 
 @register(
