@@ -149,3 +149,36 @@ def test_prune_stale_keeps_newest_and_protected(tmp_path):
     left = {p.name for p in tmp_path.iterdir()}
     assert "sg_bkt_orders_8_fp0" in left and "sg_bkt_customer_8_other" in left
     assert "sg_bkt_orders_8_fp1" not in left
+
+
+def test_reuse_registers_published_files_without_rewrite(spark, sf_dir, monkeypatch):
+    """A fresh session (simulated by dropping the catalog entry) must
+    re-register the published files via DDL, never rebuild: build once,
+    register anywhere."""
+    import os
+
+    import tweets_spark_top_10_spark.queries.layout_queries as lq
+    from tweets_spark_top_10_spark.sources.cache import (
+        fingerprint_paths,
+        user_cache_dir,
+    )
+
+    name = bucketed_table(spark, sf_dir, "orders", "o_custkey")
+    final = user_cache_dir("spark_graft_bucketed") / name
+    before = os.stat(final / "_SUCCESS").st_mtime_ns
+    spark.sql(f"DROP TABLE {name}")  # external: files survive
+
+    def boom(*a, **k):
+        raise AssertionError("rebuild attempted despite published files")
+
+    monkeypatch.setattr(lq, "write_bucketed", boom)
+    name2 = bucketed_table(spark, sf_dir, "orders", "o_custkey")
+    assert name2 == name
+    assert os.stat(final / "_SUCCESS").st_mtime_ns == before
+    # and the re-registered table still carries the bucket spec
+    g = spark.table(name).groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    g.collect()
+    plan = g._jdf.queryExecution().executedPlan().toString().split(
+        "+- == Initial Plan =="
+    )[0]
+    assert plan.count("Exchange") == 0, plan

@@ -50,26 +50,60 @@ def bucketed_table(
     Cache key = corpus fingerprint (size+mtime of the source parquet),
     so a regenerated corpus gets a fresh build instead of stale
     buckets. Within one session the catalog entry short-circuits the
-    filesystem check entirely; a fresh session re-registers the same
-    files via the overwrite write (cheap at fixture scale; at real
-    scale registration would be a CREATE TABLE ... CLUSTERED BY over
-    the existing path).
+    filesystem check; a fresh session finding published files
+    re-registers them with ``CREATE TABLE ... CLUSTERED BY ...
+    LOCATION`` — no rewrite (build once, register anywhere: the
+    bucketed analogue of the prebuilt-index build/serve split).
+
+    Publication follows the ``_publish_index_kind`` discipline from
+    the prebuilt-ANN cache: build under a pid-unique STAGING dir, then
+    promote with ONE atomic ``os.rename`` — ``rename`` refuses to
+    replace a non-empty dir, so concurrent builders race benignly
+    (exactly one wins; losers discard their staging copy and register
+    the winner's files). A reader can never observe a half-written
+    table: the final path either doesn't exist or is complete.
     """
+    import os
+    import shutil
+    import time
+
     src = Path(sf_dir) / f"{table}.parquet"
     fp = fingerprint_paths(src)
     name = f"sg_bkt_{table}_{n_buckets}_{fp}"
     if spark.catalog.tableExists(name):
         return name
     root = user_cache_dir("spark_graft_bucketed")
-    write_bucketed(
-        load_table(spark, sf_dir, table),
-        table_name=name,
-        path=str(root / name),
-        bucket_cols=[key],
-        num_buckets=n_buckets,
-        sort_cols=[key],
+    final = root / name
+    df = load_table(spark, sf_dir, table)
+    if not (final / "_SUCCESS").exists():
+        # crashed builders leave staging dirs behind; an hour-old one
+        # is certainly dead (builds take seconds), never a live build
+        for stale in root.glob(f"__stage_*_{name}"):
+            if time.time() - stale.stat().st_mtime > 3600:
+                shutil.rmtree(stale, ignore_errors=True)
+        staging = root / f"__stage_{os.getpid()}_{name}"
+        stage_tbl = f"{name}__stage_{os.getpid()}"
+        spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
+        write_bucketed(
+            df,
+            table_name=stage_tbl,
+            path=str(staging),
+            bucket_cols=[key],
+            num_buckets=n_buckets,
+            sort_cols=[key],
+        )
+        spark.sql(f"DROP TABLE {stage_tbl}")  # external: files stay
+        try:
+            os.rename(staging, final)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+        _prune_stale(root, f"sg_bkt_{table}_{n_buckets}_", keep=_KEEP, protect={name})
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    spark.sql(
+        f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{final}'"
     )
-    _prune_stale(root, f"sg_bkt_{table}_{n_buckets}_", keep=_KEEP, protect={name})
     return name
 
 
