@@ -1,0 +1,195 @@
+"""Streaming maintenance of the bucketed layout (streaming/layout.py):
+exactly-once batch-partitioned ingest, co-located joins from the first
+micro-batch, horizon compaction that preserves rows and the bucket spec.
+"""
+
+from __future__ import annotations
+
+import glob
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from tweets_spark_top_10_spark.sources.registry import SCHEMAS, load_table
+from tweets_spark_top_10_spark.streaming.layout import (
+    compact_ingest_partitions,
+    foreach_batch_bucketed_ingest,
+)
+from tweets_spark_top_10_spark.streaming.sources import file_stream
+
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """events as 4 chronological files (one micro-batch each with
+    maxFilesPerTrigger=1) — same construction as tests/test_streaming."""
+    import os
+    import shutil
+
+    base = tmp_path_factory.mktemp("layout_stream")
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 4
+    bounds = [None, lo + span, lo + 2 * span, lo + 3 * span, None]
+    path = str(base / "stream")
+    os.makedirs(path, exist_ok=True)
+    for i in range(4):
+        chunk = events
+        if bounds[i] is not None:
+            chunk = chunk.filter(F.col("ts") > F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            chunk = chunk.filter(F.col("ts") <= F.lit(bounds[i + 1]))
+        tmp_out = str(base / f"chunk{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        src = glob.glob(f"{tmp_out}/part-*.parquet")[0]
+        dst = f"{path}/chunk{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return path
+
+
+def _ingest(spark, events_dir, table, path, ckpt):
+    stream = file_stream(
+        spark, events_dir, SCHEMAS["events"], max_files_per_trigger=1
+    )
+    q = foreach_batch_bucketed_ingest(
+        stream,
+        table_name=table,
+        path=path,
+        bucket_key="user_id",
+        n_buckets=N_BUCKETS,
+        checkpoint=ckpt,
+    )
+    q.awaitTermination()
+
+
+def _content(spark, table):
+    # foreachBatch runs in a CLONED session: its in-batch REFRESH can't
+    # reach this session's file-listing cache, so a reader session must
+    # refresh after external maintenance — standard Spark datasource
+    # semantics (documented in streaming/layout.py's module docstring)
+    spark.sql(f"REFRESH TABLE {table}")
+    return sorted(
+        (r.event_id, r.user_id, r.event_type)
+        for r in spark.table(table).select("event_id", "user_id", "event_type").collect()
+    )
+
+
+def test_bucketed_ingest_exactly_once_and_colocated(
+    spark, sf_dir, events_dir, tmp_path
+):
+    from tweets_spark_top_10_spark.queries.layout_queries import bucketed_table
+
+    spark.sql("DROP TABLE IF EXISTS ing_events")
+    path = str(tmp_path / "ing_events")
+    _ingest(spark, events_dir, "ing_events", path, str(tmp_path / "ck1"))
+
+    events = load_table(spark, sf_dir, "events")
+    want = sorted(
+        (r.event_id, r.user_id, r.event_type)
+        for r in events.select("event_id", "user_id", "event_type").collect()
+    )
+    got = _content(spark, "ing_events")
+    assert got == want  # every batch landed, nothing duplicated
+
+    # 4 micro-batches -> 4 batch partitions; at most ONE file per bucket
+    # id in each (an empty bucket writes no file at all)
+    parts = glob.glob(f"{path}/__ingest_batch=*")
+    assert len(parts) == 4, parts
+    for p in parts:
+        files = glob.glob(f"{p}/part-*")
+        bucket_ids = [re.search(r"_(\d{5})\.", f).group(1) for f in files]
+        assert 0 < len(files) <= N_BUCKETS, p
+        assert len(bucket_ids) == len(set(bucket_ids)), (p, sorted(bucket_ids))
+
+    # full replay with a fresh checkpoint rewrites the same partitions
+    _ingest(spark, events_dir, "ing_events", path, str(tmp_path / "ck2"))
+    assert _content(spark, "ing_events") == want
+
+    # co-located join against a batch-bucketed dim on the same key:
+    # zero Exchange from the stream-maintained side too
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    dim_name = "ing_user_dim"
+    spark.sql(f"DROP TABLE IF EXISTS {dim_name}")
+    from tweets_spark_top_10_spark.sources.writers import write_bucketed
+
+    write_bucketed(
+        events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_total")),
+        table_name=dim_name,
+        path=str(tmp_path / "user_dim"),
+        bucket_cols=["user_id"],
+        num_buckets=N_BUCKETS,
+        sort_cols=["user_id"],
+    )
+    ing = spark.table("ing_events")
+    dim = spark.table(dim_name)
+    j = ing.hint("merge").join(dim, "user_id").groupBy("event_type").agg(
+        F.sum("n_total").alias("s")
+    )
+    j.collect()
+    plan = (
+        j._jdf.queryExecution().executedPlan().toString().split(
+            "+- == Initial Plan =="
+        )[0]
+    )
+    # the only exchange is the tiny event_type re-agg, never the join
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(user_id" not in plan, plan
+
+
+def test_compact_ingest_partitions_folds_history(
+    spark, sf_dir, events_dir, tmp_path
+):
+    spark.sql("DROP TABLE IF EXISTS ing_events2")
+    path = str(tmp_path / "ing_events2")
+    _ingest(spark, events_dir, "ing_events2", path, str(tmp_path / "ck"))
+    before = _content(spark, "ing_events2")
+
+    # horizon above every batch id -> everything folds into -1
+    n = compact_ingest_partitions(spark, "ing_events2", batch_horizon=100)
+    assert n == 4
+    assert _content(spark, "ing_events2") == before  # rows preserved exactly
+
+    parts = glob.glob(f"{path}/__ingest_batch=*")
+    assert [p.split("=")[-1] for p in parts] == ["-1"], parts
+    files = glob.glob(f"{parts[0]}/part-*")
+    bucket_ids = [re.search(r"_(\d{5})\.", f).group(1) for f in files]
+    assert 0 < len(files) <= N_BUCKETS
+    assert len(bucket_ids) == len(set(bucket_ids)), sorted(bucket_ids)
+
+    # single-partition history: the sorted single-file-per-bucket scan
+    # is trustable again -> join needs no Sort on the ingest side
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    ing = spark.table("ing_events2").select("user_id", "value")
+    other = spark.table("ing_events2").select(
+        F.col("user_id").alias("u2"), "event_id"
+    )
+    j = ing.hint("merge").join(other, ing.user_id == other.u2)
+    j.count()
+    plan = (
+        j._jdf.queryExecution().executedPlan().toString().split(
+            "+- == Initial Plan =="
+        )[0]
+    )
+    assert plan.count("Exchange") == 0, plan
+    assert not re.findall(r"\bSort \[", plan), plan
+
+    # nothing left to fold: second compaction is a no-op
+    assert compact_ingest_partitions(spark, "ing_events2", batch_horizon=100) == 0
+
+
+def test_fresh_session_reregisters_published_ingest(spark, sf_dir, events_dir, tmp_path):
+    """Dropping the catalog entry (a fresh session) must re-register the
+    published files and keep ingesting into them, not clobber history."""
+    spark.sql("DROP TABLE IF EXISTS ing_events3")
+    path = str(tmp_path / "ing_events3")
+    _ingest(spark, events_dir, "ing_events3", path, str(tmp_path / "cka"))
+    want = _content(spark, "ing_events3")
+    spark.sql("DROP TABLE ing_events3")  # external: files survive
+    # replay through a fresh checkpoint AND a fresh catalog: first batch
+    # re-registers, later batches insert — content converges to the same set
+    _ingest(spark, events_dir, "ing_events3", path, str(tmp_path / "ckb"))
+    assert _content(spark, "ing_events3") == want
