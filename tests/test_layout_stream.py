@@ -193,3 +193,33 @@ def test_fresh_session_reregisters_published_ingest(spark, sf_dir, events_dir, t
     # re-registers, later batches insert — content converges to the same set
     _ingest(spark, events_dir, "ing_events3", path, str(tmp_path / "ckb"))
     assert _content(spark, "ing_events3") == want
+
+
+def test_compact_recovers_from_crash_between_renames(
+    spark, sf_dir, events_dir, tmp_path
+):
+    """Simulate a crash between `rename(path -> aside)` and
+    `rename(staging -> path)`: the table location is missing and the
+    data lives only in the aside copy. The next compaction call must
+    restore it before reading and then complete normally."""
+    import os
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS ing_events4")
+    path = str(tmp_path / "ing_events4")
+    _ingest(spark, events_dir, "ing_events4", path, str(tmp_path / "ck"))
+    want = _content(spark, "ing_events4")
+
+    os.rename(path, path + "__old")  # the crash window
+    n = compact_ingest_partitions(spark, "ing_events4", batch_horizon=100)
+    assert n == 4
+    assert _content(spark, "ing_events4") == want
+    assert not os.path.exists(path + "__old")
+    assert not os.path.exists(path + "__stage")
+
+    # missing location with NO recovery copy fails loudly, touches nothing
+    shutil.rmtree(path)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="no recovery copy"):
+        compact_ingest_partitions(spark, "ing_events4", batch_horizon=100)

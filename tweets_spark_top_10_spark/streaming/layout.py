@@ -157,13 +157,37 @@ def compact_ingest_partitions(
     import os
     import shutil
 
-    df = spark.table(table_name)
     loc = (
         spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}")
         .where(F.col("col_name") == "Location")
         .collect()[0]["data_type"]
     )
     path = loc.removeprefix("file:")
+    staging = path.rstrip("/") + "__stage"
+    aside = path.rstrip("/") + "__old"
+    # Re-entrancy with RECOVERY (the compact_parquet discipline): a
+    # crash between the two renames below leaves `path` missing and the
+    # table alive only in the aside (original) or staging (complete —
+    # it is only renamed into place after the staged write finished and
+    # its temp table was dropped). Restore BEFORE reading, and never
+    # delete a directory that is the table's only copy; leftovers are
+    # safe to clear only once `path` exists again.
+    if not os.path.exists(path):
+        if os.path.exists(aside):
+            os.rename(aside, path)
+        elif os.path.exists(staging):
+            os.rename(staging, path)
+        else:
+            raise FileNotFoundError(
+                f"{table_name} location {path} missing with no recovery copy"
+            )
+        spark.sql(f"MSCK REPAIR TABLE {table_name}")
+        spark.sql(f"REFRESH TABLE {table_name}")
+    for p in (staging, aside):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+
+    df = spark.table(table_name)
     old = df.where(F.col(_BATCH_COL) < batch_horizon)
     n_folded = old.select(_BATCH_COL).distinct().count()
     if n_folded <= 1:
@@ -180,11 +204,6 @@ def compact_ingest_partitions(
     n_buckets = int(meta["Num Buckets"])
     bucket_key = meta["Bucket Columns"].strip("[]` ")
 
-    staging = path.rstrip("/") + "__stage"
-    aside = path.rstrip("/") + "__old"
-    for p in (staging, aside):
-        if os.path.exists(p):
-            shutil.rmtree(p)
     stage_tbl = f"{table_name}__compact_stage"
     spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
     (
