@@ -182,27 +182,60 @@ def test_compact_ingest_partitions_folds_history(
 
 
 def test_fresh_session_reregisters_published_ingest(spark, sf_dir, events_dir, tmp_path):
-    """Dropping the catalog entry (a fresh session) must re-register the
-    published files and keep ingesting into them, not clobber history."""
+    """THE data-loss case the review caught: a fresh session (no catalog
+    entry) resuming an EXISTING checkpoint sees only new batches — if
+    re-registration fails to recognize the published files (their names
+    all start with '_': __ingest_batch=N, _SUCCESS), the first new batch
+    falls into the create-overwrite branch and wipes batches 0..N.
+    Deliver one NEW chunk against the SAME checkpoint and assert the
+    old batches survive alongside it."""
+    import shutil
+
+    stream_dir = str(tmp_path / "stream5")
+    shutil.copytree(events_dir, stream_dir)
+    extra = str(tmp_path / "extra_chunk")
+    events = load_table(spark, sf_dir, "events")
+    events.limit(0).coalesce(1).write.mode("overwrite").parquet(extra)
+
     spark.sql("DROP TABLE IF EXISTS ing_events3")
     path = str(tmp_path / "ing_events3")
-    _ingest(spark, events_dir, "ing_events3", path, str(tmp_path / "cka"))
+    ckpt = str(tmp_path / "cka")
+    _ingest(spark, stream_dir, "ing_events3", path, ckpt)
     want = _content(spark, "ing_events3")
+    assert want
+
     spark.sql("DROP TABLE ing_events3")  # external: files survive
-    # replay through a fresh checkpoint AND a fresh catalog: first batch
-    # re-registers, later batches insert — content converges to the same set
-    _ingest(spark, events_dir, "ing_events3", path, str(tmp_path / "ckb"))
-    assert _content(spark, "ing_events3") == want
+    # a 5th chunk arrives; same checkpoint -> ONLY it is processed, by a
+    # session with no catalog entry: must re-register, never clobber
+    new_rows = events.orderBy("event_id").limit(7)
+    new_rows.coalesce(1).write.mode("overwrite").parquet(extra)
+    src = glob.glob(f"{extra}/part-*.parquet")[0]
+    shutil.copy(src, f"{stream_dir}/chunk4.parquet")
+    _ingest(spark, stream_dir, "ing_events3", path, ckpt)
+
+    got = _content(spark, "ing_events3")
+    extra_want = sorted(
+        (r.event_id, r.user_id, r.event_type)
+        for r in new_rows.select("event_id", "user_id", "event_type").collect()
+    )
+    assert got == sorted(want + extra_want), (
+        len(got),
+        len(want),
+        len(extra_want),
+    )
 
 
 def test_compact_recovers_from_crash_between_renames(
     spark, sf_dir, events_dir, tmp_path
 ):
-    """Simulate a crash between `rename(path -> aside)` and
-    `rename(staging -> path)`: the table location is missing and the
-    data lives only in the aside copy. The next compaction call must
-    restore it before reading and then complete normally."""
+    """Simulate a crash inside the marker-bracketed swap window (after
+    `rename(path -> aside)`, before `rename(staging -> path)`): the
+    table location is missing, the marker is up, and the data lives
+    only in the aside copy. The next compaction call must roll back
+    and then complete normally; ingest must REFUSE to write while the
+    marker is up (it would recreate `path` as a one-batch fragment)."""
     import os
+    import pathlib
     import shutil
 
     spark.sql("DROP TABLE IF EXISTS ing_events4")
@@ -210,16 +243,31 @@ def test_compact_recovers_from_crash_between_renames(
     _ingest(spark, events_dir, "ing_events4", path, str(tmp_path / "ck"))
     want = _content(spark, "ing_events4")
 
+    pathlib.Path(path + "__swap_pending").touch()
     os.rename(path, path + "__old")  # the crash window
+
+    # the ingest guard: a resumed micro-batch must fail loudly, not
+    # recreate the location (which would poison recovery)
+    with pytest.raises(Exception, match="compaction swap leftovers"):
+        _ingest(spark, events_dir, "ing_events4", path, str(tmp_path / "ck_g"))
+    assert not os.path.exists(path)
+
     n = compact_ingest_partitions(spark, "ing_events4", batch_horizon=100)
     assert n == 4
     assert _content(spark, "ing_events4") == want
     assert not os.path.exists(path + "__old")
     assert not os.path.exists(path + "__stage")
+    assert not os.path.exists(path + "__swap_pending")
+
+    # an aside copy WITHOUT a marker is unreachable from the code:
+    # refuse to guess which copy is the real table
+    os.makedirs(path + "__old")
+    with pytest.raises(RuntimeError, match="without a swap marker"):
+        compact_ingest_partitions(spark, "ing_events4", batch_horizon=100)
+    shutil.rmtree(path + "__old")
 
     # missing location with NO recovery copy fails loudly, touches nothing
+    pathlib.Path(path + "__swap_pending").touch()
     shutil.rmtree(path)
-    import pytest as _pytest
-
-    with _pytest.raises(FileNotFoundError, match="no recovery copy"):
+    with pytest.raises(FileNotFoundError, match="no recovery copy"):
         compact_ingest_partitions(spark, "ing_events4", batch_horizon=100)

@@ -96,6 +96,12 @@ def bucketed_table(
         try:
             os.rename(staging, final)
         except OSError:
+            # benign ONLY if a concurrent builder already published a
+            # complete copy; any other rename failure (EACCES, EXDEV,
+            # transient I/O) must not fall through to registering an
+            # empty LOCATION as a zero-row table
+            if not (final / "_SUCCESS").exists():
+                raise
             shutil.rmtree(staging, ignore_errors=True)
         _prune_stale(root, f"sg_bkt_{table}_{n_buckets}_", keep=_KEEP, protect={name})
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
@@ -164,9 +170,15 @@ def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     what AQE picks anyway, and co-location is the difference between
     that join shuffling 100 TB or nothing.
 
-    The legacy ``outputOrdering`` conf is scoped to bucketed scans
-    only (it changes no other query's plan) and is safe under the
-    writer's one-file-per-bucket contract — see ``write_bucketed``.
+    The legacy ``outputOrdering`` conf is set SESSION-WIDE and left
+    set (the returned DataFrame is lazy — restoring the conf before
+    execution would undo the Sort elimination it exists for). That is
+    safe, not just convenient: Spark consults it only for bucketed
+    scans, and only claims the written sort order when a bucket is a
+    single file (multi-file buckets still get their Sort node), so it
+    can change plans solely by REMOVING provably-redundant Sorts —
+    never results, never exchange counts (what ``plan_shapes.json``
+    pins). See ``write_bucketed`` for the one-file contract.
     """
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     orders = spark.table(bucketed_table(spark, sf_dir, "orders", "o_custkey"))

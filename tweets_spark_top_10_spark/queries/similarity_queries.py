@@ -495,54 +495,31 @@ def _pq_cache_root() -> "Path":
     ``~/.cache``, mode 0700, ownership-verified.  NOT the shared system
     temp dir — there another user could pre-create the predictable path
     with a ``_SUCCESS`` file and every ``*_prebuilt`` query would
-    silently serve attacker-controlled codes (round-7 advisor
-    finding)."""
-    import os
-    from pathlib import Path
+    silently serve attacker-controlled codes (round-7 advisor finding).
+    The hardening now lives ONCE in ``sources.cache.user_cache_dir``
+    (shared with the bucketed-table cache); this wrapper keeps the
+    established namespace."""
+    from tweets_spark_top_10_spark.sources.cache import user_cache_dir
 
-    base = Path(
-        os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache")
-    ) / "spark_graft_pq_index"
-    base.mkdir(mode=0o700, parents=True, exist_ok=True)
-    st = os.stat(base)
-    if st.st_uid != os.getuid():
-        raise RuntimeError(
-            f"prebuilt-index cache {base} is owned by uid {st.st_uid}, "
-            f"not the current user ({os.getuid()}) — refusing to serve "
-            "codes from a directory another user controls"
-        )
-    # mkdir(mode=...) only applies on CREATE: a pre-existing dir from
-    # an older tool / permissive umask could be group/world-writable,
-    # re-opening the pre-create attack the uid check alone misses
-    if st.st_mode & 0o077:
-        os.chmod(base, 0o700)
-    return base
+    return user_cache_dir("spark_graft_pq_index")
 
 
 def _pq_index_dir(sf_dir: str) -> "Path":
     """Deterministic on-disk location for the prebuilt indexes of one
     scale factor.  The directory name embeds a fingerprint of the
-    source embeddings parquet (sizes + mtimes of its data files), so a
-    REGENERATED corpus at the same path gets a fresh index instead of
-    silently serving stale codes — the failure mode that would
-    otherwise poison every ``*_prebuilt`` result."""
-    import hashlib
-    import os
+    source embeddings parquet (sizes + mtimes of its data files, via
+    ``sources.cache.fingerprint_paths`` — byte-identical digest inputs
+    to the original inline implementation, so existing cache entries
+    stay valid), so a REGENERATED corpus at the same path gets a fresh
+    index instead of silently serving stale codes — the failure mode
+    that would otherwise poison every ``*_prebuilt`` result."""
     from pathlib import Path
 
+    from tweets_spark_top_10_spark.sources.cache import fingerprint_paths
+
     src = Path(sf_dir) / "embeddings.parquet"
-    h = hashlib.md5()
-    try:
-        targets = (
-            sorted(src.iterdir()) if src.is_dir() else [src]
-        )
-        for p in targets:
-            st = os.stat(p)
-            h.update(f"{p.name}:{st.st_size}:{st.st_mtime_ns};".encode())
-    except OSError:
-        h.update(b"missing")
     return _pq_cache_root() / (
-        f"sg_pq_index_{Path(sf_dir).name}_{h.hexdigest()[:12]}"
+        f"sg_pq_index_{Path(sf_dir).name}_{fingerprint_paths(src)}"
     )
 
 

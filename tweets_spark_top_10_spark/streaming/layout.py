@@ -28,6 +28,18 @@ Design (composing three proven disciplines):
   one-file-per-bucket there; partitions at/above the horizon keep
   their batch-id-keyed overwrite idempotence verbatim.
 
+Crash-safety protocol for the compaction swap: the two renames
+(``path → aside``, ``staging → path``) are bracketed by a
+``__swap_pending`` MARKER file. While the marker exists, ingest
+REFUSES to write (otherwise a resumed micro-batch could recreate
+``path`` with only its own rows, and a later recovery would mistake
+that fragment for the full table and delete the aside copy — the
+review finding this protocol closes). Recovery at compaction entry is
+therefore unambiguous: marker + no ``path`` → restore aside (or the
+complete staged copy); marker + ``path`` + aside → the swap finished,
+aside is redundant. An aside dir WITHOUT a marker is unreachable from
+this code and raises rather than guessing which copy to delete.
+
 What multi-file buckets cost while uncompacted: the co-located join
 keeps ZERO Exchange (the 100 TB killer) but re-sorts each bucket
 locally (Spark only trusts the written sort order for single-file
@@ -50,6 +62,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 _BATCH_COL = "__ingest_batch"
+
+
+def _swap_paths(path: str) -> tuple[str, str, str]:
+    base = path.rstrip("/")
+    return base + "__stage", base + "__old", base + "__swap_pending"
+
+
+def _is_published_ingest_dir(path: str) -> bool:
+    """True when ``path`` holds this module's own output — batch
+    partition dirs or the write marker. Both start with ``_``, so a
+    generic hidden-files check would wrongly call the dir empty (the
+    bug that made fresh-session re-registration unreachable)."""
+    import os
+
+    if not os.path.exists(path):
+        return False
+    return any(
+        e == "_SUCCESS" or e.startswith(f"{_BATCH_COL}=")
+        for e in os.listdir(path)
+    )
 
 
 def _register_existing(
@@ -95,16 +127,24 @@ def foreach_batch_bucketed_ingest(
     """
 
     def _write(batch: DataFrame, batch_id: int) -> None:
+        import os
+
         spark = batch.sparkSession
+        _, aside, marker = _swap_paths(path)
+        if os.path.exists(marker) or os.path.exists(aside):
+            # a compaction swap crashed mid-flight; writing now could
+            # recreate `path` as a single-batch fragment and poison the
+            # recovery's "path exists => path is complete" reasoning
+            raise RuntimeError(
+                f"{table_name}: compaction swap leftovers at {aside} / "
+                f"{marker} — run compact_ingest_partitions to recover "
+                "before ingesting"
+            )
         out = batch.withColumn(_BATCH_COL, F.lit(int(batch_id))).repartition(
             n_buckets, bucket_key
         )
         if not spark.catalog.tableExists(table_name):
-            import os
-
-            if os.path.exists(path) and any(
-                not e.startswith((".", "_")) for e in os.listdir(path)
-            ):
+            if _is_published_ingest_dir(path):
                 _register_existing(
                     spark, table_name, path, batch, bucket_key, n_buckets
                 )
@@ -144,48 +184,72 @@ def foreach_batch_bucketed_ingest(
     return writer.start()
 
 
+def _recover_swap(spark: SparkSession, table_name: str, path: str) -> None:
+    """Roll a crashed compaction swap forward or back (see the module
+    docstring's marker protocol); no-op when there is nothing to
+    recover. Raises on an aside copy with no marker — that state is
+    unreachable from this code, and deleting either copy on a guess
+    could destroy the only full history."""
+    import os
+    import shutil
+
+    staging, aside, marker = _swap_paths(path)
+    if not os.path.exists(marker):
+        if os.path.exists(aside):
+            raise RuntimeError(
+                f"{table_name}: aside copy {aside} exists without a swap "
+                "marker — manual state; refusing to choose which copy to "
+                "delete"
+            )
+        if os.path.exists(staging):
+            # crash before the marker was ever written: `path` is the
+            # intact original, the staged copy is safe to discard
+            shutil.rmtree(staging)
+        return
+    if not os.path.exists(path):
+        if os.path.exists(aside):
+            os.rename(aside, path)  # roll BACK: re-fold on the next call
+        elif os.path.exists(staging):
+            os.rename(staging, path)  # roll FORWARD: swap had completed
+        else:
+            raise FileNotFoundError(
+                f"{table_name} location {path} missing with no recovery copy"
+            )
+    # `path` now exists and (thanks to the ingest guard) can only be the
+    # original or the completed compaction — leftovers are redundant
+    for p in (aside, staging):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    os.remove(marker)
+    spark.sql(f"MSCK REPAIR TABLE {table_name} SYNC PARTITIONS")
+    spark.sql(f"REFRESH TABLE {table_name}")
+
+
 def compact_ingest_partitions(
     spark: SparkSession, table_name: str, batch_horizon: int
 ) -> int:
     """Fold ``__ingest_batch`` partitions below ``batch_horizon``
     (including a previous ``-1`` consolidation) into ONE ``-1``
     partition with one file per bucket, keeping replayable partitions
-    verbatim. Atomic dir swap under the table's unchanged LOCATION
-    (the ``compact_bucket_partials`` discipline, bucket-spec-preserving
-    via a staged ``saveAsTable``); returns how many batch partitions
-    were folded."""
+    verbatim. Marker-bracketed atomic dir swap under the table's
+    unchanged LOCATION (bucket-spec-preserving via a staged
+    ``saveAsTable``); returns how many batch partitions were folded."""
     import os
     import shutil
+    from pathlib import Path
 
-    loc = (
-        spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}")
-        .where(F.col("col_name") == "Location")
-        .collect()[0]["data_type"]
-    )
-    path = loc.removeprefix("file:")
-    staging = path.rstrip("/") + "__stage"
-    aside = path.rstrip("/") + "__old"
-    # Re-entrancy with RECOVERY (the compact_parquet discipline): a
-    # crash between the two renames below leaves `path` missing and the
-    # table alive only in the aside (original) or staging (complete —
-    # it is only renamed into place after the staged write finished and
-    # its temp table was dropped). Restore BEFORE reading, and never
-    # delete a directory that is the table's only copy; leftovers are
-    # safe to clear only once `path` exists again.
-    if not os.path.exists(path):
-        if os.path.exists(aside):
-            os.rename(aside, path)
-        elif os.path.exists(staging):
-            os.rename(staging, path)
-        else:
-            raise FileNotFoundError(
-                f"{table_name} location {path} missing with no recovery copy"
-            )
-        spark.sql(f"MSCK REPAIR TABLE {table_name}")
-        spark.sql(f"REFRESH TABLE {table_name}")
-    for p in (staging, aside):
-        if os.path.exists(p):
-            shutil.rmtree(p)
+    meta = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
+    }
+    path = meta["Location"].removeprefix("file:")
+    n_buckets = int(meta["Num Buckets"])
+    bucket_cols = [
+        c.strip(" `") for c in meta["Bucket Columns"].strip("[]").split(",")
+    ]
+    staging, aside, marker = _swap_paths(path)
+
+    _recover_swap(spark, table_name, path)
 
     df = spark.table(table_name)
     old = df.where(F.col(_BATCH_COL) < batch_horizon)
@@ -196,30 +260,24 @@ def compact_ingest_partitions(
     keep = df.where(F.col(_BATCH_COL) >= batch_horizon)
     out = folded.unionByName(keep).localCheckpoint(eager=True)
 
-    # identify the bucket spec from the catalog so the rewrite keeps it
-    meta = {
-        r["col_name"]: r["data_type"]
-        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
-    }
-    n_buckets = int(meta["Num Buckets"])
-    bucket_key = meta["Bucket Columns"].strip("[]` ")
-
     stage_tbl = f"{table_name}__compact_stage"
     spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
     (
-        out.repartition(n_buckets, bucket_key)
+        out.repartition(n_buckets, *bucket_cols)
         .write.format("parquet")
         .partitionBy(_BATCH_COL)
-        .bucketBy(n_buckets, bucket_key)
-        .sortBy(bucket_key)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
         .option("path", staging)
         .mode("overwrite")
         .saveAsTable(stage_tbl)
     )
     spark.sql(f"DROP TABLE {stage_tbl}")  # external: staged files stay
+    Path(marker).touch()
     os.rename(path, aside)
     os.rename(staging, path)
     shutil.rmtree(aside)
-    spark.sql(f"MSCK REPAIR TABLE {table_name}")
+    os.remove(marker)
+    spark.sql(f"MSCK REPAIR TABLE {table_name} SYNC PARTITIONS")
     spark.sql(f"REFRESH TABLE {table_name}")
     return n_folded
