@@ -17,19 +17,43 @@ import duckdb
 import pyarrow.parquet as pq
 
 
-def _py_bpe(texts: list[str], merges: int) -> list[tuple[int, str, str, int]]:
-    """Reference BPE on Python dicts — same symbol-string encoding
-    (space-joined, sentinel-wrapped) and same str.replace leftmost
-    non-overlapping merge application as the engine and the oracle."""
-    freq = collections.Counter(
-        tok for t in texts for tok in re.split(r"\s+", t) if tok
+def _tokens(texts: list[str]) -> collections.Counter:
+    # re.ASCII so \s matches exactly what the engine's Java regex and
+    # the oracle's RE2 match — Python's default Unicode \s would also
+    # split on U+00A0/U+2028 and desync the reference on such corpora
+    return collections.Counter(
+        tok for t in texts for tok in re.split(r"\s+", t, flags=re.ASCII) if tok
     )
-    words = {" " + " ".join(w) + " ": c for w, c in freq.items()}
+
+
+def _merge_once(syms: tuple[str, ...], lhs: str, rhs: str) -> tuple[str, ...]:
+    """Canonical Sennrich merge application: left-to-right
+    NON-OVERLAPPING pairing over the symbol LIST — deliberately not a
+    string replace, so this reference cannot share a string-encoding
+    bug with the engine/oracle (the round-13 review found exactly such
+    a shared under-merge in the original single-space encoding)."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+            out.append(lhs + rhs)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _py_bpe(texts: list[str], merges: int) -> list[tuple[int, str, str, int]]:
+    """Reference BPE over symbol lists (dict + Counter; no Spark, no
+    SQL, no shared string encoding)."""
+    words: dict[tuple[str, ...], int] = {
+        tuple(w): c for w, c in _tokens(texts).items()
+    }
     out = []
     for rank in range(1, merges + 1):
         pairs: collections.Counter = collections.Counter()
-        for s, c in words.items():
-            syms = s.split()
+        for syms, c in words.items():
             for i in range(len(syms) - 1):
                 pairs[(syms[i], syms[i + 1])] += c
         if not pairs:
@@ -38,10 +62,10 @@ def _py_bpe(texts: list[str], merges: int) -> list[tuple[int, str, str, int]]:
             pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
         )
         out.append((rank, lhs, rhs, cnt))
-        pat, rep = f" {lhs} {rhs} ", f" {lhs}{rhs} "
-        merged: dict[str, int] = {}
-        for s, c in words.items():
-            merged[s.replace(pat, rep)] = merged.get(s.replace(pat, rep), 0) + c
+        merged: dict[tuple[str, ...], int] = {}
+        for syms, c in words.items():
+            k = _merge_once(syms, lhs, rhs)
+            merged[k] = merged.get(k, 0) + c
         words = merged
     return out
 
@@ -64,8 +88,11 @@ def test_bpe_matches_python_reference(spark, sf_dir):
 def test_bpe_handmade_overlaps_and_ties(spark):
     """Pins the two semantics that make or break cross-engine parity:
 
-    - leftmost non-overlapping pairing on runs: 'aaa' counts (a,a)
-      twice but merging yields '(aa) a', never 'a (aa)';
+    - CANONICAL non-overlapping pairing on runs: 'aaa' counts (a,a)
+      twice but merging yields '(aa) a', never 'a (aa)'; and 'aaaa'
+      merges BOTH pairs in one round -> '(aa)(aa)' (the single-space
+      string encoding under-merged this to '(aa) a a' — the round-13
+      review finding the double-space encoding fixes);
     - ties break on (count DESC, lhs ASC, rhs ASC).
     """
     from tweets_spark_top_10_spark.functions.bpe import bpe_learn_merges
@@ -87,18 +114,28 @@ def test_bpe_handmade_overlaps_and_ties(spark):
         ["aaab aaab", "aaab"], 4
     )]
 
+    # the run corpus: 'aaaa' x2. Round 1: (a,a) appears 3x per word ->
+    # cnt 6; canonical application merges BOTH pairs: [aa, aa].
+    # Round 2: (aa,aa) cnt 2. The buggy single-space encoding left
+    # [aa, a, a] after round 1 and learned (a,a) again / (aa,a) instead.
+    runs = spark.createDataFrame([("aaaa",), ("aaaa",)], ["text"])
+    got_runs = [tuple(r) for r in bpe_learn_merges(runs, merges=2).collect()]
+    assert got_runs == [(1, "a", "a", 6), (2, "aa", "aa", 2)], got_runs
+    assert got_runs == [
+        (r, lh, rh, c) for r, lh, rh, c in _py_bpe(["aaaa", "aaaa"], 2)
+    ]
+
 
 def _py_apply_merges(texts, merge_rules):
-    """Segmented word-frequency dict after applying merges in order."""
-    freq = collections.Counter(
-        tok for t in texts for tok in re.split(r"\s+", t) if tok
-    )
-    words = {" " + " ".join(w) + " ": c for w, c in freq.items()}
+    """Segmented word-frequency dict after applying merges in order
+    (symbol lists, canonical non-overlapping pairing)."""
+    words: dict[tuple[str, ...], int] = {
+        tuple(w): c for w, c in _tokens(texts).items()
+    }
     for lhs, rhs in merge_rules:
-        pat, rep = f" {lhs} {rhs} ", f" {lhs}{rhs} "
-        merged: dict[str, int] = {}
-        for s, c in words.items():
-            k = s.replace(pat, rep)
+        merged: dict[tuple[str, ...], int] = {}
+        for syms, c in words.items():
+            k = _merge_once(syms, lhs, rhs)
             merged[k] = merged.get(k, 0) + c
         words = merged
     return words
@@ -114,8 +151,8 @@ def test_bpe_subword_vocab_matches_python_reference(spark, sf_dir):
     )["text"].to_pylist()
     rules = [(lh, rh) for _, lh, rh, _ in _py_bpe(texts, 8)]
     counts: collections.Counter = collections.Counter()
-    for s, c in _py_apply_merges(texts, rules).items():
-        for sym in s.split():
+    for syms, c in _py_apply_merges(texts, rules).items():
+        for sym in syms:
             counts[sym] += c
     expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     got = [
@@ -229,7 +266,7 @@ def test_streaming_bpe_vocab_matches_batch(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination()
     words2 = dict(read_bpe_words(spark, state).collect())
-    assert words2[" z q "] == 30  # 10 docs x 3 occurrences
+    assert words2[" z  q "] == 30  # 10 docs x 3 occurrences
     assert sorted(map(tuple, read_bpe_merges(spark, state).collect())) == (
         got_merges
     )
@@ -254,3 +291,27 @@ def test_streaming_bpe_rejects_bad_growth(spark, tmp_path):
             checkpoint=str(tmp_path / "c"),
             relearn_growth=1.0,
         )
+
+
+def test_streaming_bpe_zero_merge_corpus_still_amortizes(spark, tmp_path):
+    """An all-single-character corpus learns ZERO merges — the stored
+    table must still carry fitted_tokens (rank-0 sentinel row) so later
+    batches below the growth trigger skip the re-learn instead of
+    paying the full K rounds forever (round-13 review finding)."""
+    from tweets_spark_top_10_spark.streaming.bpe import (
+        bpe_step,
+        read_bpe_merges,
+    )
+
+    state = str(tmp_path / "state")
+    docs = spark.createDataFrame([("a b c",)], ["text"])
+    r0 = bpe_step(docs, state, "text", 8, 2.0, batch_id=0)
+    assert r0["relearned"] is True  # bootstrap always learns
+    assert read_bpe_merges(spark, state).count() == 0  # nothing learnable
+
+    # growth 2.0 not crossed by one more tiny batch -> must NOT re-learn
+    r1 = bpe_step(
+        spark.createDataFrame([("a",)], ["text"]), state, "text", 8, 2.0,
+        batch_id=1,
+    )
+    assert r1["folded"] is True and r1["relearned"] is False, r1

@@ -29,6 +29,11 @@ def _tracked_cached_rdd_count(spark) -> int:
     return jsc.getRDDStorageInfo().__len__()
 
 
+def _tracked_cached_rdd_ids(spark) -> set:
+    jsc = spark.sparkContext._jsc.sc()
+    return {info.id() for info in jsc.getRDDStorageInfo()}
+
+
 def test_release_unpersists_tracked(spark, sf_dir):
     df = persist_tracked(
         spark.range(1000).withColumn("x", F.col("id") * 2)
@@ -67,18 +72,19 @@ def test_query_start_releases_previous_querys_persists(spark, sf_dir):
 def test_catalog_sweep_leaves_no_net_cached_blocks(spark, sf_dir):
     """A mini catalog sweep + final release adds zero NET cached RDD
     blocks (the swept queries carry no localCheckpoint anchors, so any
-    growth would be a leaked persist).  Asserted as no-net-growth, not
-    ==0: earlier tests in a shared session legitimately leave
-    localCheckpoint anchors (ContextCleaner frees them on GC, and the
-    module docstring pins them as deliberately untracked) — a suite
-    ordered with such a test before this one (e.g. test_bpe) would
-    otherwise fail on blocks this sweep never created."""
+    growth would be a leaked persist).  Asserted by RDD-ID set, not
+    count: any block id born DURING the sweep must be gone after it —
+    a count comparison could hide one new leak behind a concurrent
+    ContextCleaner free of an earlier test's localCheckpoint anchor
+    (round-13 review finding); pre-existing anchors (pinned by the
+    module docstring as deliberately untracked) remain allowed."""
     import gc
 
     gc.collect()  # drop py-side refs so lingering anchors can clean
     spark.catalog.clearCache()
-    before = _tracked_cached_rdd_count(spark)
+    before = _tracked_cached_rdd_ids(spark)
     for name in ["simhash_invariants", "ngram_jaccard_dup_pairs", "doc_tfidf_top3"]:
         QUERIES[name](spark, sf_dir).count()
     release_persisted(spark)
-    assert _tracked_cached_rdd_count(spark) <= before
+    leaked = _tracked_cached_rdd_ids(spark) - before
+    assert not leaked, f"persists leaked by the sweep: rdd ids {sorted(leaked)}"

@@ -115,7 +115,7 @@ def test_semantic_dedup_sound_vs_brute_force(spark, sf_dir):
     assert recall >= 0.2, f"blocked dedup recall collapsed: {recall:.2f}"
 
 
-def test_semantic_dedup_planted_near_dup_recall(spark, tmp_path):
+def test_semantic_dedup_planted_near_dup_recall(spark, sf_dir, tmp_path):
     """The recall gate that matters for a dedup pipeline: PLANTED
     near-duplicates (cosine ~0.99995, the SemDeDup target regime) must
     co-cluster.  50 deterministic perturbations of every-10th corpus
@@ -127,7 +127,7 @@ def test_semantic_dedup_planted_near_dup_recall(spark, tmp_path):
 
     from tweets_spark_top_10_spark.queries import QUERIES
 
-    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
     ids = t["vec_id"].to_pylist()
     V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
     n_rows = len(ids)
@@ -173,8 +173,11 @@ def test_semantic_dedup_planted_near_dup_recall(spark, tmp_path):
     )
 
 
-_TOKEN_SPLIT = re.compile(r"\s+")
-_PUNCT_STRIP = re.compile(r"[A-Za-z0-9\s]")
+# re.ASCII: the engine (Java regex) and oracle (RE2) treat \s as the
+# ASCII class; Python's default Unicode \s would also split on
+# U+00A0/U+2028 and desync these references on such corpora
+_TOKEN_SPLIT = re.compile(r"\s+", re.ASCII)
+_PUNCT_STRIP = re.compile(r"[A-Za-z0-9\s]", re.ASCII)
 
 
 def _py_shingles(text: str, n: int = 3) -> set[str]:

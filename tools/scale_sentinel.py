@@ -115,8 +115,12 @@ def current_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
-def prior_records(replicas: int) -> list[dict]:
-    """All prior sentinel lines at this replica count, file order."""
+def prior_records(replicas: int | None) -> list[dict]:
+    """Prior sentinel lines in file order; ``replicas`` filters to one
+    BATCH-probe replica count, ``None`` returns every line (the stream
+    row always runs at STREAM_REPLICAS and filters for itself inside
+    classify_stream — pre-filtering by the batch CLI argument would
+    silently discard all stream history on a non-default run)."""
     out: list[dict] = []
     try:
         with open(HISTORY) as fh:
@@ -125,9 +129,8 @@ def prior_records(replicas: int) -> list[dict]:
                     rec = json.loads(line)
                 except ValueError:
                     continue
-                if (
-                    rec.get("kind") == "scale_sentinel"
-                    and rec.get("replicas") == replicas
+                if rec.get("kind") == "scale_sentinel" and (
+                    replicas is None or rec.get("replicas") == replicas
                 ):
                     out.append(rec)
     except OSError:
@@ -425,7 +428,7 @@ def main() -> int:
     if "--no-stream" not in sys.argv:
         stream_rec = run_stream_row()
         s_reg, s_watch = classify_stream(
-            stream_rec, priors, cur_round=current_round()
+            stream_rec, prior_records(None), cur_round=current_round()
         )
         regressed.extend(s_reg)
         wall_watch.extend(s_watch)

@@ -136,8 +136,8 @@ def probe_windowed_mg(spark, work: str, replicas: int, batches: int, capacity: i
         "per_batch": per_batch,
         "max_live_rows": max(r["live_rows"] for r in per_batch),
         "keys_over_capacity_total": sum(r["keys_over_capacity"] for r in per_batch),
-        "merge_s_first3_avg": round(sum(walls[:3]) / 3, 2),
-        "merge_s_last3_avg": round(sum(walls[-3:]) / 3, 2),
+        "merge_s_first3_avg": round(sum(walls[:3]) / max(1, len(walls[:3])), 2),
+        "merge_s_last3_avg": round(sum(walls[-3:]) / max(1, len(walls[-3:])), 2),
     }
 
 
@@ -205,8 +205,8 @@ def probe_semantic_dedup(spark, work: str, replicas: int, batches: int):
     walls = [r["merge_s"] for r in per_batch]
     return {
         "per_batch": per_batch,
-        "merge_s_first3_avg": round(sum(walls[:3]) / 3, 2),
-        "merge_s_last3_avg": round(sum(walls[-3:]) / 3, 2),
+        "merge_s_first3_avg": round(sum(walls[:3]) / max(1, len(walls[:3])), 2),
+        "merge_s_last3_avg": round(sum(walls[-3:]) / max(1, len(walls[-3:])), 2),
     }
 
 
@@ -299,8 +299,8 @@ def probe_semantic_refit(spark, work: str, replicas: int, batches: int):
         walls = [r["merge_s"] for r in per_batch]
         arms[arm] = {
             "per_batch": per_batch,
-            "merge_s_first3_avg": round(sum(walls[:3]) / 3, 2),
-            "merge_s_last3_avg": round(sum(walls[-3:]) / 3, 2),
+            "merge_s_first3_avg": round(sum(walls[:3]) / max(1, len(walls[:3])), 2),
+            "merge_s_last3_avg": round(sum(walls[-3:]) / max(1, len(walls[-3:])), 2),
             "merge_s_total": round(sum(walls), 2),
             "refits": refits,
             "refit_s_total": round(sum(r["refit_s"] for r in refits), 2),
@@ -398,8 +398,8 @@ def probe_semantic_refit_loop(spark, work: str, replicas: int, batches: int):
     walls = [r["drain_s"] for r in per_batch]
     return {
         "per_batch": per_batch,
-        "drain_s_first3_avg": round(sum(walls[:3]) / 3, 2),
-        "drain_s_last3_avg": round(sum(walls[-3:]) / 3, 2),
+        "drain_s_first3_avg": round(sum(walls[:3]) / max(1, len(walls[:3])), 2),
+        "drain_s_last3_avg": round(sum(walls[-3:]) / max(1, len(walls[-3:])), 2),
         "drain_s_total": round(sum(walls), 2),
         "loop_refits": [
             {"after_batch": r["batch"], "fitted_n": r["fitted_n"]}
@@ -482,8 +482,8 @@ def probe_bpe_vocab(
     return {
         "per_batch": per_batch,
         "relearn_count": sum(1 for r in per_batch if r["relearned"]),
-        "step_s_first3_avg": round(sum(walls[:3]) / 3, 2),
-        "step_s_last3_avg": round(sum(walls[-3:]) / 3, 2),
+        "step_s_first3_avg": round(sum(walls[:3]) / max(1, len(walls[:3])), 2),
+        "step_s_last3_avg": round(sum(walls[-3:]) / max(1, len(walls[-3:])), 2),
     }
 
 

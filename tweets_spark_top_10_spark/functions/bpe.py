@@ -17,12 +17,24 @@ Scale design (the part that must survive 100 TB):
   runs on the DISTINCT-word table (Zipf: ~millions of rows for
   billions of tokens).  This is the standard dictionary trick; without
   it each round would rescan the corpus.
-- **Symbol sequences ride a single space-joined string column**, not
-  an array that gets rebuilt row-by-row: applying a merge is ONE
-  ``replace(s, ' l r ', ' lr ')`` — leftmost non-overlapping scan,
-  which IS greedy BPE pairing (verified: ``' a a a '`` -> ``' aa a '``
-  in both Spark and DuckDB) — so the per-round transform is a narrow
-  JVM string op inside whole-stage codegen.
+- **Symbol sequences ride a single string column**, not an array that
+  gets rebuilt row-by-row: every symbol OWNS a leading and a trailing
+  space (``'aaaa'`` encodes as ``' a  a  a  a '`` — adjacent symbols
+  are separated by exactly two spaces), so applying a merge is ONE
+  ``replace(s, ' l  r ', ' lr ')`` whose matches can never share
+  characters; plain leftmost non-overlapping replace then equals
+  canonical greedy BPE pairing (``' a  a  a  a '`` -> ``' aa  aa '``,
+  matching Sennrich's non-overlapping sub) in Spark, DuckDB and
+  Python alike.  A single-space encoding gets this WRONG — the match
+  consumes the trailing space the next occurrence needs as its lead,
+  under-merging runs (``'aaaa'`` -> ``'aa a a'``); caught by the
+  round-13 review, now pinned by ``test_bpe_handmade_overlaps_and_
+  ties``'s run corpus and the list-based Python reference.  The
+  per-round transform stays a narrow JVM string op inside whole-stage
+  codegen.  (ASCII-corpus note: the char split uses regex ``(.)`` and
+  the tokenizer ``\\s+`` — Java and RE2 agree on both for ASCII text;
+  exotic Unicode line separators like U+2028 would desync the
+  engines.)
 - **Per-round cost**: one pair-explode of the word table (zip_with of
   two slices — no UDF), one ``groupBy(l, r).sum(freq)`` with map-side
   partial aggregation, one TakeOrdered(1) argmax (a bounded ONE-ROW
@@ -57,17 +69,16 @@ MERGE_SCHEMA = T.StructType(
 def word_frequency_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace-token word-frequency table: the Zipf-compressed
     working set every BPE round runs on.  Columns: (s, freq) where
-    ``s`` is the word's symbol sequence as a sentinel-wrapped
-    space-joined string (``' h e l l o '``) — symbols never contain
-    whitespace because words come from a whitespace split."""
+    ``s`` is the word's symbol sequence with every symbol owning its
+    boundary spaces (``' h  e  l  l  o '``) — symbols never contain
+    whitespace because words come from a whitespace split, so plain
+    replace of ``' l  r '`` is canonical non-overlapping pairing."""
     return (
         docs.select(F.explode(tokenize(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
-            F.concat(
-                F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 ")
-            ).alias("s"),
+            F.regexp_replace(F.col("word"), "(.)", " $1 ").alias("s"),
             "freq",
         )
     )
@@ -77,7 +88,7 @@ def _adjacent_pair_counts(words: DataFrame) -> DataFrame:
     """(lhs, rhs, cnt): corpus-weighted adjacent-symbol pair counts.
     zip_with over two slices — row-local, no UDF; 1-symbol words
     produce an empty pair array and drop out at the explode."""
-    arr = F.split(F.trim(F.col("s")), " ")
+    arr = F.split(F.trim(F.col("s")), "  ")
     pairs = F.zip_with(
         F.slice(arr, 1, F.size(arr) - 1),
         F.slice(arr, 2, F.size(arr) - 1),
@@ -131,7 +142,7 @@ def learn_from_words(
             "s",
             F.replace(
                 F.col("s"),
-                F.lit(f" {lhs} {rhs} "),
+                F.lit(f" {lhs}  {rhs} "),
                 F.lit(f" {lhs}{rhs} "),
             ),
         ).localCheckpoint(eager=True)
@@ -166,7 +177,7 @@ def bpe_subword_counts(
     _, words = _learn(docs, text_col, merges)
     return (
         words.select(
-            F.explode(F.split(F.trim(F.col("s")), " ")).alias("subword"),
+            F.explode(F.split(F.trim(F.col("s")), "  ")).alias("subword"),
             "freq",
         )
         .groupBy("subword")

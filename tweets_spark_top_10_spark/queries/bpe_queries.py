@@ -4,9 +4,12 @@ Oracle strategy mirrors ``graph_queries`` (the other fixed-round
 iterative op): the SAME number of rounds unrolled as SQL CTEs, so the
 comparison is full-value.  Each round is (pair counts from the current
 symbol strings) -> (argmax with the count DESC, lhs, rhs tie-break) ->
-(one leftmost-non-overlapping replace) — the exact semantics of the
-Spark builder in ``functions/bpe.py``, expressed in DuckDB's own list
-and string primitives rather than replayed through a shared library.
+(one leftmost-non-overlapping replace over the double-space symbol
+encoding, where every symbol owns its boundary spaces so matches never
+share characters — canonical Sennrich pairing; see
+``functions/bpe.py``) — the exact semantics of the Spark builder,
+expressed in DuckDB's own list and string primitives rather than
+replayed through a shared library.
 Counts are integers and tie-breaks are byte-order string comparisons,
 so the merge sequence matches exactly, no rounding bands needed.
 """
@@ -31,7 +34,7 @@ _BPE_ROUND_CTE = r"""
              CAST(SUM(freq) AS BIGINT) AS cnt
       FROM (
         SELECT arr, freq, unnest(range(1, len(arr))) AS j
-        FROM (SELECT string_split(trim(s), ' ') AS arr, freq FROM w{prev})
+        FROM (SELECT string_split(trim(s), '  ') AS arr, freq FROM w{prev})
       )
       GROUP BY 1, 2
     ),
@@ -40,7 +43,7 @@ _BPE_ROUND_CTE = r"""
     ),
     w{i} AS MATERIALIZED (
       SELECT replace(s,
-               ' ' || (SELECT lhs FROM b{i}) || ' ' || (SELECT rhs FROM b{i}) || ' ',
+               ' ' || (SELECT lhs FROM b{i}) || '  ' || (SELECT rhs FROM b{i}) || ' ',
                ' ' || (SELECT lhs FROM b{i}) || (SELECT rhs FROM b{i}) || ' ') AS s,
              freq
       FROM w{prev}
@@ -58,7 +61,7 @@ def _bpe_oracle(merges: int) -> str:
     )
     return rf"""
     WITH w0 AS MATERIALIZED (
-      SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS s,
+      SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS s,
              CAST(COUNT(*) AS BIGINT) AS freq
       FROM (
         SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
@@ -78,7 +81,7 @@ def _bpe_vocab_oracle(merges: int, top: int) -> str:
     )
     return rf"""
     WITH w0 AS MATERIALIZED (
-      SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS s,
+      SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS s,
              CAST(COUNT(*) AS BIGINT) AS freq
       FROM (
         SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
@@ -90,7 +93,7 @@ def _bpe_vocab_oracle(merges: int, top: int) -> str:
     {rounds}
     SELECT subword, CAST(SUM(freq) AS BIGINT) AS n
     FROM (
-      SELECT unnest(string_split(trim(s), ' ')) AS subword, freq
+      SELECT unnest(string_split(trim(s), '  ')) AS subword, freq
       FROM w{merges}
     )
     GROUP BY 1

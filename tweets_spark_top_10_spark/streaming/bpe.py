@@ -72,9 +72,14 @@ def read_bpe_words(spark: SparkSession, state_dir: str) -> DataFrame:
 
 
 def read_bpe_merges(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Current maintained merge table (MERGE_SCHEMA columns)."""
+    """Current maintained merge table (MERGE_SCHEMA columns; the
+    rank-0 bookkeeping sentinel row is internal and filtered out)."""
     _recover(_merges_dir(state_dir))
-    return spark.read.parquet(_merges_dir(state_dir)).drop("fitted_tokens")
+    return (
+        spark.read.parquet(_merges_dir(state_dir))
+        .where(F.col("merge_rank") >= 1)
+        .drop("fitted_tokens")
+    )
 
 
 def _fold_words_batch(
@@ -178,9 +183,14 @@ def bpe_step(
     learned, _ = learn_from_words(
         spark.read.parquet(_words_dir(state_dir)), merges
     )
-    table = spark.createDataFrame(learned, MERGE_SCHEMA).withColumn(
-        "fitted_tokens", F.lit(total).cast("long")
-    )
+    # rank-0 sentinel row: carries fitted_tokens even when ZERO merges
+    # are learnable (an all-single-character corpus) — without it the
+    # stored table is empty, `fitted` reads None forever, and every
+    # later batch pays the full K-round re-learn the growth trigger
+    # exists to amortize (round-13 review finding)
+    table = spark.createDataFrame(
+        [(0, "", "", 0)] + learned, MERGE_SCHEMA
+    ).withColumn("fitted_tokens", F.lit(total).cast("long"))
     # merge table + fitted_tokens advance LAST — crash inside the
     # re-learn leaves the trigger armed, replay converges
     _swap_write(table, mdir, batch_id)
