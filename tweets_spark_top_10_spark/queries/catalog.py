@@ -56,54 +56,7 @@ from tweets_spark_top_10_spark.queries.registry import ORACLE, QUERIES
 # zero fails; the r1 rows listed here are the 30 not re-checked in r2,
 # all green in r1).
 _LAST_CHECKED: dict[str, int] = {
-    # --- last driver row: round 10 ---
-    "monthly_revenue": 10,
-    "segment_order_stats": 10,
-    "status_priority_grouping_sets": 10,
-    "quantity_percentiles": 10,
-    "user_trailing_hour_value": 10,
-    "orders_profile": 10,
-    "deterministic_sample_stats": 10,
-    "customer_priority_lists": 10,
-    "embedding_norms": 10,
-    "knn_cosine_top5": 10,
-    "label_centroids": 10,
-    "embedding_near_dup_pairs": 10,
-    "ivf_knn_top5": 10,
-    "dedup_exact_docs": 10,
-    "doc_token_stats": 10,
-    "doc_stopword_ratio": 10,
-    "urgent_vs_customer_avg_sql": 10,
-    "approx_quantile_gate": 10,
-    "priority_revenue_ivm": 10,
-    "doc_token_ids": 10,
-    "nation_pair_trade_volume": 10,
-    "returned_item_losses": 10,
-    "user_conversion_funnel": 10,
-    "user_hourly_ohlc": 10,
-    "user_value_trend": 10,
-    "doc_feature_hashing": 10,
-    "event_value_winsorized": 10,
-    "pq_adc_top5_prebuilt": 10,
-    "opq_adc_top5_prebuilt": 10,
-    "semantic_dedup_keep": 10,
-    "ivfpq_adc_top5_prebuilt": 10,
-    "doc_gopher_repetition": 10,
-    "lang_token_budget_sample": 10,
-    "doc_dup_spans": 10,
-    "curriculum_interleave": 10,
-    "lang_mixture_weights": 10,
-    "doc_length_batches": 10,
-    "doc_quality_tiers": 10,
-    "label_centroids_arrow": 10,
-    "nation_balance_drift_ks": 10,
     # --- last driver row: round 11 ---
-    "media_frame_counts": 11,
-    "media_resize_stats": 11,
-    "media_image_features": 11,
-    "ref_top10_tokens": 11,
-    "top_event_types": 11,
-    "q1_pricing_summary": 11,
     "top_revenue_orders": 11,
     "regional_customer_revenue": 11,
     "top_orders_per_customer": 11,
@@ -198,6 +151,57 @@ _LAST_CHECKED: dict[str, int] = {
     "user_hourly_gapfill": 12,
     "user_value_anomalies": 12,
     "event_value_moments": 12,
+    # --- last driver row: round 13 ---
+    "media_frame_counts": 13,
+    "media_resize_stats": 13,
+    "media_image_features": 13,
+    "ref_top10_tokens": 13,
+    "top_event_types": 13,
+    "q1_pricing_summary": 13,
+    "monthly_revenue": 13,
+    "segment_order_stats": 13,
+    "status_priority_grouping_sets": 13,
+    "quantity_percentiles": 13,
+    "user_trailing_hour_value": 13,
+    "orders_profile": 13,
+    "deterministic_sample_stats": 13,
+    "customer_priority_lists": 13,
+    "embedding_norms": 13,
+    "knn_cosine_top5": 13,
+    "label_centroids": 13,
+    "embedding_near_dup_pairs": 13,
+    "ivf_knn_top5": 13,
+    "dedup_exact_docs": 13,
+    "doc_token_stats": 13,
+    "doc_stopword_ratio": 13,
+    "urgent_vs_customer_avg_sql": 13,
+    "approx_quantile_gate": 13,
+    "priority_revenue_ivm": 13,
+    "doc_token_ids": 13,
+    "nation_pair_trade_volume": 13,
+    "returned_item_losses": 13,
+    "user_conversion_funnel": 13,
+    "user_hourly_ohlc": 13,
+    "user_value_trend": 13,
+    "doc_feature_hashing": 13,
+    "event_value_winsorized": 13,
+    "pq_adc_top5_prebuilt": 13,
+    "opq_adc_top5_prebuilt": 13,
+    "semantic_dedup_keep": 13,
+    "ivfpq_adc_top5_prebuilt": 13,
+    "doc_gopher_repetition": 13,
+    "lang_token_budget_sample": 13,
+    "doc_dup_spans": 13,
+    "curriculum_interleave": 13,
+    "lang_mixture_weights": 13,
+    "doc_length_batches": 13,
+    "doc_quality_tiers": 13,
+    "label_centroids_arrow": 13,
+    "nation_balance_drift_ks": 13,
+    "bpe_merge_table": 13,
+    "bpe_subword_vocab_top20": 13,
+    "bucketed_segment_revenue": 13,
+    "embedding_rp_project": 13,
 }
 
 
