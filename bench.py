@@ -119,6 +119,11 @@ def main() -> None:
     # 64-dim space, each timed and scored against the exact cosine scan.
     pq_curve = _pq_recall_curve(spark, sf_dir)
 
+    # RP curve: IVF served in the original 64-dim space vs JL-projected
+    # 16-dim IVF + exact rerank — the dim/d_out index-cost-cut claim of
+    # rp_project, measured per round (round-13 verdict item 4).
+    rp_curve = _rp_recall_curve(spark, sf_dir)
+
     # 10x scale trend (round-7 verdict item 8: track scale runs as bench
     # artifacts, not one-off tables): replicate embeddings 10x
     # content-disjointly and re-time the two scale-critical vector
@@ -189,6 +194,8 @@ def main() -> None:
     }
     if pq_curve:
         out["pq_curve"] = pq_curve
+    if rp_curve:
+        out["rp_curve"] = rp_curve
     if scale_10x:
         out["scale_10x"] = scale_10x
 
@@ -252,6 +259,8 @@ def main() -> None:
             rec["note"] = note
         if pq_curve:  # build/query split tracked per round (r8 item 4)
             rec["pq_curve"] = pq_curve
+        if rp_curve:  # dim-reduction build/query split (r13 item 4)
+            rec["rp_curve"] = rp_curve
         with open(os.path.join(repo_dir, "BENCH_HISTORY.jsonl"), "a") as fh:
             fh.write(json.dumps(rec) + "\n")
     except OSError:
@@ -525,6 +534,99 @@ def _pq_recall_curve(spark, sf_dir: str) -> list[dict]:
         return curve
     except Exception as exc:  # the curve is telemetry, never a bench failure
         print(f"# pq curve failure: {exc}", file=sys.stderr)
+        return []
+
+
+def _rp_recall_curve(spark, sf_dir: str) -> list[dict]:
+    """recall@5 + build/query split for IVF served in the ORIGINAL
+    64-dim space vs JL-projected 16-dim IVF + exact original-space
+    rerank — the dim/d_out index-cost cut ``rp_project`` claims.
+    build = centroid book + 1-probe cell assignment, eagerly
+    materialized and timed; query = probe + rank (+ rerank)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from tweets_spark_top_10_spark.functions.similarity import (
+        brute_force_knn,
+        ivf_assign_cells,
+        ivf_centroids,
+        ivf_knn,
+        rp_array,
+        rp_ivf_rerank_knn,
+    )
+    from tweets_spark_top_10_spark.sources.registry import load_table
+
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        c = (
+            emb.filter(F.col("vec_id") >= 10)
+            .select(F.col("vec_id").alias("neighbor_id"), "embedding")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_knn(q, c, k=5).collect()
+        }
+
+        def _built(df):
+            t0 = time.perf_counter()
+            out = df.localCheckpoint(eager=True)
+            return out, round(time.perf_counter() - t0, 3)
+
+        curve = []
+        cents64, b1 = _built(ivf_centroids(c, "neighbor_id", "embedding", 16))
+        cells64, b2 = _built(
+            ivf_assign_cells(c, cents64, "neighbor_id", "embedding", n_probe=1)
+        )
+        t0 = time.perf_counter()
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_knn(
+                q, c, k=5, n_cells=16, n_probe=4,
+                centroids=cents64, cand_cells=cells64,
+            ).collect()
+        }
+        curve.append({
+            "space": "ivf_orig64",
+            "recall_at5": round(len(exact & got) / len(exact), 3),
+            "build_s": round(b1 + b2, 3),
+            "query_s": round(time.perf_counter() - t0, 3),
+        })
+
+        # two projection points: 16 (the 4x cut, JL-worst-case recall on
+        # the quasi-random fixture) and 32/50 (the catalog params)
+        for d_out, shortlist in ((16, 20), (32, 50)):
+            cp, b3 = _built(rp_array(c, "neighbor_id", d_out=d_out))
+            cents_p, b4 = _built(
+                ivf_centroids(cp, "neighbor_id", "rp_vec", 16)
+            )
+            cells_p, b5 = _built(
+                ivf_assign_cells(
+                    cp, cents_p, "neighbor_id", "rp_vec", n_probe=1
+                )
+            )
+            t0 = time.perf_counter()
+            got = {
+                (r.query_id, r.neighbor_id)
+                for r in rp_ivf_rerank_knn(
+                    q, c, k=5, d_out=d_out, shortlist=shortlist,
+                    centroids=cents_p, cand_cells=cells_p,
+                ).collect()
+            }
+            curve.append({
+                "space": f"rp{d_out}_ivf_rerank{shortlist}",
+                "recall_at5": round(len(exact & got) / len(exact), 3),
+                "build_s": round(b3 + b4 + b5, 3),
+                "query_s": round(time.perf_counter() - t0, 3),
+            })
+        spark.catalog.clearCache()
+        return curve
+    except Exception as exc:  # telemetry, never a bench failure
+        print(f"# rp curve failure: {exc}", file=sys.stderr)
         return []
 
 

@@ -315,3 +315,36 @@ def test_streaming_bpe_zero_merge_corpus_still_amortizes(spark, tmp_path):
         batch_id=1,
     )
     assert r1["folded"] is True and r1["relearned"] is False, r1
+
+
+def test_streaming_bpe_state_encoding_marker(spark, tmp_path):
+    """Persisted word tables carry a symbol-encoding version marker:
+    state written by pre-v2 code (single-space rows the current
+    split-on-'  ' parser misreads) must refuse LOUDLY instead of
+    silently splitting counts between ' z q ' and ' z  q ' keys
+    (round-13 review finding)."""
+    import pytest
+
+    from tweets_spark_top_10_spark.streaming import bpe as sbpe
+
+    # the write path stamps fresh state dirs
+    state = tmp_path / "fresh"
+    docs = spark.createDataFrame([("hello world",)], ["text"])
+    sbpe.bpe_step(docs, str(state), "text", 2, 2.0, batch_id=0)
+    assert (state / "_BPE_ENCODING_VERSION").read_text().strip() == "2"
+    assert sbpe.read_bpe_words(spark, str(state)).count() == 2
+
+    # pre-marker state: words table present, no marker -> refuse
+    legacy = tmp_path / "legacy"
+    (legacy / "words").mkdir(parents=True)
+    with pytest.raises(RuntimeError, match="pre-v2"):
+        sbpe.read_bpe_words(spark, str(legacy))
+    with pytest.raises(RuntimeError, match="pre-v2"):
+        sbpe.bpe_step(docs, str(legacy), "text", 2, 2.0, batch_id=0)
+
+    # explicit version mismatch -> refuse on read AND write
+    (state / "_BPE_ENCODING_VERSION").write_text("1")
+    with pytest.raises(RuntimeError, match="symbol-encoding v1"):
+        sbpe.read_bpe_merges(spark, str(state))
+    with pytest.raises(RuntimeError, match="symbol-encoding v1"):
+        sbpe.bpe_step(docs, str(state), "text", 2, 2.0, batch_id=1)

@@ -151,6 +151,45 @@ def test_prune_stale_keeps_newest_and_protected(tmp_path):
     assert "sg_bkt_orders_8_fp1" not in left
 
 
+def test_stale_staging_swept_across_fingerprints(spark, sf_dir, tmp_path, monkeypatch):
+    """A builder that crashed on a SUPERSEDED corpus leaves a staging
+    dir whose name embeds the old fingerprint; the sweep must reclaim
+    hour-old dirs for the whole (table, bucket-count) family, not just
+    the current name (round-13 review). Young dirs stay — they may be
+    live concurrent builds."""
+    import os
+    import time
+
+    import tweets_spark_top_10_spark.queries.layout_queries as lq
+    from tweets_spark_top_10_spark.sources.cache import (
+        fingerprint_paths,
+        user_cache_dir,
+    )
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    root = user_cache_dir("spark_graft_bucketed")
+    dead = root / "__stage_999_sg_bkt_orders_8_deadbeefdeadbeef"
+    dead.mkdir(parents=True)
+    old = time.time() - 7200
+    os.utime(dead, (old, old))
+    young = root / "__stage_998_sg_bkt_orders_8_cafef00dcafef00d"
+    young.mkdir()
+
+    from pathlib import Path
+
+    src = Path(sf_dir) / "orders.parquet"
+    name = f"sg_bkt_orders_8_{fingerprint_paths(src)}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")  # force the build path
+    try:
+        lq.bucketed_table(spark, sf_dir, "orders", "o_custkey")
+        assert not dead.exists()  # superseded fingerprint, hour-old: reclaimed
+        assert young.exists()  # young: possibly live, untouched
+    finally:
+        # the catalog entry points into tmp_path; drop it so later tests
+        # re-register against the real cache root
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_reuse_registers_published_files_without_rewrite(spark, sf_dir, monkeypatch):
     """A fresh session (simulated by dropping the catalog entry) must
     re-register the published files via DDL, never rebuild: build once,

@@ -225,6 +225,50 @@ def test_fresh_session_reregisters_published_ingest(spark, sf_dir, events_dir, t
     )
 
 
+def test_compact_aborts_when_batch_lands_mid_compaction(
+    spark, sf_dir, events_dir, tmp_path, monkeypatch
+):
+    """The continuous-ingest race the round-13 review caught: a batch
+    already PAST the ingest guard when the compaction lease lands can
+    commit its partition while the staged copy is being written; the
+    old code swapped anyway and rmtree'd that batch with the aside dir.
+    The pre-swap partition diff must abort the swap, leave `path`
+    (including the new batch) intact, and release the lease."""
+    import os
+
+    spark.sql("DROP TABLE IF EXISTS ing_events6")
+    path = str(tmp_path / "ing_events6")
+    _ingest(spark, events_dir, "ing_events6", path, str(tmp_path / "ck"))
+    want = _content(spark, "ing_events6")
+
+    landed = os.path.join(path, "__ingest_batch=150")
+    real_listdir = os.listdir
+
+    def listdir_with_late_batch(p="."):
+        # first listing of the table dir = the pre-swap diff; an
+        # in-flight batch's partition commits just before it
+        if os.path.abspath(str(p)) == os.path.abspath(path):
+            os.makedirs(landed, exist_ok=True)
+        return real_listdir(p)
+
+    monkeypatch.setattr(os, "listdir", listdir_with_late_batch)
+    with pytest.raises(RuntimeError, match="during compaction"):
+        compact_ingest_partitions(spark, "ing_events6", batch_horizon=100)
+    monkeypatch.undo()
+
+    # table untouched, late batch still on disk, lease + staging gone
+    assert os.path.exists(landed)
+    assert not os.path.exists(path + "__swap_pending")
+    assert not os.path.exists(path + "__stage")
+    assert not os.path.exists(path + "__old")
+    assert _content(spark, "ing_events6") == want
+
+    # once ingest quiesces (no new partition appears), the retry folds
+    os.rmdir(landed)
+    assert compact_ingest_partitions(spark, "ing_events6", batch_horizon=100) == 4
+    assert _content(spark, "ing_events6") == want
+
+
 def test_compact_recovers_from_crash_between_renames(
     spark, sf_dir, events_dir, tmp_path
 ):

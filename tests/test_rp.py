@@ -19,6 +19,10 @@ from pyspark.sql import functions as F
 
 from tweets_spark_top_10_spark.functions.similarity import (
     _rp_sign_matrix,
+    brute_force_knn,
+    ivf_knn,
+    rp_array,
+    rp_ivf_rerank_knn,
     rp_project,
 )
 from tweets_spark_top_10_spark.sources.registry import load_table
@@ -91,6 +95,70 @@ def test_rp_is_map_only(spark, sf_dir):
     assert "BatchEvalPython" not in plan, plan
 
 
+def _qc(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    return q, c
+
+
+def _pairs(df):
+    return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+
+def test_rp_ivf_rerank_recall_floor(spark, sf_dir):
+    """The composed pipeline's value claim, gated at the CATALOG params
+    (d_out=32, shortlist=50): project, probe the IVF index in the
+    projected space, exact-rerank the shortlist in the original space —
+    recall must hold the fixture-measured floor and must beat serving
+    the projected-space IVF order directly (the rerank exists to repair
+    JL distortion among survivors, the ``pq_adc_rerank`` template).
+
+    Floor calibration (BASELINE.md round-14): the fixture embeddings
+    are quasi-random — mean rank-5→rank-20 cosine gap 0.076 vs JL
+    ranking noise ~1/sqrt(d_out) (0.18 at 32) — the theoretical worst
+    case, measured 0.60 at 32/50 (vs 0.82 for 64-dim IVF, 0.20 at
+    16/20).  Real clustered corpora sit far above this floor."""
+    q, c = _qc(spark, sf_dir)
+    exact = _pairs(brute_force_knn(q, c, k=5))
+    rr = _pairs(rp_ivf_rerank_knn(q, c, k=5, d_out=32, shortlist=50))
+    recall = len(exact & rr) / len(exact)
+
+    proj_only = _pairs(
+        ivf_knn(
+            rp_array(q, "query_id", d_out=32),
+            rp_array(c, "neighbor_id", d_out=32),
+            k=5,
+            vec_col="rp_vec",
+            n_cells=16,
+            n_probe=4,
+        )
+    )
+    recall_proj = len(exact & proj_only) / len(exact)
+    # fixture-measured (sf0.001): rerank 0.60, projected-only 0.36
+    assert recall > recall_proj, (recall, recall_proj)
+    assert recall >= 0.5, (recall, recall_proj)
+
+
+def test_rp_ivf_rerank_plan_stays_jvm_and_equijoin(spark, sf_dir):
+    """Scale contract: no Python in the plan, and the only nested-loop
+    shapes are the broadcast-tiny centroid scorings — the corpus-sized
+    joins (cell probe, id rerank) are all equi-joins."""
+    q, c = _qc(spark, sf_dir)
+    plan = (
+        rp_ivf_rerank_knn(q, c, k=5, d_out=32, shortlist=50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_rp_wrong_length_raises_and_zero_projects_to_zero(spark):
     df = spark.createDataFrame(
         [(0, [0.0] * DIM), (1, [1.0] * DIM)], "id long, embedding array<double>"
@@ -103,6 +171,14 @@ def test_rp_wrong_length_raises_and_zero_projects_to_zero(spark):
     )
     with pytest.raises(Exception, match="vector length"):
         rp_project(bad, "id", d_out=D_OUT, dim=DIM).collect()
+
+    # NULL embedding: size(NULL) != dim is NULL, which would otherwise
+    # select the project branch and emit an all-NULL row silently
+    nul = spark.createDataFrame(
+        [(3, None)], "id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="got NULL"):
+        rp_project(nul, "id", d_out=D_OUT, dim=DIM).collect()
 
     with pytest.raises(ValueError, match="d_out"):
         rp_project(df, "id", d_out=0, dim=DIM)

@@ -63,6 +63,62 @@ def test_prior_best_ignores_bench_lines_and_other_replicas(
     assert scale_sentinel.latest_recorded_round() == 12
 
 
+def test_rebase_line_truncates_wall_reference(tmp_path, monkeypatch):
+    """A control-evidenced scale_sentinel_rebase line (host regime
+    shift, r14 precedent) drops pre-rebase records from the wall
+    reference AND from consecutive-flag precedent — records from the
+    rebasing round itself survive as the new-regime seed."""
+    hist = _write_history(
+        tmp_path,
+        [
+            {
+                "kind": "scale_sentinel",
+                "round": 12,
+                "replicas": 100,
+                "sentinel": {"q": {"100x": {"wall_s": 4.0}}},
+            },
+            {
+                "kind": "scale_sentinel",
+                "round": 13,
+                "replicas": 100,
+                "sentinel": {"q": {"100x": {"wall_s": 8.0}}},
+                "wall_watch": [{"query": "q", "tier": "wall"}],
+            },
+            {
+                "kind": "scale_sentinel",
+                "round": 14,
+                "replicas": 100,
+                "sentinel": {"q": {"100x": {"wall_s": 9.0}}},
+                "regressed": [{"query": "q", "tier": "wall"}],
+            },
+            {"kind": "scale_sentinel_rebase", "round": 14},
+        ],
+    )
+    monkeypatch.setattr(scale_sentinel, "HISTORY", str(hist))
+    # pre-rebase 4.0 is gone; the r14 record seeds the new reference
+    assert scale_sentinel.prior_best_100x(100) == {"q": 9.0}
+    priors = scale_sentinel.prior_records(100)
+    assert [r["round"] for r in priors] == [14]
+    # r15 at the r14-era wall neither watches nor escalates
+    reg, watch = scale_sentinel.classify(
+        {"q": {"100x": {"wall_s": 9.5}}}, priors, 100, cur_round=15
+    )
+    assert reg == [] and watch == []
+    # without the rebase line the same reading would have ESCALATED
+    hist2 = _write_history(
+        tmp_path,
+        [json.loads(line) for line in hist.read_text().splitlines()[:-1]],
+    )
+    monkeypatch.setattr(scale_sentinel, "HISTORY", str(hist2))
+    reg, watch = scale_sentinel.classify(
+        {"q": {"100x": {"wall_s": 9.5}}},
+        scale_sentinel.prior_records(100),
+        100,
+        cur_round=15,
+    )
+    assert [e["query"] for e in reg] == ["q"] and reg[0].get("consecutive")
+
+
 def test_sentinel_lines_are_invisible_to_bench_history_readers(tmp_path):
     """bench.py's _stable_total/_own_history_timings must skip sentinel
     lines: they carry no `queries` dict, the key both readers require —

@@ -120,8 +120,23 @@ def prior_records(replicas: int | None) -> list[dict]:
     BATCH-probe replica count, ``None`` returns every line (the stream
     row always runs at STREAM_REPLICAS and filters for itself inside
     classify_stream — pre-filtering by the batch CLI argument would
-    silently discard all stream history on a non-default run)."""
+    silently discard all stream history on a non-default run).
+
+    **Rebase (round-14):** a ``{"kind": "scale_sentinel_rebase",
+    "round": N, ...}`` line declares every sentinel record from rounds
+    BEFORE N non-comparable — records from round >= N (inclusive, so
+    the rebasing round's own measurements seed the new reference) are
+    kept; older ones are dropped from best-wall and consecutive-flag
+    computation.  A rebase line is legitimate ONLY with an embedded
+    same-hour control: the UNCHANGED last-certified commit re-probed in
+    a worktree reproducing the inflated walls with byte-identical
+    shuffle/spill telemetry (the r14 precedent: control read 90.8 s on
+    dedup_canonical_docs vs HEAD's 68.1 against the r12-era 34.5 best —
+    host regime shift, not code).  Wall-only escalations against a
+    pre-shift best are exactly the false positive this exists to stop;
+    PLAN/spill tiers are unaffected (bytes stay comparable forever)."""
     out: list[dict] = []
+    rebase_round: int | None = None
     try:
         with open(HISTORY) as fh:
             for line in fh:
@@ -129,12 +144,22 @@ def prior_records(replicas: int | None) -> list[dict]:
                     rec = json.loads(line)
                 except ValueError:
                     continue
-                if rec.get("kind") == "scale_sentinel" and (
+                if rec.get("kind") == "scale_sentinel_rebase" and isinstance(
+                    rec.get("round"), int
+                ):
+                    rebase_round = max(rebase_round or 0, rec["round"])
+                elif rec.get("kind") == "scale_sentinel" and (
                     replicas is None or rec.get("replicas") == replicas
                 ):
                     out.append(rec)
     except OSError:
         pass
+    if rebase_round is not None:
+        out = [
+            r
+            for r in out
+            if isinstance(r.get("round"), int) and r["round"] >= rebase_round
+        ]
     return out
 
 

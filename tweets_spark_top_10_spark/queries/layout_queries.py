@@ -77,8 +77,12 @@ def bucketed_table(
     df = load_table(spark, sf_dir, table)
     if not (final / "_SUCCESS").exists():
         # crashed builders leave staging dirs behind; an hour-old one
-        # is certainly dead (builds take seconds), never a live build
-        for stale in root.glob(f"__stage_*_{name}"):
+        # is certainly dead (builds take seconds), never a live build.
+        # Match ANY fingerprint for this (table, bucket-count) family —
+        # a builder that crashed on a since-superseded corpus leaves a
+        # staging dir whose name embeds the OLD fingerprint, which a
+        # current-name-only glob would never reclaim (round-13 review)
+        for stale in root.glob(f"__stage_*_sg_bkt_{table}_{n_buckets}_*"):
             if time.time() - stale.stat().st_mtime > 3600:
                 shutil.rmtree(stale, ignore_errors=True)
         staging = root / f"__stage_{os.getpid()}_{name}"

@@ -18,6 +18,7 @@ from tweets_spark_top_10_spark.functions.similarity import (
     ivf_knn,
     l2_norm,
     lsh_knn,
+    rp_ivf_rerank_knn,
     rp_project,
     srp_knn,
 )
@@ -1598,6 +1599,121 @@ def _rp_oracle(d_out: int = 16, seed: str = "rp") -> str:
            {cols}
     FROM (SELECT vec_id, {_DOUBLE_VEC} AS v FROM embeddings)
     """
+
+
+def _rp_ivf_oracle(
+    d_out: int = 16,
+    seed: str = "rp",
+    stride: int = 97,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    shortlist: int = 20,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of :func:`rp_ivf_rerank_knn` at the catalog params —
+    the projection columns come from the SAME sign matrix as the Spark
+    plan (`_rp_oracle` discipline), the IVF stages replay
+    ``ivf_knn_top5``'s oracle on the PROJECTED arrays, and the final
+    rerank scores the shortlist in the ORIGINAL 64-dim space."""
+    from tweets_spark_top_10_spark.functions.similarity import _rp_sign_matrix
+
+    signs = _rp_sign_matrix(d_out, 64, seed)
+    pv = (
+        "["
+        + ",\n             ".join(
+            f"ROUND(list_dot_product(vec, [{','.join(f'{s}.0' for s in signs[j])}])"
+            f" / sqrt(CAST({d_out} AS DOUBLE)), 6)"
+            for j in range(d_out)
+        )
+        + "]"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, {_DOUBLE_VEC} AS vec FROM embeddings
+    ), p AS (
+      SELECT vec_id, {pv} AS pv FROM v
+    ), cand AS (
+      SELECT vec_id AS neighbor_id, pv FROM p WHERE vec_id >= 10
+    ), q AS (
+      SELECT vec_id AS query_id, pv FROM p WHERE vec_id < 10
+    ), cents AS (
+      SELECT CAST(neighbor_id // {stride} AS INT) AS cell_id, pv AS centroid
+      FROM cand
+      WHERE neighbor_id % {stride} = 0
+        AND neighbor_id // {stride} BETWEEN 1 AND {n_cells}
+    ), cand_cells AS (
+      SELECT neighbor_id, pv, cell_id FROM (
+        SELECT c.neighbor_id, c.pv, ct.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.neighbor_id
+                 ORDER BY {_COS.format(a='c.pv', b='ct.centroid', d=9)} DESC,
+                          ct.cell_id ASC) AS r
+        FROM cand c CROSS JOIN cents ct
+      ) WHERE r <= 1
+    ), query_cells AS (
+      SELECT query_id, pv, cell_id FROM (
+        SELECT q.query_id, q.pv, ct.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_COS.format(a='q.pv', b='ct.centroid', d=9)} DESC,
+                          ct.cell_id ASC) AS r
+        FROM q CROSS JOIN cents ct
+      ) WHERE r <= {n_probe}
+    ), short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qc.query_id, cc.neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qc.query_id
+                 ORDER BY {_COS.format(a='qc.pv', b='cc.pv', d=6)} DESC,
+                          cc.neighbor_id ASC) AS r
+        FROM cand_cells cc JOIN query_cells qc ON cc.cell_id = qc.cell_id
+      ) WHERE r <= {shortlist}
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT s.query_id, s.neighbor_id,
+             {_COS.format(a='qv.vec', b='cv.vec', d=6)} AS cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY {_COS.format(a='qv.vec', b='cv.vec', d=6)} DESC,
+                        s.neighbor_id ASC
+             ) AS BIGINT) AS rank
+      FROM short s
+      JOIN v qv ON qv.vec_id = s.query_id
+      JOIN v cv ON cv.vec_id = s.neighbor_id
+    ) t WHERE rank <= {k}
+    """
+
+
+@register("rp_ivf_rerank_top5", oracle=_rp_ivf_oracle(d_out=32, shortlist=50))
+def rp_ivf_rerank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL-projected ANN serving pipeline (``functions/similarity.
+    rp_ivf_rerank_knn``): project 64→32, IVF index+probe in the
+    projected space, exact rerank of the 50-deep shortlist in the
+    original space — the composition ``rp_project``'s docstring
+    promises, now oracle-gated.  Every stage is deterministic (rounded
+    projections and cosines, id tie-breaks), so like ``ivf_knn_top5``
+    it carries a full value oracle; the recall-vs-brute-force floor and
+    the plan contract (map-only projection, equi-join-only index) live
+    in ``tests/test_rp.py``.
+
+    Parameter honesty (measured, BASELINE.md round-14): the synthetic
+    embeddings are quasi-random (mean top-1 cosine 0.355; mean rank-5 →
+    rank-20 cosine gap 0.076), which is JL's WORST case — projected-
+    space ranking error scales ~1/sqrt(d_out) (0.25 at d_out=16, 0.18
+    at 32), far above the gap, so fixture recall@5 is 0.20 at
+    16/20-shortlist and 0.60 at 32/50 (theory-consistent).  Real
+    embedding corpora cluster (gaps ≫ distortion), where 16-dim
+    projection is the standard tool; the catalog runs 32/50 — a 2×
+    index-cost cut at usable worst-case recall — and the bench
+    ``rp_curve`` records both points each round."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    return rp_ivf_rerank_knn(queries, cands, k=5, d_out=32, shortlist=50)
 
 
 @register("embedding_rp_project", oracle=_rp_oracle())

@@ -57,6 +57,52 @@ from tweets_spark_top_10_spark.streaming.heavy_hitters import (
 from tweets_spark_top_10_spark.streaming.ivm import _swap_write
 
 
+# Version of the symbol-string encoding persisted in {state_dir}/words.
+# v2 = every symbol owns BOTH boundary spaces (' z  q ', double-space
+# separators — the round-13 canonical-pairing fix); the unversioned v1
+# wrote single-space rows (' z q ') that the current split-on-'  '
+# parser would read as ONE symbol while new-batch folds mint a second
+# ' z  q ' key for the same word, silently splitting counts and
+# corrupting merge learning.  The marker makes upgraded state dirs fail
+# LOUDLY instead (the fingerprint-staleness discipline of the prebuilt
+# artifact caches applied to persisted streaming state).
+_ENCODING_VERSION = "2"
+
+
+def _encoding_tag(state_dir: str) -> str:
+    return os.path.join(state_dir, "_BPE_ENCODING_VERSION")
+
+
+def _assert_encoding(state_dir: str, stamp: bool = False) -> None:
+    """Refuse to touch a state dir whose persisted symbol encoding
+    predates (or postdates) this code.  ``stamp=True`` additionally
+    writes the marker for a fresh state dir — only the write path
+    stamps; readers just verify."""
+    tag = _encoding_tag(state_dir)
+    if os.path.exists(tag):
+        with open(tag) as f:
+            found = f.read().strip()
+        if found != _ENCODING_VERSION:
+            raise RuntimeError(
+                f"BPE state at {state_dir} uses symbol-encoding "
+                f"v{found}, this code writes v{_ENCODING_VERSION}; "
+                "mixing them silently splits word counts — delete the "
+                "state dir (it rebuilds from the stream) or migrate it"
+            )
+        return
+    if os.path.exists(_words_dir(state_dir)):
+        raise RuntimeError(
+            f"BPE state at {state_dir} has a words table but no "
+            "encoding marker — it was written by pre-v2 code whose "
+            "single-space rows the current parser misreads; delete the "
+            "state dir (it rebuilds from the stream) or migrate it"
+        )
+    if stamp:
+        os.makedirs(state_dir, exist_ok=True)
+        with open(tag, "w") as f:
+            f.write(_ENCODING_VERSION)
+
+
 def _words_dir(state_dir: str) -> str:
     return os.path.join(state_dir, "words")
 
@@ -67,6 +113,7 @@ def _merges_dir(state_dir: str) -> str:
 
 def read_bpe_words(spark: SparkSession, state_dir: str) -> DataFrame:
     """Current maintained word-frequency table (s, freq)."""
+    _assert_encoding(state_dir)
     _recover(_words_dir(state_dir))
     return spark.read.parquet(_words_dir(state_dir))
 
@@ -74,6 +121,7 @@ def read_bpe_words(spark: SparkSession, state_dir: str) -> DataFrame:
 def read_bpe_merges(spark: SparkSession, state_dir: str) -> DataFrame:
     """Current maintained merge table (MERGE_SCHEMA columns; the
     rank-0 bookkeeping sentinel row is internal and filtered out)."""
+    _assert_encoding(state_dir)
     _recover(_merges_dir(state_dir))
     return (
         spark.read.parquet(_merges_dir(state_dir))
@@ -170,6 +218,7 @@ def bpe_step(
     if batch_df.isEmpty():
         return {"folded": False, "relearned": False, "stored_tokens": None}
     spark = batch_df.sparkSession
+    _assert_encoding(state_dir, stamp=True)
     _fold_words_batch(spark, batch_df, state_dir, text_col, batch_id)
     mdir = _merges_dir(state_dir)
     _recover(mdir)

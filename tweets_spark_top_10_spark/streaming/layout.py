@@ -28,17 +28,23 @@ Design (composing three proven disciplines):
   one-file-per-bucket there; partitions at/above the horizon keep
   their batch-id-keyed overwrite idempotence verbatim.
 
-Crash-safety protocol for the compaction swap: the two renames
-(``path → aside``, ``staging → path``) are bracketed by a
-``__swap_pending`` MARKER file. While the marker exists, ingest
-REFUSES to write (otherwise a resumed micro-batch could recreate
-``path`` with only its own rows, and a later recovery would mistake
-that fragment for the full table and delete the aside copy — the
-review finding this protocol closes). Recovery at compaction entry is
-therefore unambiguous: marker + no ``path`` → restore aside (or the
-complete staged copy); marker + ``path`` + aside → the swap finished,
-aside is redundant. An aside dir WITHOUT a marker is unreachable from
-this code and raises rather than guessing which copy to delete.
+Crash-safety protocol for the compaction swap: the ``__swap_pending``
+MARKER file is taken as an INGEST LEASE before the table is even read
+and held through the staging write and the two renames (``path →
+aside``, ``staging → path``). While the marker exists, ingest REFUSES
+to write — both so a resumed micro-batch cannot recreate ``path`` as
+a single-batch fragment that recovery would mistake for the full
+table, and so a continuous-ingest batch cannot land rows between the
+compaction snapshot and the swap only to be renamed aside and deleted
+(the round-13 review finding; a batch already mid-write at lease time
+is caught by a pre-swap partition diff that aborts the swap instead).
+Recovery at compaction entry is therefore unambiguous: marker +
+``path`` (± staging) → crashed before the swap, ``path`` is the
+intact original, staging is discardable; marker + no ``path`` →
+restore aside (roll back) or the complete staged copy (roll forward);
+marker + ``path`` + aside → the swap finished, aside is redundant. An
+aside dir WITHOUT a marker is unreachable from this code and raises
+rather than guessing which copy to delete.
 
 What multi-file buckets cost while uncompacted: the co-located join
 keeps ZERO Exchange (the 100 TB killer) but re-sorts each bucket
@@ -238,10 +244,19 @@ def compact_ingest_partitions(
     import shutil
     from pathlib import Path
 
-    meta = {
-        r["col_name"]: r["data_type"]
-        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
-    }
+    # Only the '# Detailed Table Information' section holds the
+    # metadata rows — parsing the whole output would let a DATA column
+    # named 'Location' / 'Num Buckets' / 'Bucket Columns' shadow them
+    # (column rows come first and dict insertion keeps the last writer,
+    # but partition-info repeats column rows AFTER; scoping to the
+    # detail section removes the ambiguity entirely)
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
+    detail_at = next(
+        i
+        for i, r in enumerate(rows)
+        if r["col_name"].strip() == "# Detailed Table Information"
+    )
+    meta = {r["col_name"]: r["data_type"] for r in rows[detail_at:]}
     path = meta["Location"].removeprefix("file:")
     n_buckets = int(meta["Num Buckets"])
     bucket_cols = [
@@ -251,33 +266,79 @@ def compact_ingest_partitions(
 
     _recover_swap(spark, table_name, path)
 
-    df = spark.table(table_name)
-    old = df.where(F.col(_BATCH_COL) < batch_horizon)
-    n_folded = old.select(_BATCH_COL).distinct().count()
-    if n_folded <= 1:
-        return 0
-    folded = old.withColumn(_BATCH_COL, F.lit(-1))
-    keep = df.where(F.col(_BATCH_COL) >= batch_horizon)
-    out = folded.unionByName(keep).localCheckpoint(eager=True)
-
-    stage_tbl = f"{table_name}__compact_stage"
-    spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
-    (
-        out.repartition(n_buckets, *bucket_cols)
-        .write.format("parquet")
-        .partitionBy(_BATCH_COL)
-        .bucketBy(n_buckets, *bucket_cols)
-        .sortBy(*bucket_cols)
-        .option("path", staging)
-        .mode("overwrite")
-        .saveAsTable(stage_tbl)
-    )
-    spark.sql(f"DROP TABLE {stage_tbl}")  # external: staged files stay
+    # The marker doubles as an INGEST LEASE and is taken BEFORE the
+    # table is read: with the old order (marker touched only at swap
+    # time) a continuous-ingest micro-batch landing between the
+    # localCheckpoint snapshot and the swap was renamed aside and
+    # rmtree'd — permanently lost even though its checkpoint offset
+    # committed (round-13 review finding).  With the lease, any batch
+    # that STARTS during compaction refuses loudly (the ingest guard),
+    # fails its foreachBatch, and replays after recovery — offsets only
+    # commit after the batch function returns, so nothing is lost.  A
+    # batch already PAST the guard when the lease lands is caught by
+    # the pre-swap partition diff below.  Crash-recovery stays
+    # unambiguous: marker + intact `path` + no aside can now also mean
+    # "crashed while staging", and _recover_swap's existing handling
+    # (keep `path`, discard staging, drop marker) is correct for it.
     Path(marker).touch()
-    os.rename(path, aside)
-    os.rename(staging, path)
-    shutil.rmtree(aside)
-    os.remove(marker)
+    swap_started = False
+    try:
+        spark.sql(f"REFRESH TABLE {table_name}")
+        df = spark.table(table_name)
+        old = df.where(F.col(_BATCH_COL) < batch_horizon)
+        n_folded = old.select(_BATCH_COL).distinct().count()
+        if n_folded <= 1:
+            return 0
+        folded = old.withColumn(_BATCH_COL, F.lit(-1))
+        keep = df.where(F.col(_BATCH_COL) >= batch_horizon)
+        out = folded.unionByName(keep).localCheckpoint(eager=True)
+
+        stage_tbl = f"{table_name}__compact_stage"
+        spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
+        (
+            out.repartition(n_buckets, *bucket_cols)
+            .write.format("parquet")
+            .partitionBy(_BATCH_COL)
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+            .option("path", staging)
+            .mode("overwrite")
+            .saveAsTable(stage_tbl)
+        )
+        spark.sql(f"DROP TABLE {stage_tbl}")  # external: staged files stay
+
+        # Pre-swap diff: a batch that was mid-write when the lease
+        # landed may have committed a partition the staged copy never
+        # saw; swapping now would silently drop it.  Replayable
+        # partitions (>= horizon) are carried into staging verbatim, so
+        # any >=-horizon dir present in `path` but absent from staging
+        # is exactly such a batch — abort (finally discards staging and
+        # releases the lease; `path` is untouched) and let the caller
+        # retry once ingest quiesces.
+        live = {
+            e
+            for e in os.listdir(path)
+            if e.startswith(f"{_BATCH_COL}=")
+            and int(e.split("=", 1)[1]) >= batch_horizon
+        }
+        staged = set(os.listdir(staging))
+        if live - staged:
+            raise RuntimeError(
+                f"{table_name}: ingest landed {sorted(live - staged)} "
+                "during compaction (batch was in flight when the lease "
+                "was taken); staging discarded, table untouched — retry"
+            )
+        swap_started = True
+        os.rename(path, aside)
+        os.rename(staging, path)
+        shutil.rmtree(aside)
+        os.remove(marker)
+    finally:
+        if not swap_started:
+            if os.path.exists(staging):
+                shutil.rmtree(staging)
+            if os.path.exists(marker):
+                os.remove(marker)
     spark.sql(f"MSCK REPAIR TABLE {table_name} SYNC PARTITIONS")
     spark.sql(f"REFRESH TABLE {table_name}")
     return n_folded
