@@ -70,6 +70,107 @@ def _py_bpe(texts: list[str], merges: int) -> list[tuple[int, str, str, int]]:
     return out
 
 
+def _py_bpe_batched(
+    texts: list[str], rounds: int, batch: int
+) -> list[tuple[int, str, str, int]]:
+    """Reference for learn_from_words_batched: the same top-(8*batch)
+    candidate window and greedy symbol-disjoint selection, but over
+    symbol LISTS with per-rule sequential ``_merge_once`` application —
+    independent of the engine's composed string replace (their
+    equality IS the disjointness-correctness claim)."""
+    words: dict[tuple[str, ...], int] = {
+        tuple(w): c for w, c in _tokens(texts).items()
+    }
+    out: list[tuple[int, str, str, int]] = []
+    window = 8 * batch
+    for _ in range(rounds):
+        pairs: collections.Counter = collections.Counter()
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        cand = sorted(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[:window]
+        used: set[str] = set()
+        chosen = []
+        for (lhs, rhs), cnt in cand:
+            if len(chosen) >= batch:
+                break
+            new = lhs + rhs
+            if lhs in used or rhs in used or new in used:
+                continue
+            used.update((lhs, rhs, new))
+            chosen.append((lhs, rhs, cnt))
+        for lhs, rhs, cnt in chosen:
+            out.append((len(out) + 1, lhs, rhs, cnt))
+            merged: dict[tuple[str, ...], int] = {}
+            for syms, c in words.items():
+                k = _merge_once(syms, lhs, rhs)
+                merged[k] = merged.get(k, 0) + c
+            words = merged
+    return out
+
+
+def test_bpe_batched_matches_python_reference(spark, sf_dir):
+    """Batched engine merge table == the list-based pure-Python twin,
+    exactly — covers the window, the greedy symbol-disjoint selection,
+    AND the composed-replace == sequential-apply equivalence."""
+    from tweets_spark_top_10_spark.queries import QUERIES
+
+    texts = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )["text"].to_pylist()
+    expected = _py_bpe_batched(texts, rounds=2, batch=4)
+    got = sorted(
+        map(tuple, QUERIES["bpe_merge_table_batched"](spark, sf_dir).collect())
+    )
+    assert got == expected
+
+
+def test_bpe_batched_batch1_equals_sequential(spark):
+    from tweets_spark_top_10_spark.functions.bpe import (
+        learn_from_words,
+        learn_from_words_batched,
+        word_frequency_table,
+    )
+
+    docs = spark.createDataFrame(
+        [("the cat sat on the mat the cat",), ("a banana bandana",)],
+        ["text"],
+    )
+    words = word_frequency_table(docs)
+    seq, _ = learn_from_words(words, 6)
+    bat, _ = learn_from_words_batched(words, rounds=6, batch=1)
+    assert bat == seq
+
+
+def test_bpe_batched_skips_symbol_sharing_pairs(spark):
+    """The compatibility rule in isolation: with pair counts
+    (a,b)=10 > (b,c)=9 > (d,e)=8, a batch of 2 must adopt (a,b) and
+    (d,e) — (b,c) shares 'b' with an already-adopted rule and waits."""
+    import pytest
+
+    from tweets_spark_top_10_spark.functions.bpe import (
+        learn_from_words_batched,
+        word_frequency_table,
+    )
+
+    rows = [("ab " * 10).strip(), ("bc " * 9).strip(), ("de " * 8).strip()]
+    docs = spark.createDataFrame([(t,) for t in rows], ["text"])
+    learned, _ = learn_from_words_batched(
+        word_frequency_table(docs), rounds=1, batch=2
+    )
+    assert [(l, r) for _, l, r, _ in learned] == [("a", "b"), ("d", "e")]
+    assert [c for _, _, _, c in learned] == [10, 8]
+
+    with pytest.raises(ValueError, match="rounds"):
+        learn_from_words_batched(word_frequency_table(docs), rounds=0)
+    with pytest.raises(ValueError, match="batch"):
+        learn_from_words_batched(word_frequency_table(docs), 1, batch=0)
+
+
 def test_bpe_matches_python_reference(spark, sf_dir):
     """Engine merge table == the pure-Python reference, exactly —
     the independent gate the unrolled-SQL oracle can't provide."""

@@ -29,6 +29,7 @@ CROSS_JOIN_OK = {
     "knn_cosine_top5",  # 10 broadcast query vectors x candidates
     "ivf_knn_top5",  # broadcast centroid assignment (<=16 rows)
     "rp_ivf_rerank_top5",  # broadcast centroid assignment (<=16 rows) in rp space
+    "rp_ivf_rerank_top5_prebuilt",  # same probe shape, prebuilt centroids
     "lsh_knn_top5",  # MinHashLSH approxSimilarityJoin internals
     "quantity_bucket_ranges",  # broadcast 5-row bucket dim, range predicate
     "doc_tfidf_top3",  # broadcast 1-row N (total doc count) into the scorer

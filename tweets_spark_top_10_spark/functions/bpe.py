@@ -149,6 +149,89 @@ def learn_from_words(
     return learned, words
 
 
+def learn_from_words_batched(
+    words: DataFrame, rounds: int, batch: int = 4
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Batched merge learning — the production-cadence variant: each
+    corpus scan adopts up to ``batch`` compatible merge rules instead
+    of one, cutting the scan count for a K-merge vocabulary from K to
+    ~K/batch.  The round-14 vocabulary probe (BASELINE.md) measured the
+    FIXED per-round latency as the dominant training cost at every
+    vocabulary size, so scan count — not word-table width — is the
+    lever that makes a 32k-merge production vocabulary tractable.
+
+    Batch compatibility rule (what keeps every adopted rule's recorded
+    count EXACT): candidates are read in (cnt DESC, lhs, rhs) order
+    from a top-``8*batch`` window (a bounded TakeOrdered collect —
+    metadata-class, like the 1-row argmax), and a pair joins the batch
+    only if its lhs, its rhs, AND its merged symbol lhs+rhs are all
+    unseen among the batch's symbols so far.  Symbol-disjoint merges
+    cannot create, destroy, or overlap one another's occurrences (every
+    symbol owns its boundary spaces), so each adopted count is the true
+    pre-scan count and the composed replace equals applying the rules
+    sequentially.  The ONE deviation from strictly-sequential Sennrich:
+    a pair first CREATED by an earlier member of the same batch (e.g.
+    ('ab', c) right after ('a','b')) waits for the next scan — the
+    standard fast-trainer trade.  ``batch=1`` reproduces
+    :func:`learn_from_words` exactly (pytest-pinned), and the whole
+    procedure is deterministic, so the catalog query carries a full
+    value oracle (the selection unrolled as SQL CTEs over the same
+    window).
+
+    ``rounds`` is the FIXED scan count (total merges <= rounds*batch;
+    a round adopts fewer only when the candidate window runs out of
+    compatible pairs) — fixed rounds keep the SQL oracle's unroll
+    static regardless of corpus.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
+    words = words.localCheckpoint(eager=True)
+    learned: list[tuple[int, str, str, int]] = []
+    window = 8 * batch
+    for _ in range(rounds):
+        cand = (
+            _adjacent_pair_counts(words)
+            .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(window)
+            .collect()
+        )
+        if not cand:
+            break  # no adjacent pairs left anywhere
+        used: set[str] = set()
+        chosen: list[tuple[str, str, int]] = []
+        for r in cand:
+            if len(chosen) >= batch:
+                break
+            new = r.lhs + r.rhs
+            if r.lhs in used or r.rhs in used or new in used:
+                continue
+            used.update((r.lhs, r.rhs, new))
+            chosen.append((r.lhs, r.rhs, int(r.cnt)))
+        expr = F.col("s")
+        for lhs, rhs, cnt in chosen:
+            learned.append((len(learned) + 1, lhs, rhs, cnt))
+            expr = F.replace(
+                expr, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} ")
+            )
+        words = words.withColumn("s", expr).localCheckpoint(eager=True)
+    return learned, words
+
+
+def bpe_learn_merges_batched(
+    docs: DataFrame, text_col: str = "text", rounds: int = 2, batch: int = 4
+) -> DataFrame:
+    """Batched-training merge table over a document corpus: ``rounds``
+    corpus-collapsed scans, up to ``batch`` symbol-disjoint rules per
+    scan (:func:`learn_from_words_batched`).  Same MERGE_SCHEMA as
+    :func:`bpe_learn_merges`; merge_rank is adoption order."""
+    learned, _ = learn_from_words_batched(
+        word_frequency_table(docs, text_col), rounds, batch
+    )
+    return docs.sparkSession.createDataFrame(learned, MERGE_SCHEMA)
+
+
 def bpe_learn_merges(
     docs: DataFrame, text_col: str = "text", merges: int = 8
 ) -> DataFrame:

@@ -28,7 +28,7 @@ from tweets_spark_top_10_spark.sources.registry import load_table
 # measured as an EMFILE blowup (hundreds of parquet opens) before it
 # even gets slow.  Materializing w/b makes the oracle linear in
 # rounds, mirroring the Spark side's per-round localCheckpoint.
-_BPE_ROUND_CTE = r"""
+_BPE_COUNT_CTE = r"""
     c{i} AS MATERIALIZED (
       SELECT arr[j] AS lhs, arr[j+1] AS rhs,
              CAST(SUM(freq) AS BIGINT) AS cnt
@@ -37,7 +37,11 @@ _BPE_ROUND_CTE = r"""
         FROM (SELECT string_split(trim(s), '  ') AS arr, freq FROM w{prev})
       )
       GROUP BY 1, 2
-    ),
+    )"""
+
+_BPE_ROUND_CTE = (
+    _BPE_COUNT_CTE
+    + r""",
     b{i} AS MATERIALIZED (
       SELECT lhs, rhs, cnt FROM c{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1
     ),
@@ -48,6 +52,7 @@ _BPE_ROUND_CTE = r"""
              freq
       FROM w{prev}
     )"""
+)
 
 
 def _bpe_oracle(merges: int) -> str:
@@ -100,6 +105,118 @@ def _bpe_vocab_oracle(merges: int, top: int) -> str:
     ORDER BY n DESC, subword
     LIMIT {top}
     """
+
+
+def _bpe_batched_oracle(rounds: int, batch: int) -> str:
+    """DuckDB twin of :func:`functions.bpe.learn_from_words_batched`:
+    per round, the pair-count CTE feeds a top-``8*batch`` candidate
+    window (``cw{i}`` — the same bounded window the engine collects),
+    the greedy symbol-disjoint selection unrolls as ``batch`` dependent
+    CTEs (``s{i}_{j}`` picks the best window row whose lhs/rhs/merged
+    symbol avoid the running exclusion set ``u{i}_{j-1}``), and the
+    round's replaces compose into one nested ``replace`` whose patterns
+    COALESCE to an unmatchable control char when a selection came up
+    empty (a NULL pattern would null the whole column).  merge_rank =
+    ROW_NUMBER over adoption order, so under-filled rounds number
+    identically to the engine."""
+    window = 8 * batch
+    parts = []
+    finals = []
+    ord_n = 0
+    for i in range(1, rounds + 1):
+        prev = i - 1
+        parts.append(
+            _BPE_COUNT_CTE.format(i=i, prev=prev)
+            + f""",
+    cw{i} AS MATERIALIZED (
+      SELECT lhs, rhs, cnt FROM c{i}
+      ORDER BY cnt DESC, lhs, rhs LIMIT {window}
+    )"""
+        )
+        for j in range(1, batch + 1):
+            if j == 1:
+                parts.append(
+                    f"""s{i}_1 AS MATERIALIZED (
+      SELECT lhs, rhs, cnt FROM cw{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1
+    )"""
+                )
+            else:
+                parts.append(
+                    f"""s{i}_{j} AS MATERIALIZED (
+      SELECT lhs, rhs, cnt FROM cw{i}
+      WHERE lhs NOT IN (SELECT sym FROM u{i}_{j - 1})
+        AND rhs NOT IN (SELECT sym FROM u{i}_{j - 1})
+        AND lhs || rhs NOT IN (SELECT sym FROM u{i}_{j - 1})
+      ORDER BY cnt DESC, lhs, rhs LIMIT 1
+    )"""
+                )
+            prev_u = (
+                f"SELECT sym FROM u{i}_{j - 1} UNION " if j > 1 else ""
+            )
+            parts.append(
+                f"""u{i}_{j} AS MATERIALIZED (
+      {prev_u}SELECT lhs AS sym FROM s{i}_{j}
+      UNION SELECT rhs FROM s{i}_{j}
+      UNION SELECT lhs || rhs FROM s{i}_{j}
+    )"""
+            )
+            ord_n += 1
+            finals.append(
+                f"SELECT {ord_n} AS ord, lhs, rhs, cnt FROM s{i}_{j}"
+            )
+        nested = "s"
+        for j in range(1, batch + 1):
+            pat = (
+                f"COALESCE((SELECT ' ' || lhs || '  ' || rhs || ' ' "
+                f"FROM s{i}_{j}), chr(1))"
+            )
+            rep = (
+                f"COALESCE((SELECT ' ' || lhs || rhs || ' ' "
+                f"FROM s{i}_{j}), chr(1))"
+            )
+            nested = f"replace({nested}, {pat}, {rep})"
+        parts.append(
+            f"""w{i} AS MATERIALIZED (
+      SELECT {nested} AS s, freq FROM w{prev}
+    )"""
+        )
+    rounds_sql = ",\n    ".join(parts)
+    finals_sql = "\n      UNION ALL ".join(finals)
+    return rf"""
+    WITH w0 AS MATERIALIZED (
+      SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS s,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents
+      )
+      GROUP BY 1
+    ),
+    {rounds_sql}
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY ord) AS INTEGER) AS merge_rank,
+           lhs, rhs, CAST(cnt AS BIGINT) AS pair_count
+    FROM ({finals_sql})
+    """
+
+
+@register("bpe_merge_table_batched", oracle=_bpe_batched_oracle(2, 4))
+def bpe_merge_table_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Up to 8 BPE merge rules learned in TWO corpus scans (batch=4) —
+    the production training cadence: the r14 vocabulary probe measured
+    per-scan fixed latency as the dominant cost at every vocabulary
+    size, so adopting ``batch`` symbol-disjoint rules per scan (counts
+    stay exact under disjointness; see
+    ``functions/bpe.learn_from_words_batched``) is what makes a
+    32k-merge vocabulary tractable: ~8k scans instead of 32k.  The
+    oracle unrolls both scans AND the in-scan greedy selection as
+    DuckDB CTEs over the identical candidate window, so the gate is
+    full-value; the independent pure-Python reference and the
+    batch=1 == sequential equivalence live in ``tests/test_bpe.py``."""
+    from tweets_spark_top_10_spark.functions.bpe import bpe_learn_merges_batched
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_learn_merges_batched(docs, text_col="text", rounds=2, batch=4)
 
 
 @register("bpe_merge_table", oracle=_bpe_oracle(8))

@@ -1716,6 +1716,79 @@ def rp_ivf_rerank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp_ivf_rerank_knn(queries, cands, k=5, d_out=32, shortlist=50)
 
 
+def ensure_rp_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build-once the JL-projected IVF serving index: the 32-dim
+    projected strided centroids (cell_id, centroid) and the projected
+    cell assignments (neighbor_id, rp_vec, cell_id), both parquet under
+    the fingerprinted per-user index cache (same staging + whole-kind
+    atomic-rename publication as :func:`ensure_pq_index`).  Everything
+    is deterministic (md5 sign matrix, rounded projections, strided
+    quantizer), so rebuilds are byte-stable and the prebuilt serving
+    query shares the non-prebuilt twin's full value oracle."""
+    from tweets_spark_top_10_spark.functions.similarity import (
+        ivf_assign_cells,
+        ivf_centroids,
+        rp_array,
+    )
+
+    kind = _pq_index_dir(sf_dir) / "rp32"
+    cents_path, cells_path = str(kind / "centroids"), str(kind / "cells")
+    if not (
+        (kind / "centroids" / "_SUCCESS").exists()
+        and (kind / "cells" / "_SUCCESS").exists()
+    ):
+        staging = kind.parent / f".stage_rp32_{os.getpid()}"
+        emb = load_table(spark, sf_dir, "embeddings")
+        cands = emb.filter(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("neighbor_id"), "embedding"
+        )
+        cp = rp_array(cands, "neighbor_id", d_out=32).repartition(
+            spark.sparkContext.defaultParallelism, "neighbor_id"
+        )
+        cents = ivf_centroids(cp, "neighbor_id", "rp_vec", 16)
+        cents.write.mode("overwrite").parquet(str(staging / "centroids"))
+        # assign against the stored copy (the ensure_pq_index discipline)
+        cents = spark.read.parquet(str(staging / "centroids"))
+        ivf_assign_cells(
+            cp, cents, "neighbor_id", "rp_vec", n_probe=1
+        ).write.mode("overwrite").parquet(str(staging / "cells"))
+        _publish_index_kind(staging, kind)
+    return cents_path, cells_path
+
+
+@register(
+    "rp_ivf_rerank_top5_prebuilt",
+    oracle=_rp_ivf_oracle(d_out=32, shortlist=50),
+)
+def rp_ivf_rerank_top5_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JL-projected ANN pipeline against a PREBUILT index — the
+    serving half of the build/serve split: projected centroids and cell
+    assignments come from :func:`ensure_rp_index`'s parquet (built at
+    most once per corpus fingerprint), so query time pays only the
+    query-side projection (10 rows), the broadcast centroid probe, the
+    cell equi-join, and the 50-row-per-query exact rerank against the
+    base table.  Deterministic end to end, hence the SAME full value
+    oracle as ``rp_ivf_rerank_top5`` (the ``pq_adc_top5_prebuilt``
+    pattern applied to dimensionality reduction)."""
+    cents_path, cells_path = ensure_rp_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    return rp_ivf_rerank_knn(
+        queries,
+        cands,
+        k=5,
+        d_out=32,
+        shortlist=50,
+        centroids=spark.read.parquet(cents_path),
+        cand_cells=spark.read.parquet(cells_path),
+    )
+
+
 @register("embedding_rp_project", oracle=_rp_oracle())
 def embedding_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss 64→16 projection of the whole embedding
