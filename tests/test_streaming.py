@@ -963,6 +963,101 @@ def test_streaming_ann_enrichment_matches_batch(spark, sf_dir, tmp_path):
     assert got and got == want
 
 
+def test_streaming_rp_ivf_index_matches_batch(spark, sf_dir, tmp_path):
+    """Incrementally-maintained PROJECTED cell table == batch
+    rp_array+ivf_assign_cells of the final corpus state against the
+    same fixed projected centroid book — exact (rounded projections,
+    deterministic argmin).  Includes a mutated-vector resend that must
+    re-project and replace its old row, and the served top-5 through
+    rp_ivf_rerank_knn's prebuilt path must equal the inline pipeline."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tweets_spark_top_10_spark.functions.similarity import (
+        ivf_assign_cells,
+        ivf_centroids,
+        rp_array,
+        rp_ivf_rerank_knn,
+    )
+    from tweets_spark_top_10_spark.streaming.ann import maintain_rp_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cands = emb.filter(F.col("vec_id") >= 10)
+    # fixed offline book in the PROJECTED space (pre-mutation corpus)
+    cents = ivf_centroids(
+        rp_array(cands, "vec_id", d_out=32), "vec_id", "rp_vec"
+    ).localCheckpoint(eager=True)
+
+    pdf = cands.toPandas().sort_values("vec_id").reset_index(drop=True)
+    pdf["embedding"] = pdf["embedding"].map(list)
+    half = len(pdf) // 2
+    mutated_id = int(pdf.vec_id.iloc[1])
+    mutated_vec = [
+        -float(v) for v in pdf.loc[pdf.vec_id == mutated_id, "embedding"].iloc[0]
+    ]
+    src = tmp_path / "vec_stream"
+    src.mkdir()
+    pdf.iloc[:half].to_parquet(src / "b1.parquet", index=False)
+    pdf.iloc[half:].to_parquet(src / "b2.parquet", index=False)
+    pd.DataFrame({"vec_id": [mutated_id], "embedding": [mutated_vec]}).to_parquet(
+        src / "b3.parquet", index=False
+    )
+    vec_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    stream = file_stream(spark, str(src), vec_schema, max_files_per_trigger=1)
+    table = str(tmp_path / "rp_cell_table")
+    maintain_rp_ivf_index(
+        stream, cents, table, checkpoint=str(tmp_path / "ckpt_rp")
+    ).awaitTermination()
+
+    final_cands = cands.filter(F.col("vec_id") != mutated_id).unionByName(
+        spark.createDataFrame([(mutated_id, mutated_vec)], schema=vec_schema)
+    )
+    want_cells = ivf_assign_cells(
+        rp_array(final_cands, "vec_id", d_out=32), cents, "vec_id", "rp_vec",
+        n_probe=1,
+    )
+    got_idx = {
+        (r.vec_id, r.cell_id, tuple(r.rp_vec))
+        for r in spark.read.parquet(table).collect()
+    }
+    want_idx = {
+        (r.vec_id, r.cell_id, tuple(r.rp_vec)) for r in want_cells.collect()
+    }
+    assert got_idx == want_idx
+
+    # serving from the maintained table == the inline pipeline
+    qdf = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    maintained = spark.read.parquet(table).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    served = {
+        tuple(r)
+        for r in rp_ivf_rerank_knn(
+            qdf, final_cands.withColumnRenamed("vec_id", "neighbor_id"),
+            k=5, d_out=32, shortlist=50,
+            centroids=cents, cand_cells=maintained,
+        ).collect()
+    }
+    inline = {
+        tuple(r)
+        for r in rp_ivf_rerank_knn(
+            qdf, final_cands.withColumnRenamed("vec_id", "neighbor_id"),
+            k=5, d_out=32, shortlist=50, centroids=cents,
+        ).collect()
+    }
+    assert served and served == inline
+
+
 def test_streaming_pq_index_matches_batch(spark, sf_dir, tmp_path):
     """Incrementally-maintained PQ-codes table == batch pq_encode of the
     final corpus state against the same fixed codebook — exact (the

@@ -35,6 +35,7 @@ from tweets_spark_top_10_spark.functions.sampling import hash_bucket
 from tweets_spark_top_10_spark.functions.similarity import (
     ivf_assign_cells,
     ivf_knn,
+    rp_array,
 )
 from tweets_spark_top_10_spark.streaming.sketch import upsert_rows_by_bucket
 
@@ -105,6 +106,72 @@ def maintain_ivf_index(
             table_path,
             id_col,
             vec_col,
+            n_buckets,
+            seq_col,
+        )
+
+    return (
+        stream_vecs.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def upsert_rp_cells_batch(
+    spark,
+    batch_vecs: DataFrame,
+    centroids: DataFrame,
+    table_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d_out: int = 32,
+    n_buckets: int = 16,
+    seq_col: str | None = None,
+) -> None:
+    """Projected-space variant of :func:`upsert_vector_cells_batch`:
+    the batch is JL-projected first (``rp_array`` — map-only, plan-
+    literal sign matrix), then assigned against the PROJECTED centroid
+    book.  Maintains the (id, rp_vec, cell_id) table that
+    ``rp_ivf_rerank_knn``'s prebuilt path serves from
+    (``ensure_rp_index``'s cells) — so the projected index is a
+    maintained artifact like its 64-dim sibling, never a rebuild.
+    The rerank half needs no maintenance at all: it reads the base
+    vector table by id at query time."""
+    one_per_id = _one_per_id(batch_vecs, id_col, vec_col, seq_col)
+    projected = rp_array(one_per_id, id_col, vec_col, d_out=d_out)
+    assigned = ivf_assign_cells(
+        projected, centroids, id_col, "rp_vec", n_probe=1
+    ).withColumn("bucket", hash_bucket(id_col, n_buckets))
+    upsert_rows_by_bucket(spark, assigned, table_path, id_col)
+
+
+def maintain_rp_ivf_index(
+    stream_vecs: DataFrame,
+    centroids: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d_out: int = 32,
+    n_buckets: int = 16,
+    seq_col: str | None = None,
+):
+    """Attach the PROJECTED cell-assignment upsert to a vector stream
+    (availableNow trigger; ``centroids`` is the fixed offline book in
+    the projected space, shaped (cell_id, centroid: array<double>))."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_rp_cells_batch(
+            batch_df.sparkSession,
+            batch_df,
+            centroids,
+            table_path,
+            id_col,
+            vec_col,
+            d_out,
             n_buckets,
             seq_col,
         )
