@@ -380,6 +380,59 @@ def test_streaming_bpe_vocab_matches_batch(spark, sf_dir, tmp_path):
     assert after == before
 
 
+def test_streaming_bpe_batched_relearn_matches_batch(spark, sf_dir, tmp_path):
+    """relearn_batch>1 switches the stream-decided re-learn to batched
+    merge learning: the maintained merge table must equal batch
+    bpe_learn_merges_batched over the full corpus (deterministic end to
+    end — the re-learn is a pure function of the stored word table)."""
+    from tweets_spark_top_10_spark.functions.bpe import (
+        bpe_learn_merges_batched,
+    )
+    from tweets_spark_top_10_spark.sources.registry import load_table
+    from tweets_spark_top_10_spark.streaming.bpe import (
+        maintain_bpe_vocab,
+        read_bpe_merges,
+    )
+    from tweets_spark_top_10_spark.streaming.sources import file_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    src = tmp_path / "doc_stream"
+    src.mkdir()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(src / "b1.parquet", index=False)
+    pdf.iloc[half:].to_parquet(src / "b2.parquet", index=False)
+
+    state = str(tmp_path / "bpe_state")
+    maintain_bpe_vocab(
+        file_stream(spark, str(src), docs.schema, max_files_per_trigger=1),
+        state,
+        checkpoint=str(tmp_path / "ckpt"),
+        merges=8,
+        relearn_growth=1.2,
+        relearn_batch=4,
+    ).awaitTermination()
+
+    got = sorted(map(tuple, read_bpe_merges(spark, state).collect()))
+    want = sorted(
+        map(
+            tuple,
+            bpe_learn_merges_batched(docs, rounds=2, batch=4).collect(),
+        )
+    )
+    assert got == want
+
+    import pytest
+
+    with pytest.raises(ValueError, match="relearn_batch"):
+        maintain_bpe_vocab(
+            spark.readStream.format("rate").load(),
+            state,
+            checkpoint=str(tmp_path / "c2"),
+            relearn_batch=0,
+        )
+
+
 def test_streaming_bpe_rejects_bad_growth(spark, tmp_path):
     import pytest
 

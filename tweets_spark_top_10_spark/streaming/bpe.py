@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from tweets_spark_top_10_spark.functions.bpe import (
     MERGE_SCHEMA,
     learn_from_words,
+    learn_from_words_batched,
     word_frequency_table,
 )
 from tweets_spark_top_10_spark.streaming.heavy_hitters import (
@@ -173,6 +174,7 @@ def maintain_bpe_vocab(
     text_col: str = "text",
     merges: int = 8,
     relearn_growth: float = 2.0,
+    relearn_batch: int = 1,
 ):
     """Attach word-count + merge-rule maintenance to a document stream.
 
@@ -182,16 +184,28 @@ def maintain_bpe_vocab(
     K-round re-learn, which is never the production cadence (re-learn
     at each doubling amortizes the K scans to O(1) per ingested
     token).  Bootstrap (no merge table yet) always learns.
+
+    ``relearn_batch``: >1 switches the re-learn to BATCHED merge
+    learning (``functions/bpe.learn_from_words_batched`` —
+    ceil(merges/batch) scans adopting up to ``batch`` symbol-disjoint
+    rules each), the production cadence for large vocabularies since
+    the re-learn's cost is its scan count (r14 vocabulary probe).  1
+    (default) keeps the exact sequential Sennrich sequence.
     """
     if relearn_growth <= 1:
         raise ValueError(
             f"relearn_growth must be > 1 (got {relearn_growth}): the "
             "re-learn triggers when stored >= growth * fitted_tokens"
         )
+    if relearn_batch < 1:
+        raise ValueError(
+            f"relearn_batch must be >= 1, got {relearn_batch}"
+        )
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         bpe_step(
-            batch_df, state_dir, text_col, merges, relearn_growth, batch_id
+            batch_df, state_dir, text_col, merges, relearn_growth, batch_id,
+            relearn_batch=relearn_batch,
         )
 
     return (
@@ -209,6 +223,7 @@ def bpe_step(
     merges: int,
     relearn_growth: float,
     batch_id: int | None,
+    relearn_batch: int = 1,
 ) -> dict:
     """One micro-batch of vocab maintenance — the exact body
     ``maintain_bpe_vocab`` runs per batch, exposed so the scale probe
@@ -229,9 +244,14 @@ def bpe_step(
     total = _stored_tokens(spark, state_dir)
     if fitted is not None and total < relearn_growth * fitted:
         return {"folded": True, "relearned": False, "stored_tokens": total}
-    learned, _ = learn_from_words(
-        spark.read.parquet(_words_dir(state_dir)), merges
-    )
+    stored_words = spark.read.parquet(_words_dir(state_dir))
+    if relearn_batch > 1:
+        rounds = -(-merges // relearn_batch)  # ceil
+        learned, _ = learn_from_words_batched(
+            stored_words, rounds, relearn_batch
+        )
+    else:
+        learned, _ = learn_from_words(stored_words, merges)
     # rank-0 sentinel row: carries fitted_tokens even when ZERO merges
     # are learnable (an all-single-character corpus) — without it the
     # stored table is empty, `fitted` reads None forever, and every
