@@ -56,50 +56,6 @@ from tweets_spark_top_10_spark.queries.registry import ORACLE, QUERIES
 # zero fails; the r1 rows listed here are the 30 not re-checked in r2,
 # all green in r1).
 _LAST_CHECKED: dict[str, int] = {
-    # --- last driver row: round 11 ---
-    "top_revenue_orders": 11,
-    "regional_customer_revenue": 11,
-    "top_orders_per_customer": 11,
-    "embedding_quantize_int8": 11,
-    "doc_fingerprints": 11,
-    "doc_split_assignment": 11,
-    "doc_normalize": 11,
-    "sliding_event_windows": 11,
-    "hourly_event_windows": 11,
-    "event_value_udaf": 11,
-    "doc_pii_redact": 11,
-    "salted_token_count_top20": 11,
-    "stratified_sample_docs": 11,
-    "top_bigrams": 11,
-    "label_centroids_pandas": 11,
-    "user_sessions": 11,
-    "doc_quality": 11,
-    "langid_heuristic": 11,
-    "lsh_knn_invariants": 11,
-    "doc_tfidf_top3": 11,
-    "pq_codes": 11,
-    "doc_sentences_udtf": 11,
-    "pq_adc_top5": 11,
-    "ngram_jaccard_dup_pairs": 11,
-    "simhash_near_dups": 11,
-    "simhash_invariants": 11,
-    "minhash_lsh_candidates": 11,
-    "customer_balance_distribution": 11,
-    "dedup_canonical_docs": 11,
-    "ivfpq_adc_top5": 11,
-    "pq_adc_lloyd_top5": 11,
-    "dedup_components": 11,
-    "lateral_top2_orders_sql": 11,
-    "event_props_variant": 11,
-    "mergeable_user_sketches": 11,
-    "user_latest_event": 11,
-    "pq_adc_opq_top5": 11,
-    "doc_contamination": 11,
-    "doc_pack_bins": 11,
-    "part_name_fuzzy_pairs": 11,
-    "pq_adc_opq_rerank_top5": 11,
-    "opq_adc_rerank_top5_prebuilt": 11,
-    "dedup_keep_best_quality": 11,
     # --- last driver row: round 12 ---
     "user_running_value": 12,
     "customers_without_big_orders": 12,
@@ -125,10 +81,6 @@ _LAST_CHECKED: dict[str, int] = {
     "event_lag_lead": 12,
     "priority_status_pivot": 12,
     "lsh_knn_top5": 12,
-    "nation_trade_pagerank": 12,
-    "metrics_order_summary": 12,
-    "metrics_event_by_type": 12,
-    "media_audio_stats": 12,
     "bloom_semi_revenue": 12,
     "orders_cdc_merge": 12,
     "orders_quality_audit": 12,
@@ -202,6 +154,57 @@ _LAST_CHECKED: dict[str, int] = {
     "bpe_subword_vocab_top20": 13,
     "bucketed_segment_revenue": 13,
     "embedding_rp_project": 13,
+    # --- last driver row: round 14 ---
+    "top_revenue_orders": 14,
+    "regional_customer_revenue": 14,
+    "top_orders_per_customer": 14,
+    "embedding_quantize_int8": 14,
+    "doc_fingerprints": 14,
+    "doc_split_assignment": 14,
+    "doc_normalize": 14,
+    "sliding_event_windows": 14,
+    "hourly_event_windows": 14,
+    "event_value_udaf": 14,
+    "doc_pii_redact": 14,
+    "salted_token_count_top20": 14,
+    "stratified_sample_docs": 14,
+    "top_bigrams": 14,
+    "label_centroids_pandas": 14,
+    "user_sessions": 14,
+    "doc_quality": 14,
+    "langid_heuristic": 14,
+    "lsh_knn_invariants": 14,
+    "doc_tfidf_top3": 14,
+    "pq_codes": 14,
+    "doc_sentences_udtf": 14,
+    "pq_adc_top5": 14,
+    "ngram_jaccard_dup_pairs": 14,
+    "simhash_near_dups": 14,
+    "simhash_invariants": 14,
+    "minhash_lsh_candidates": 14,
+    "customer_balance_distribution": 14,
+    "dedup_canonical_docs": 14,
+    "ivfpq_adc_top5": 14,
+    "pq_adc_lloyd_top5": 14,
+    "dedup_components": 14,
+    "lateral_top2_orders_sql": 14,
+    "event_props_variant": 14,
+    "mergeable_user_sketches": 14,
+    "user_latest_event": 14,
+    "pq_adc_opq_top5": 14,
+    "doc_contamination": 14,
+    "doc_pack_bins": 14,
+    "part_name_fuzzy_pairs": 14,
+    "nation_trade_pagerank": 14,
+    "metrics_order_summary": 14,
+    "metrics_event_by_type": 14,
+    "media_audio_stats": 14,
+    "pq_adc_opq_rerank_top5": 14,
+    "opq_adc_rerank_top5_prebuilt": 14,
+    "dedup_keep_best_quality": 14,
+    "bpe_merge_table_batched": 14,
+    "rp_ivf_rerank_top5": 14,
+    "rp_ivf_rerank_top5_prebuilt": 14,
 }
 
 
