@@ -79,6 +79,20 @@ def main() -> None:
             )
         ).write.format("noop").mode("overwrite").save()
 
+    # Box-speed calibration (round-14 verdict item 2): a fixed pure-JVM
+    # shuffle-free workload timed right after warmup.  `calib_s` rides
+    # on every history line so a wall-regime shift (the 95.8 s -> 120 s
+    # era move that cost two rounds of control runs) is separable from
+    # a code regression by arithmetic: walls moving WITH calib = host;
+    # walls moving AGAINST flat calib = code.
+    try:
+        from tools.calibration import calibrate
+
+        calib_s = calibrate(spark)
+    except Exception as exc:  # calibration is telemetry, not the bench
+        print(f"# calibration failed: {exc}", file=sys.stderr)
+        calib_s = None
+
     # Two passes, report the MIN per query: single-shot wall times on
     # this box swing 2-5x from CPU-steal/GC noise (an identical trivial
     # groupBy measured 1.9s and 5.0s in back-to-back runs); min-of-N is
@@ -185,6 +199,7 @@ def main() -> None:
         "value_excl_training": total_excl if clean_run else None,
         "value_training": total_training if clean_run else None,
         "training_queries": sorted(INLINE_TRAINING & set(timings)),
+        "calib_s": calib_s,
         "value_note": "value = this run's total (null if any query failed); "
         "value_stable = min over history runs with identical query set; "
         "value_stable_excl_training = same min over the excl-training "
@@ -234,7 +249,7 @@ def main() -> None:
         for k in (
             "metric", "value", "unit", "sf", "cpus", "timing",
             "clean_run", "value_stable", "value_stable_excl_training",
-            "value_excl_training", "value_training", "note",
+            "value_excl_training", "value_training", "calib_s", "note",
         )
         if k in out
     }
@@ -253,6 +268,7 @@ def main() -> None:
             "total": total,
             "total_excl_training": total_excl,
             "total_training": total_training,
+            "calib_s": calib_s,
             "queries": timings,
         }
         if note:

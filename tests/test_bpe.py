@@ -488,13 +488,32 @@ def test_streaming_bpe_state_encoding_marker(spark, tmp_path):
     assert (state / "_BPE_ENCODING_VERSION").read_text().strip() == "2"
     assert sbpe.read_bpe_words(spark, str(state)).count() == 2
 
-    # pre-marker state: words table present, no marker -> refuse
+    # pre-marker state with verifiably-v1 rows (single-space) -> refuse
+    v1 = tmp_path / "v1state"
+    spark.createDataFrame([(" h i ", 1)], ["s", "freq"]).coalesce(
+        1
+    ).write.parquet(str(v1 / "words"))
+    with pytest.raises(RuntimeError, match="pre-v2"):
+        sbpe.read_bpe_words(spark, str(v1))
+    with pytest.raises(RuntimeError, match="pre-v2"):
+        sbpe.bpe_step(docs, str(v1), "text", 2, 2.0, batch_id=0)
+
+    # pre-marker state with verifiably-v2 rows (double-space — written
+    # by post-fix code from before the marker existed, the r15 advisor
+    # case) -> stamped in place as the migration, then readable
+    v2 = tmp_path / "v2state"
+    spark.createDataFrame([(" h  i ", 1)], ["s", "freq"]).coalesce(
+        1
+    ).write.parquet(str(v2 / "words"))
+    assert sbpe.read_bpe_words(spark, str(v2)).count() == 1
+    assert (v2 / "_BPE_ENCODING_VERSION").read_text().strip() == "2"
+
+    # nothing readable to sniff (empty words dir): safe-refuse with
+    # manual-migration guidance, never guess
     legacy = tmp_path / "legacy"
     (legacy / "words").mkdir(parents=True)
-    with pytest.raises(RuntimeError, match="pre-v2"):
+    with pytest.raises(RuntimeError, match="no readable row"):
         sbpe.read_bpe_words(spark, str(legacy))
-    with pytest.raises(RuntimeError, match="pre-v2"):
-        sbpe.bpe_step(docs, str(legacy), "text", 2, 2.0, batch_id=0)
 
     # explicit version mismatch -> refuse on read AND write
     (state / "_BPE_ENCODING_VERSION").write_text("1")

@@ -269,6 +269,60 @@ def test_compact_aborts_when_batch_lands_mid_compaction(
     assert _content(spark, "ing_events6") == want
 
 
+def test_compact_rescues_batch_landing_in_swap_window(
+    spark, sf_dir, events_dir, tmp_path, monkeypatch
+):
+    """The ms-wide TOCTOU left over after the pre-swap diff: a batch
+    past the ingest guard commits its partition AFTER the diff's
+    listdir but BEFORE rename(path -> aside) — it rides into the aside
+    dir, and without the post-swap re-diff the rmtree deleted it even
+    though its checkpoint offset committed. The re-diff must move the
+    late partition into the new table dir before discarding aside."""
+    import os
+    import shutil as sh
+
+    spark.sql("DROP TABLE IF EXISTS ing_events7")
+    path = str(tmp_path / "ing_events7")
+    _ingest(spark, events_dir, "ing_events7", path, str(tmp_path / "ck"))
+    want = _content(spark, "ing_events7")
+    # a real bucketed part file (name keeps its bucket suffix) stands in
+    # for the late batch's committed output; its rows (one bucket of
+    # batch 0) are what must survive the swap
+    src_file = glob.glob(f"{path}/__ingest_batch=0/part-*")[0]
+    late_rows = sorted(
+        (r.event_id, r.user_id, r.event_type)
+        for r in spark.read.parquet(src_file)
+        .select("event_id", "user_id", "event_type")
+        .collect()
+    )
+    assert late_rows
+
+    landed = os.path.join(path, "__ingest_batch=150")
+    real_rename = os.rename
+
+    def rename_with_late_commit(src, dst):
+        # the in-flight batch's partition commits in the window between
+        # the pre-swap listdir and rename(path -> aside)
+        if os.path.abspath(str(src)) == os.path.abspath(path):
+            os.makedirs(landed, exist_ok=True)
+            sh.copy(src_file, landed)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", rename_with_late_commit)
+    n = compact_ingest_partitions(spark, "ing_events7", batch_horizon=100)
+    monkeypatch.undo()
+    assert n == 4
+
+    # the late partition was moved out of aside into the new table dir
+    # (not rmtree'd with it); its rows are visible, nothing else changed
+    assert os.path.exists(landed)
+    assert glob.glob(f"{landed}/part-*")
+    assert not os.path.exists(path + "__old")
+    assert not os.path.exists(path + "__stage")
+    assert not os.path.exists(path + "__swap_pending")
+    assert _content(spark, "ing_events7") == sorted(want + late_rows)
+
+
 def test_compact_recovers_from_crash_between_renames(
     spark, sf_dir, events_dir, tmp_path
 ):

@@ -236,6 +236,117 @@ def test_classify_two_tier():
     assert reg == [] and watch == []
 
 
+def test_rebase_keeps_plan_reference(tmp_path, monkeypatch):
+    """The wall-tier rebase must NOT blind the plan tier (r15 advisor
+    finding): when the rebase line lands before any post-rebase record
+    exists for a query, the FULL history (rebased=False) still feeds
+    the plan/spill reference — a shuffle-byte drift flags the same
+    round, and the wall tier quietly seeds instead of KeyError-ing."""
+    hist = _write_history(
+        tmp_path,
+        [
+            _rec("q", wall=30.0, shuffle=15000.0, round=13),
+            {"kind": "scale_sentinel_rebase", "round": 14},
+        ],
+    )
+    monkeypatch.setattr(scale_sentinel, "HISTORY", str(hist))
+    priors = scale_sentinel.prior_records(100)
+    assert priors == []  # wall reference truncated — nothing post-rebase
+    full = scale_sentinel.prior_records(100, rebased=False)
+    assert [r["round"] for r in full] == [13]
+
+    # 20% shuffle drift vs the PRE-rebase record still flags as plan
+    reg, watch = scale_sentinel.classify(
+        _cur(31.0, 18000.0), priors, 100, cur_round=15, plan_priors=full
+    )
+    assert reg[0]["tier"] == "plan" and watch == []
+
+    # flat bytes + a 3x wall: no wall reference survives the rebase, so
+    # this run seeds — no flag, and no crash on the missing best[q]
+    reg, watch = scale_sentinel.classify(
+        _cur(90.0, 15000.0), priors, 100, cur_round=15, plan_priors=full
+    )
+    assert reg == [] and watch == []
+
+
+def test_classify_calibrated_wall_tier():
+    """With calib_s on both sides the wall tier compares wall/calib:
+    a host regime shift (walls AND calib 2x) stays quiet; a code
+    regression (walls 2x, calib flat) flags; priors without calib fall
+    back to raw walls (pre-r15 history)."""
+    seed = _rec("q", wall=30.0, shuffle=15000.0, round=14)
+    seed["calib_s"] = 2.0  # 30s wall at calib 2.0 -> rate 15.0
+
+    # box got 2x slower: wall 60s, calib 4.0 -> rate 15.0, flat -> clean
+    reg, watch = scale_sentinel.classify(
+        _cur(60.0, 15000.0), [seed], 100, cur_round=15, calib_s=4.0
+    )
+    assert reg == [] and watch == []
+
+    # code got 2x slower: wall 60s, calib flat 2.0 -> rate 30.0 -> watch
+    reg, watch = scale_sentinel.classify(
+        _cur(60.0, 15000.0), [seed], 100, cur_round=15, calib_s=2.0
+    )
+    assert reg == [] and watch[0]["wall_per_calib"] == 30.0
+    assert watch[0]["prior_best_per_calib"] == 15.0
+
+    # ... and escalates on consecutive-round precedent as before
+    prev = _rec("q", wall=60.0, shuffle=15000.0, round=15, watch=["q"])
+    prev["calib_s"] = 2.0
+    reg, watch = scale_sentinel.classify(
+        _cur(60.0, 15000.0), [seed, prev], 100, cur_round=16, calib_s=2.0
+    )
+    assert reg[0].get("consecutive") and not watch
+
+    # prior lacks calib -> raw-wall comparison still applies
+    raw_seed = _rec("q", wall=30.0, shuffle=15000.0, round=14)
+    reg, watch = scale_sentinel.classify(
+        _cur(60.0, 15000.0), [raw_seed], 100, cur_round=15, calib_s=2.0
+    )
+    assert watch[0]["prior_best_s"] == 30.0
+
+    # current run lacks calib (calibration failed) -> raw fallback too
+    reg, watch = scale_sentinel.classify(
+        _cur(60.0, 15000.0), [seed], 100, cur_round=15
+    )
+    assert watch[0]["prior_best_s"] == 30.0
+
+
+def test_classify_stream_calibrated():
+    """The streaming wall follows the same calibrated comparison; the
+    pairs/cells plan gates are calibration-independent (deterministic
+    replay) and keep flagging regardless."""
+    seed = _stream_line(14, 30.0)
+    seed["calib_s"] = 2.0
+
+    # host 2x slower -> clean; code 2x slower -> watch
+    reg, watch = scale_sentinel.classify_stream(
+        _stream_cur(60.0), [seed], cur_round=15, calib_s=4.0
+    )
+    assert reg == [] and watch == []
+    reg, watch = scale_sentinel.classify_stream(
+        _stream_cur(60.0), [seed], cur_round=15, calib_s=2.0
+    )
+    assert reg == [] and watch[0]["wall_per_calib"] == 30.0
+
+    # plan gate ignores calibration entirely
+    reg, _ = scale_sentinel.classify_stream(
+        _stream_cur(30.0, pairs=99999), [seed], cur_round=15, calib_s=4.0
+    )
+    assert reg[0]["tier"] == "plan"
+
+    # rebased-away stream history: plan_priors keeps the pairs gate
+    reg, _ = scale_sentinel.classify_stream(
+        _stream_cur(30.0, pairs=99999), [], cur_round=15, plan_priors=[seed]
+    )
+    assert reg[0]["tier"] == "plan"
+    # ... while the wall tier quietly seeds (no reference in `priors`)
+    reg, watch = scale_sentinel.classify_stream(
+        _stream_cur(90.0), [], cur_round=15, plan_priors=[seed]
+    )
+    assert reg == [] and watch == []
+
+
 def _stream_line(round, total, pairs=75081, cells=8.5, regressed=(), watch=()):
     return {
         "kind": "scale_sentinel",
@@ -310,6 +421,20 @@ def test_classify_stream_two_tier():
         _stream_cur(49.0), [seed, prev], cur_round=12
     )
     assert reg == [] and watch[0]["query"] == "maintain_semantic_dedup"
+
+
+def test_calibration_expected_sum_constant():
+    """Pin CALIB_EXPECT_SUM with exact pure-Python arithmetic via the
+    mod-p periodicity ((id*a)%p depends on id%p only) — the JVM must
+    reproduce this value every calibration pass or the box's timings
+    are declared untrustworthy."""
+    from tools import calibration as C
+
+    a, p = 2654435761, 1_000_003
+    one_period = sum((i * a) % p for i in range(p))
+    full = C.CALIB_ROWS // p
+    tail = sum((i * a) % p for i in range(C.CALIB_ROWS - full * p))
+    assert full * one_period + tail == C.CALIB_EXPECT_SUM
 
 
 def test_current_round_is_max_correctness_plus_one(tmp_path, monkeypatch):

@@ -61,7 +61,13 @@ IDENTICAL code with byte-identical shuffle telemetry, so a pure-wall
    1.6x on the 15 GB-shuffle query); the SAME query wall-flagged in
    two consecutive sentinel rounds escalates to ``regressed`` — a
    sustained compute-only slowdown (e.g. a codegen or HOF regression)
-   moves no bytes but does not clear either.
+   moves no bytes but does not clear either.  Since round 15 every
+   line also records ``calib_s`` (tools/calibration.calibrate — a
+   fixed pure-JVM shuffle-free workload timed at run start) and the
+   wall tier compares walls NORMALIZED by it once calibrated priors
+   exist: a host regime shift moves calib with the walls (no flag),
+   a code regression moves the ratio (flags) — the r14 rebase debate
+   becomes arithmetic.
 
 First-ever rows cannot regress; they seed the reference.  The 1x/100x
 ratio itself is NOT gated: each family's expected ratio differs by
@@ -115,7 +121,9 @@ def current_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
-def prior_records(replicas: int | None) -> list[dict]:
+def prior_records(
+    replicas: int | None, rebased: bool = True
+) -> list[dict]:
     """Prior sentinel lines in file order; ``replicas`` filters to one
     BATCH-probe replica count, ``None`` returns every line (the stream
     row always runs at STREAM_REPLICAS and filters for itself inside
@@ -124,17 +132,25 @@ def prior_records(replicas: int | None) -> list[dict]:
 
     **Rebase (round-14):** a ``{"kind": "scale_sentinel_rebase",
     "round": N, ...}`` line declares every sentinel record from rounds
-    BEFORE N non-comparable — records from round >= N (inclusive, so
-    the rebasing round's own measurements seed the new reference) are
-    kept; older ones are dropped from best-wall and consecutive-flag
-    computation.  A rebase line is legitimate ONLY with an embedded
-    same-hour control: the UNCHANGED last-certified commit re-probed in
-    a worktree reproducing the inflated walls with byte-identical
-    shuffle/spill telemetry (the r14 precedent: control read 90.8 s on
-    dedup_canonical_docs vs HEAD's 68.1 against the r12-era 34.5 best —
-    host regime shift, not code).  Wall-only escalations against a
-    pre-shift best are exactly the false positive this exists to stop;
-    PLAN/spill tiers are unaffected (bytes stay comparable forever)."""
+    BEFORE N non-comparable FOR THE WALL TIER — records from round >= N
+    (inclusive, so the rebasing round's own measurements seed the new
+    reference) are kept; older ones are dropped from best-wall and
+    consecutive-flag computation.  A rebase line is legitimate ONLY
+    with an embedded same-hour control: the UNCHANGED last-certified
+    commit re-probed in a worktree reproducing the inflated walls with
+    byte-identical shuffle/spill telemetry (the r14 precedent: control
+    read 90.8 s on dedup_canonical_docs vs HEAD's 68.1 against the
+    r12-era 34.5 best — host regime shift, not code).  Wall-only
+    escalations against a pre-shift best are exactly the false positive
+    this exists to stop.
+
+    PLAN/spill telemetry stays comparable forever, so the plan tier
+    must NOT lose its reference to a rebase: pass ``rebased=False`` to
+    get the full untruncated history (``classify``'s ``plan_priors``) —
+    otherwise a rebase line landing before a post-rebase record exists
+    for some query would leave that query's plan reference empty and a
+    shuffle-byte drift silently unflagged for one round (the r15
+    advisor finding)."""
     out: list[dict] = []
     rebase_round: int | None = None
     try:
@@ -154,7 +170,7 @@ def prior_records(replicas: int | None) -> list[dict]:
                     out.append(rec)
     except OSError:
         pass
-    if rebase_round is not None:
+    if rebased and rebase_round is not None:
         out = [
             r
             for r in out
@@ -210,17 +226,51 @@ def _earlier_round_wall_flags(
     } | {e["query"] for e in last.get("wall_watch", [])}
 
 
+def _best_rate(
+    priors: list[dict], tag: str
+) -> dict[str, float]:
+    """Per query: min prior CALIBRATED wall (wall_s / that record's
+    calib_s) over priors that carry a calibration — the box-speed-
+    normalized wall reference (round-14 verdict item 2)."""
+    best: dict[str, float] = {}
+    for rec in priors:
+        c = rec.get("calib_s")
+        if not isinstance(c, (int, float)) or c <= 0:
+            continue
+        for q, scales in rec.get("sentinel", {}).items():
+            w = scales.get(tag, {}).get("wall_s")
+            if isinstance(w, (int, float)):
+                best[q] = min(best.get(q, float("inf")), w / c)
+    return best
+
+
 def classify(
     results: dict[str, dict],
     priors: list[dict],
     replicas: int,
     factor: float = REGRESS_FACTOR,
     cur_round: int | None = None,
+    plan_priors: list[dict] | None = None,
+    calib_s: float | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """(regressed, wall_watch) per the two-tier rule in the module
     docstring.  `results` is run_probe output; `priors` the recorded
     sentinel lines (file order).  Pure so the tiers are unit-testable
     without a Spark run.
+
+    `plan_priors` (default: `priors`) feeds the PLAN/spill reference —
+    pass the FULL untruncated history here: bytes stay comparable
+    across a wall-reference rebase, and without it a rebase landing
+    before a post-rebase record exists for a query leaves that query's
+    plan drift silently unflagged for one round (r15 advisor finding).
+
+    `calib_s` is this run's box-speed calibration
+    (tools/calibration.calibrate).  When both it and a calibrated
+    prior exist for a query, the WALL tier compares CALIBRATED walls
+    (wall / calib) — a host regime shift moves calib with the walls
+    and does not flag; a code regression moves the ratio and flags as
+    before.  Falls back to raw walls when either side lacks a
+    calibration (pre-r15 history).
 
     Escalation reads the newest prior record from a STRICTLY EARLIER
     round than `cur_round` (a same-round re-run — which happens, three
@@ -229,7 +279,11 @@ def classify(
     flags count: a plan/spill flag followed by a slow wall is two
     different symptoms, not a sustained compute slowdown."""
     tag = f"{replicas}x"
-    best, latest_rec = _best_and_latest(priors, tag)
+    best, _ = _best_and_latest(priors, tag)
+    _, latest_rec = _best_and_latest(
+        priors if plan_priors is None else plan_priors, tag
+    )
+    best_rate = _best_rate(priors, tag)
     latest_flagged = _earlier_round_wall_flags(priors, cur_round)
 
     regressed: list[dict] = []
@@ -239,7 +293,9 @@ def classify(
         ref = latest_rec.get(q)
         if ref is None:
             continue  # first-ever row seeds the reference
-        wall, ref_best = cur.get("wall_s"), best[q]
+        # plan reference may exist (full history) while the rebased
+        # wall reference is still empty — wall tier then just seeds
+        wall, ref_best = cur.get("wall_s"), best.get(q)
         # PLAN tier: bytes moved are deterministic — drift is a plan
         # change, flagged immediately.  -1 marks a failed UI probe.
         cur_sh, ref_sh = cur.get("shuffle_read_mb", -1), ref.get(
@@ -275,13 +331,32 @@ def classify(
             )
             continue
         # WALL tier: flat telemetry — one round is watch, two is real.
-        if isinstance(wall, (int, float)) and wall > factor * ref_best:
+        # Calibrated comparison when both sides carry a calibration
+        # (wall/calib vs best prior wall/calib); raw walls otherwise.
+        if not isinstance(wall, (int, float)):
+            continue
+        rate_ref = best_rate.get(q)
+        if calib_s and rate_ref is not None:
+            flagged = (wall / calib_s) > factor * rate_ref
+            entry = {
+                "query": q,
+                "tier": "wall",
+                "wall_100x_s": wall,
+                "calib_s": calib_s,
+                "wall_per_calib": round(wall / calib_s, 2),
+                "prior_best_per_calib": round(rate_ref, 2),
+            }
+        elif ref_best is not None:
+            flagged = wall > factor * ref_best
             entry = {
                 "query": q,
                 "tier": "wall",
                 "wall_100x_s": wall,
                 "prior_best_s": ref_best,
             }
+        else:
+            continue  # no wall reference yet: this run seeds it
+        if flagged:
             if q in latest_flagged:
                 entry["consecutive"] = True
                 regressed.append(entry)
@@ -342,28 +417,45 @@ def classify_stream(
     priors: list[dict],
     factor: float = REGRESS_FACTOR,
     cur_round: int | None = None,
+    plan_priors: list[dict] | None = None,
+    calib_s: float | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """(regressed, wall_watch) for the streaming row.  The replay is
     deterministic end-to-end (fixed feed, seeded quantizer, range
     batching), so the accumulated pair count is an EXACT plan gate —
     any drift means the upsert semantics changed; cell-state bytes get
     the 10% gate (parquet framing jitter); total merge wall follows
-    the same two-tier watch/escalate policy as the batch rows."""
-    recs = [
-        r
-        for r in priors
-        if isinstance(r.get("stream"), dict)
-        and r["stream"].get("replicas") == cur.get("replicas")
-        and r["stream"].get("batches") == cur.get("batches")
-    ]
-    if not recs:
+    the same two-tier watch/escalate policy as the batch rows —
+    calibrated by ``calib_s`` when priors carry one (see ``classify``),
+    raw otherwise.  ``plan_priors`` (full untruncated history) feeds
+    the pairs/cells reference, same rationale as ``classify``."""
+
+    def _rows(recs: list[dict]) -> list[dict]:
+        return [
+            r
+            for r in recs
+            if isinstance(r.get("stream"), dict)
+            and r["stream"].get("replicas") == cur.get("replicas")
+            and r["stream"].get("batches") == cur.get("batches")
+        ]
+
+    recs = _rows(priors)
+    plan_recs = _rows(priors if plan_priors is None else plan_priors)
+    if not plan_recs and not recs:
         return [], []  # first-ever row seeds the reference
     q = cur["query"]
-    latest = recs[-1]["stream"]
+    latest = (plan_recs or recs)[-1]["stream"]
     walls = [
         r["stream"]["merge_total_s"]
         for r in recs
         if isinstance(r["stream"].get("merge_total_s"), (int, float))
+    ]
+    rates = [
+        r["stream"]["merge_total_s"] / r["calib_s"]
+        for r in recs
+        if isinstance(r["stream"].get("merge_total_s"), (int, float))
+        and isinstance(r.get("calib_s"), (int, float))
+        and r["calib_s"] > 0
     ]
     if cur.get("final_pairs_rows") != latest.get("final_pairs_rows"):
         return [
@@ -391,13 +483,29 @@ def classify_stream(
             }
         ], []
     wall = cur.get("merge_total_s")
-    if walls and isinstance(wall, (int, float)) and wall > factor * min(walls):
+    if not isinstance(wall, (int, float)):
+        return [], []
+    if calib_s and rates:
+        flagged = (wall / calib_s) > factor * min(rates)
+        entry = {
+            "query": q,
+            "tier": "wall",
+            "merge_total_s": wall,
+            "calib_s": calib_s,
+            "wall_per_calib": round(wall / calib_s, 2),
+            "prior_best_per_calib": round(min(rates), 2),
+        }
+    elif walls:
+        flagged = wall > factor * min(walls)
         entry = {
             "query": q,
             "tier": "wall",
             "merge_total_s": wall,
             "prior_best_s": min(walls),
         }
+    else:
+        return [], []  # no wall reference yet: this run seeds it
+    if flagged:
         if q in _earlier_round_wall_flags(recs, cur_round):
             entry["consecutive"] = True
             return [entry], []
@@ -436,9 +544,33 @@ def main() -> int:
     positional = [a for a in sys.argv[1:] if not a.startswith("--")]
     replicas = int(positional[0]) if positional else 100
     try:
+        from tools.calibration import calibrate
         from tools.scale_probe_100x import run_probe
     except ImportError:  # run as a script: sys.path[0] is tools/
+        from calibration import calibrate
         from scale_probe_100x import run_probe
+
+    # Box-speed calibration FIRST (same session run_probe will reuse —
+    # identical conf so getOrCreate returns it): `calib_s` rides on the
+    # history line and the wall tier compares walls normalized by it,
+    # so the next host regime shift is arithmetic, not an escalation
+    # debate (round-14 verdict item 2).
+    from tweets_spark_top_10_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scale-probe",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4099",
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "24g"
+            ),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    calib_s = calibrate(spark)
+    print(f"# calib_s = {calib_s}", flush=True)
 
     results = run_probe(replicas, SENTINEL_QUERIES)
     tag = f"{replicas}x"
@@ -447,13 +579,22 @@ def main() -> int:
         scales["ratio"] = round(wn / w1, 2) if w1 else None
     priors = prior_records(replicas)
     regressed, wall_watch = classify(
-        results, priors, replicas, cur_round=current_round()
+        results,
+        priors,
+        replicas,
+        cur_round=current_round(),
+        plan_priors=prior_records(replicas, rebased=False),
+        calib_s=calib_s,
     )
     stream_rec = None
     if "--no-stream" not in sys.argv:
         stream_rec = run_stream_row()
         s_reg, s_watch = classify_stream(
-            stream_rec, prior_records(None), cur_round=current_round()
+            stream_rec,
+            prior_records(None),
+            cur_round=current_round(),
+            plan_priors=prior_records(None, rebased=False),
+            calib_s=calib_s,
         )
         regressed.extend(s_reg)
         wall_watch.extend(s_watch)
@@ -461,6 +602,7 @@ def main() -> int:
         "kind": "scale_sentinel",
         "round": current_round(),
         "replicas": replicas,
+        "calib_s": calib_s,
         "base_sf_dir": os.environ.get(
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
         ),

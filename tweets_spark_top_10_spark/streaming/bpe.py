@@ -74,11 +74,53 @@ def _encoding_tag(state_dir: str) -> str:
     return os.path.join(state_dir, "_BPE_ENCODING_VERSION")
 
 
+def _sniff_words_encoding(words: str) -> str | None:
+    """Best-effort encoding sniff of a MARKER-LESS words table via
+    pyarrow (no Spark session needed): a v2 multi-symbol row contains
+    a double-space separator (``' h  i '``), a v1 row single spaces
+    (``' h i '``).  The dir is always the atomic output of ONE writer
+    version (``_swap_write`` swaps whole dirs), so the first decisive
+    row settles it.  Returns '1', '2', 'coincide' (every row scanned
+    is single-symbol, where the two encodings are byte-identical), or
+    None (no readable rows — corrupt/empty, nothing provable)."""
+    import glob as _glob
+
+    try:
+        import pyarrow.parquet as _pq
+    except ImportError:
+        return None
+    scanned_rows = False
+    for part in sorted(_glob.glob(os.path.join(words, "part-*.parquet"))):
+        try:
+            pf = _pq.ParquetFile(part)
+            for batch in pf.iter_batches(columns=["s"]):
+                for v in batch.column(0).to_pylist():
+                    if not v:
+                        continue
+                    scanned_rows = True
+                    inner = v[1:-1]  # strip the one boundary space each side
+                    if "  " in inner:
+                        return "2"
+                    if " " in inner:
+                        return "1"
+        except Exception:
+            return None
+    return "coincide" if scanned_rows else None
+
+
 def _assert_encoding(state_dir: str, stamp: bool = False) -> None:
     """Refuse to touch a state dir whose persisted symbol encoding
     predates (or postdates) this code.  ``stamp=True`` additionally
     writes the marker for a fresh state dir — only the write path
-    stamps; readers just verify."""
+    stamps; readers just verify.
+
+    A words table WITHOUT a marker is either (a) pre-v2 single-space
+    state the current parser misreads — refuse loudly — or (b) valid
+    v2 state written by post-fix code from before the marker existed
+    (the r15 advisor case).  The rows distinguish the two (v2 separates
+    symbols with double spaces), so sniff one decisive row: verifiably
+    v2 (or all-single-symbol, where the encodings coincide) is stamped
+    in place as the migration; verifiably v1 refuses."""
     tag = _encoding_tag(state_dir)
     if os.path.exists(tag):
         with open(tag) as f:
@@ -92,12 +134,28 @@ def _assert_encoding(state_dir: str, stamp: bool = False) -> None:
             )
         return
     if os.path.exists(_words_dir(state_dir)):
-        raise RuntimeError(
-            f"BPE state at {state_dir} has a words table but no "
-            "encoding marker — it was written by pre-v2 code whose "
-            "single-space rows the current parser misreads; delete the "
-            "state dir (it rebuilds from the stream) or migrate it"
-        )
+        sniffed = _sniff_words_encoding(_words_dir(state_dir))
+        if sniffed == "1":
+            raise RuntimeError(
+                f"BPE state at {state_dir} has a words table with "
+                "single-space (pre-v2) symbol rows that the current "
+                "double-space parser misreads; delete the state dir "
+                "(it rebuilds from the stream) or migrate it"
+            )
+        if sniffed is None:
+            # no readable row proves anything: stay safe-refuse
+            raise RuntimeError(
+                f"BPE state at {state_dir} has a words table but no "
+                "encoding marker and no readable row to sniff — if it "
+                "is verifiably post-fix (v2) state that merely predates "
+                "the marker, write the marker file yourself; otherwise "
+                "delete the state dir (it rebuilds from the stream)"
+            )
+        # verifiably v2 (double-space rows), or all-single-symbol rows
+        # where the encodings are byte-identical — stamp the migration
+        with open(tag, "w") as f:
+            f.write(_ENCODING_VERSION)
+        return
     if stamp:
         os.makedirs(state_dir, exist_ok=True)
         with open(tag, "w") as f:

@@ -252,10 +252,22 @@ def compact_ingest_partitions(
     # detail section removes the ambiguity entirely)
     rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
     detail_at = next(
-        i
-        for i, r in enumerate(rows)
-        if r["col_name"].strip() == "# Detailed Table Information"
+        (
+            i
+            for i, r in enumerate(rows)
+            if r["col_name"].strip() == "# Detailed Table Information"
+        ),
+        None,
     )
+    if detail_at is None:
+        # a view, or a DESCRIBE format drift across Spark versions,
+        # surfaces as a clear error naming the table — not a bare
+        # StopIteration swallowed by some caller's generator machinery
+        raise RuntimeError(
+            f"{table_name}: DESCRIBE TABLE EXTENDED has no '# Detailed "
+            "Table Information' section — not a compactable datasource "
+            "table (view? format drift?)"
+        )
     meta = {r["col_name"]: r["data_type"] for r in rows[detail_at:]}
     path = meta["Location"].removeprefix("file:")
     n_buckets = int(meta["Num Buckets"])
@@ -331,6 +343,26 @@ def compact_ingest_partitions(
         swap_started = True
         os.rename(path, aside)
         os.rename(staging, path)
+        # Post-swap re-diff: the pre-swap diff and rename(path -> aside)
+        # are not atomic, so a batch that passed the ingest guard before
+        # the lease can still commit its partition in the ms between the
+        # listdir above and the rename — it then rides into `aside`, and
+        # deleting aside would lose it even though its checkpoint offset
+        # committed.  Replayable (>= horizon) partitions were carried
+        # into staging verbatim, so any >=-horizon dir present in aside
+        # but absent from the new `path` is exactly such a late batch:
+        # move it into place before discarding aside.  (A batch still
+        # MID-write at rename time loses its temp dir, fails its
+        # foreachBatch, and replays after recovery — offsets only commit
+        # after the batch function returns.)
+        landed_late = {
+            e
+            for e in os.listdir(aside)
+            if e.startswith(f"{_BATCH_COL}=")
+            and int(e.split("=", 1)[1]) >= batch_horizon
+        } - set(os.listdir(path))
+        for part in sorted(landed_late):
+            os.rename(os.path.join(aside, part), os.path.join(path, part))
         shutil.rmtree(aside)
         os.remove(marker)
     finally:
