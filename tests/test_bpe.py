@@ -71,18 +71,19 @@ def _py_bpe(texts: list[str], merges: int) -> list[tuple[int, str, str, int]]:
 
 
 def _py_bpe_batched(
-    texts: list[str], rounds: int, batch: int
+    texts: list[str], rounds: int, batch: int, window_factor: int = 8
 ) -> list[tuple[int, str, str, int]]:
-    """Reference for learn_from_words_batched: the same top-(8*batch)
-    candidate window and greedy symbol-disjoint selection, but over
-    symbol LISTS with per-rule sequential ``_merge_once`` application —
-    independent of the engine's composed string replace (their
-    equality IS the disjointness-correctness claim)."""
+    """Reference for learn_from_words_batched: the same
+    top-(window_factor*batch) candidate window and greedy
+    symbol-disjoint selection, but over symbol LISTS with per-rule
+    sequential ``_merge_once`` application — independent of the
+    engine's composed string replace (their equality IS the
+    disjointness-correctness claim)."""
     words: dict[tuple[str, ...], int] = {
         tuple(w): c for w, c in _tokens(texts).items()
     }
     out: list[tuple[int, str, str, int]] = []
-    window = 8 * batch
+    window = window_factor * batch
     for _ in range(rounds):
         pairs: collections.Counter = collections.Counter()
         for syms, c in words.items():
@@ -127,6 +128,38 @@ def test_bpe_batched_matches_python_reference(spark, sf_dir):
         map(tuple, QUERIES["bpe_merge_table_batched"](spark, sf_dir).collect())
     )
     assert got == expected
+
+
+def test_bpe_batched_deep_window_matches_python_reference(spark, sf_dir):
+    """window_factor > 8 (the r15 production lever: deep windows reach
+    rarer mutually-disjoint symbols, lifting adopted-rules-per-scan on
+    Zipf tables) must stay exact-match against the list-based twin —
+    counts exact, selection deterministic, composed replace ==
+    sequential apply — at the deeper window too."""
+    from tweets_spark_top_10_spark.functions.bpe import (
+        learn_from_words_batched,
+        word_frequency_table,
+    )
+
+    texts = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )["text"].to_pylist()
+    expected = _py_bpe_batched(texts, rounds=3, batch=8, window_factor=64)
+    docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got, _ = learn_from_words_batched(
+        word_frequency_table(docs), rounds=3, batch=8, window_factor=64
+    )
+    assert got == expected
+    # the deep window must adopt at least as many rules per scan budget
+    shallow = _py_bpe_batched(texts, rounds=3, batch=8, window_factor=8)
+    assert len(got) >= len(shallow)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="window_factor"):
+        learn_from_words_batched(
+            word_frequency_table(docs), 1, batch=2, window_factor=0
+        )
 
 
 def test_bpe_batched_batch1_equals_sequential(spark):

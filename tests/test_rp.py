@@ -144,6 +144,38 @@ def test_rp_ivf_rerank_recall_floor(spark, sf_dir):
     assert recall >= 0.5, (recall, recall_proj)
 
 
+def test_rp_ivf_rerank_clustered_recall_floor(spark, sf_dir):
+    """The CLUSTERED-geometry floor (round-14 verdict item 4): the
+    quasi-random fixture is the JL worst case (rank-5→20 cosine gap
+    0.076, inside the projection's ranking noise), where the pipeline
+    measures 0.60 at 32/50.  On clustered geometry — every base vector
+    expanded into a 10-member cluster (``tools/rp_clustered_probe.
+    clustered_corpus``, deterministic eps-shift members; intra-cluster
+    cosine ~0.989, cross-cluster ~quasi-random) — the gap dwarfs the
+    noise and the operator's actual selling point shows: measured
+    recall@5 is 1.0 at BOTH d_out=16/20 and 32/50 (sf0.001 fixture and
+    the 10x sf0.1 probe alike).  Pinned at >= 0.9 to absorb float-edge
+    drift while staying far above the worst-case 0.60."""
+    from tools.rp_clustered_probe import clustered_corpus
+
+    corpus = clustered_corpus(spark, sf_dir, replicas=10).localCheckpoint(
+        eager=True
+    )
+    q = corpus.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = corpus.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    exact = _pairs(brute_force_knn(q, c, k=5))
+    for d_out, shortlist in ((16, 20), (32, 50)):
+        got = _pairs(
+            rp_ivf_rerank_knn(q, c, k=5, d_out=d_out, shortlist=shortlist)
+        )
+        recall = len(exact & got) / len(exact)
+        assert recall >= 0.9, (d_out, shortlist, recall)
+
+
 def test_rp_ivf_rerank_plan_stays_jvm_and_equijoin(spark, sf_dir):
     """Scale contract: no Python in the plan, and the only nested-loop
     shapes are the broadcast-tiny centroid scorings — the corpus-sized

@@ -17,6 +17,20 @@ Verdict to read off: tail per-round wall (K=8 minus K=4, /4) growing
 is a finding (candidate fix: rewrite only the words containing the
 merged pair instead of the whole table).
 
+Round-15 extension (verdict item 3): a BATCHED-trainer section on the
+largest V — ``learn_from_words_batched`` at batch=64 /
+window_factor=128 for a dozen scans, recording adopted-rules-per-scan
+and per-scan wall, then extrapolating a 32k-merge production run.
+What the r15 measurements showed: the symbol-disjoint rule exhausts a
+SHALLOW (8x) candidate window at ~20 adopted/scan regardless of
+``batch`` (Zipf tables concentrate the top pairs on a few hot
+symbols), while a 128x window reaches rarer mutually-disjoint symbols
+and adoption climbs to ~batch within a few scans — so the scan count
+for 32k merges drops from ~8k (batch=4, hours of fixed per-scan
+latency) to ~500-900 (~15-25 min).  The probe prints the raw
+extrapolation AND a 1.5x-padded bound (per-scan wall was measured
+sub-linear in vocabulary, x1.23 per vocab x10, but not flat).
+
 Usage: python tools/bpe_vocab_probe.py [V1,V2,...] (default
 10000,100000)
 """
@@ -119,6 +133,55 @@ def main() -> None:
             f"{ratio_w:.2f}" if ratio_w else "# per-round too fast to ratio",
             flush=True,
         )
+
+    # ---- batched-trainer extrapolation on the largest V (r15) ----
+    from tweets_spark_top_10_spark.functions.bpe import (
+        learn_from_words_batched,
+    )
+
+    v = max(vs)
+    base = zipf_words(spark, v).localCheckpoint(eager=True)
+    batch, wf, scans = 64, 128, 12
+    # adoption trend: rounds=1 calls (the entry re-checkpoint inflates
+    # the wall, so walls come from the single uninterrupted call below)
+    adopted_per: list[int] = []
+    words = base
+    for _ in range(scans):
+        learned, words = learn_from_words_batched(
+            words, rounds=1, batch=batch, window_factor=wf
+        )
+        adopted_per.append(len(learned))
+        if not learned:
+            break
+    # per-scan wall: ONE rounds=`scans` call, exactly as production runs
+    t0 = time.perf_counter()
+    learned_all, _ = learn_from_words_batched(
+        base, rounds=scans, batch=batch, window_factor=wf
+    )
+    wall_total = time.perf_counter() - t0
+    # steady state = the last 4 scans (adoption ramps over the first
+    # few while the symbol alphabet is still the initial ~36 chars)
+    steady_rate = sum(adopted_per[-4:]) / max(1, len(adopted_per[-4:]))
+    steady_wall = wall_total / max(1, scans)
+    scans_32k = int(-(-32_000 // max(1.0, steady_rate)))
+    raw_min = scans_32k * steady_wall / 60
+    batched = {
+        "V": v,
+        "batch": batch,
+        "window_factor": wf,
+        "adopted_per_scan": adopted_per,
+        "adopted_total_single_call": len(learned_all),
+        "wall_total_s": round(wall_total, 2),
+        "steady_adopted_per_scan": round(steady_rate, 1),
+        "steady_wall_per_scan_s": round(steady_wall, 2),
+        "extrap_32k_scans": scans_32k,
+        "extrap_32k_minutes": round(raw_min, 1),
+        # per-scan wall measured sub-linear in vocabulary (x1.23 per
+        # vocab x10) but not flat — pad the claim, don't oversell it
+        "extrap_32k_minutes_padded_1p5x": round(raw_min * 1.5, 1),
+    }
+    print(f"# batched: {batched}", flush=True)
+    out.append({"batched_32k_extrapolation": batched})
     print(json.dumps(out))
 
 

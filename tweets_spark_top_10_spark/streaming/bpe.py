@@ -233,6 +233,7 @@ def maintain_bpe_vocab(
     merges: int = 8,
     relearn_growth: float = 2.0,
     relearn_batch: int = 1,
+    relearn_window_factor: int = 8,
 ):
     """Attach word-count + merge-rule maintenance to a document stream.
 
@@ -249,6 +250,11 @@ def maintain_bpe_vocab(
     rules each), the production cadence for large vocabularies since
     the re-learn's cost is its scan count (r14 vocabulary probe).  1
     (default) keeps the exact sequential Sennrich sequence.
+
+    ``relearn_window_factor``: candidate-window depth for the batched
+    re-learn (``functions/bpe.learn_from_words_batched``'s
+    ``window_factor``) — deeper windows lift adopted-rules-per-scan on
+    Zipf tables (r15 probe); 8 (default) keeps the r14 contract.
     """
     if relearn_growth <= 1:
         raise ValueError(
@@ -264,6 +270,7 @@ def maintain_bpe_vocab(
         bpe_step(
             batch_df, state_dir, text_col, merges, relearn_growth, batch_id,
             relearn_batch=relearn_batch,
+            relearn_window_factor=relearn_window_factor,
         )
 
     return (
@@ -282,6 +289,7 @@ def bpe_step(
     relearn_growth: float,
     batch_id: int | None,
     relearn_batch: int = 1,
+    relearn_window_factor: int = 8,
 ) -> dict:
     """One micro-batch of vocab maintenance — the exact body
     ``maintain_bpe_vocab`` runs per batch, exposed so the scale probe
@@ -306,7 +314,8 @@ def bpe_step(
     if relearn_batch > 1:
         rounds = -(-merges // relearn_batch)  # ceil
         learned, _ = learn_from_words_batched(
-            stored_words, rounds, relearn_batch
+            stored_words, rounds, relearn_batch,
+            window_factor=relearn_window_factor,
         )
     else:
         learned, _ = learn_from_words(stored_words, merges)
