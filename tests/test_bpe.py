@@ -204,6 +204,74 @@ def test_bpe_batched_skips_symbol_sharing_pairs(spark):
         learn_from_words_batched(word_frequency_table(docs), 1, batch=0)
 
 
+def test_bpe_encode_arrow_twin_matches_chained_replace(spark, sf_dir):
+    """The production encoder (segment_words_arrow — Arrow mapInPandas,
+    lowest-rank-first per-word merging for 32k-rule tables where a
+    chained-replace expression would break Catalyst) must produce the
+    EXACT segmentation of the chained replace (rank-order application),
+    at the catalog's 8 sequential rules AND at a deeper batched rule
+    set — the two paths implement the same fixpoint by different
+    algorithms, which is the equivalence claim."""
+    from tweets_spark_top_10_spark.functions.bpe import (
+        learn_from_words,
+        learn_from_words_batched,
+        segment_words,
+        segment_words_arrow,
+        word_frequency_table,
+    )
+    from tweets_spark_top_10_spark.sources.registry import load_table
+
+    words = word_frequency_table(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=True)
+    for rules, _label in (
+        (learn_from_words(words, 8)[0], "seq8"),
+        (
+            learn_from_words_batched(
+                words, rounds=3, batch=8, window_factor=64
+            )[0],
+            "batched",
+        ),
+    ):
+        chained = sorted(
+            map(tuple, segment_words(words, rules).collect())
+        )
+        arrow = sorted(
+            map(tuple, segment_words_arrow(words, rules).collect())
+        )
+        assert arrow == chained, (_label, len(rules))
+
+
+def test_bpe_encode_serves_from_maintained_state(spark, sf_dir, tmp_path):
+    """Tokenizer serving from the STREAMING maintainer's artifact: feed
+    the corpus through one maintenance batch, read the stored merge
+    table back, and encode with it — identical output to the inline
+    learn-then-encode path (the serving-from-maintained == inline
+    discipline every other index family has)."""
+    from tweets_spark_top_10_spark.functions.bpe import bpe_encode_docs
+    from tweets_spark_top_10_spark.sources.registry import load_table
+    from tweets_spark_top_10_spark.streaming.bpe import (
+        bpe_step,
+        read_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = str(tmp_path / "enc_state")
+    bpe_step(docs, state, "text", 8, 2.0, batch_id=0)
+    stored = [
+        (r.merge_rank, r.lhs, r.rhs, r.pair_count)
+        for r in read_bpe_merges(spark, state)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert stored  # the corpus learns a non-empty table
+    served = sorted(
+        map(tuple, bpe_encode_docs(docs, merge_rules=stored).collect())
+    )
+    inline = sorted(map(tuple, bpe_encode_docs(docs, merges=8).collect()))
+    assert served == inline
+
+
 def test_bpe_matches_python_reference(spark, sf_dir):
     """Engine merge table == the pure-Python reference, exactly —
     the independent gate the unrolled-SQL oracle can't provide."""

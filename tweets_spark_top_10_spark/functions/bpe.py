@@ -264,6 +264,145 @@ def bpe_learn_merges(
     return docs.sparkSession.createDataFrame(learned, MERGE_SCHEMA)
 
 
+def segment_words(
+    words: DataFrame, merge_rules: list[tuple[int, str, str, int]]
+) -> DataFrame:
+    """Apply learned merge rules to a symbol-encoded word table in rank
+    order — ONE narrow chained-replace projection, no scans in between:
+    unlike training, ENCODING never recounts pairs, so all K rules fuse
+    into a single codegen'd map stage over the distinct-word table.
+
+    Why one all-occurrence replace per rule reaches the BPE fixpoint:
+    a replace only creates adjacencies involving the rule's OUTPUT
+    symbol, and no rule of rank <= k references rank k's output (a
+    rule's lhs/rhs exist before the rule is learned; a rule's own
+    pattern cannot recur since its output differs from both inputs) —
+    so after applying rules 1..K once each in rank order, no rule
+    applies anywhere.  This is the same replace semantics the trainer
+    and its DuckDB oracle already rely on per round."""
+    expr = F.col("s")
+    for _, lhs, rhs, _ in merge_rules:
+        expr = F.replace(
+            expr, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} ")
+        )
+    return words.withColumn("s", expr)
+
+
+def segment_words_arrow(
+    words: DataFrame, merge_rules: list[tuple[int, str, str, int]]
+) -> DataFrame:
+    """Arbitrary-K twin of :func:`segment_words` for PRODUCTION merge
+    tables (32k rules): a 32k-deep chained-replace expression would
+    break Catalyst (expression-tree depth / codegen limits), so the
+    encode runs as an Arrow-batched ``mapInPandas`` with the rank dict
+    held in the task closure — a bounded driver-side artifact (K rows, the same
+    metadata class as PQ codebooks).  Work is per DISTINCT word (the
+    Zipf compression that makes 100 TB encoding cheap): repeatedly
+    merge the lowest-rank adjacent pair, exhaustively
+    leftmost-non-overlapping — provably the same fixpoint as rank-order
+    application (see :func:`segment_words`), pinned exact-equal to the
+    chained replace in tests/test_bpe.py."""
+    ranks = {(l, r): k for k, l, r, _ in merge_rules}
+    by_rank = {k: (l, r) for k, l, r, _ in merge_rules}
+
+    def _encode(batches):
+        for pdf in batches:
+            out = []
+            for s in pdf["s"]:
+                syms = s.strip(" ").split("  ")
+                while True:
+                    best = None
+                    for i in range(len(syms) - 1):
+                        k = ranks.get((syms[i], syms[i + 1]))
+                        if k is not None and (best is None or k < best):
+                            best = k
+                    if best is None:
+                        break
+                    lhs, rhs = by_rank[best]
+                    merged, i = [], 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == lhs
+                            and syms[i + 1] == rhs
+                        ):
+                            merged.append(lhs + rhs)
+                            i += 2
+                        else:
+                            merged.append(syms[i])
+                            i += 1
+                    syms = merged
+                out.append(" " + "  ".join(syms) + " ")
+            pdf = pdf.copy()
+            pdf["s"] = out
+            yield pdf
+
+    return words.mapInPandas(_encode, schema=words.schema)
+
+
+def bpe_encode_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    merges: int = 8,
+    merge_rules: list[tuple[int, str, str, int]] | None = None,
+) -> DataFrame:
+    """Tokenizer SERVING: per-document subword token sequences — the
+    output a training-data pipeline actually emits, and the half of
+    tokenizer work that touches all 100 TB.  Shape:
+
+    1. corpus → distinct-word table, ONE scan (Zipf compression: the
+       expensive per-word encode runs once per unique word, not once
+       per occurrence);
+    2. merge rules learned here (``merges`` rounds) or PROVIDED —
+       e.g. read from the streaming maintainer's state dir
+       (``streaming/bpe.read_bpe_merges``), the serving-from-maintained
+       artifact path every other index family has;
+    3. distinct words segmented in one chained-replace projection
+       (:func:`segment_words`; :func:`segment_words_arrow` for 32k-rule
+       tables);
+    4. documents re-tokenized WITH position and equi-joined to the
+       segmented dictionary on the word; per-document sequences
+       reassembled in word order with the array_sort(collect_list(
+       struct(pos, …))) pattern — no window, no skew pivot.
+
+    Returns (doc_id, n_tokens, tokens) with ``tokens`` the
+    space-joined subword sequence.  Documents with no tokens drop out
+    (nothing to encode), matching the SQL oracle's join semantics."""
+    from tweets_spark_top_10_spark.functions.text import tokenize
+
+    words = word_frequency_table(docs, text_col)
+    if merge_rules is None:
+        merge_rules, _ = learn_from_words(words, merges)
+    seg = segment_words(words, merge_rules).select(
+        F.translate("s", " ", "").alias("word"),
+        F.split(F.trim(F.col("s")), "  ").alias("subwords"),
+    )
+    toks = docs.select(
+        doc_id_col,
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "word"),
+    )
+    per_doc = (
+        toks.join(seg, "word")
+        .groupBy(doc_id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "subwords"))
+                    ),
+                    lambda x: x["subwords"],
+                )
+            ).alias("tok_arr")
+        )
+    )
+    return per_doc.select(
+        doc_id_col,
+        F.size("tok_arr").cast("long").alias("n_tokens"),
+        F.array_join("tok_arr", " ").alias("tokens"),
+    )
+
+
 def bpe_subword_counts(
     docs: DataFrame, text_col: str = "text", merges: int = 8
 ) -> DataFrame:

@@ -200,6 +200,72 @@ def _bpe_batched_oracle(rounds: int, batch: int) -> str:
     """
 
 
+def _bpe_encode_oracle(merges: int) -> str:
+    """Tokenizer-serving twin: the 8 learn rounds (identical CTEs),
+    then the ENCODE — every distinct word's final segmentation read off
+    ``w{merges}`` (training's replace chain IS rank-order encoding; see
+    ``functions/bpe.segment_words``), re-joined to position-exploded
+    documents and reassembled per document with an ordered string_agg."""
+    rounds = ",".join(
+        _BPE_ROUND_CTE.format(i=i, prev=i - 1) for i in range(1, merges + 1)
+    )
+    return rf"""
+    WITH w0 AS MATERIALIZED (
+      SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS s,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents
+      )
+      GROUP BY 1
+    ),
+    {rounds},
+    seg AS MATERIALIZED (
+      SELECT replace(s, ' ', '') AS word,
+             len(string_split(trim(s), '  ')) AS n_sub,
+             array_to_string(string_split(trim(s), '  '), ' ') AS segs
+      FROM w{merges}
+    ),
+    toks AS (
+      SELECT doc_id, arr[j] AS word, j AS pos
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> '') AS arr
+        FROM documents
+      ), LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS j)
+    )
+    SELECT t.doc_id,
+           CAST(SUM(seg.n_sub) AS BIGINT) AS n_tokens,
+           string_agg(seg.segs, ' ' ORDER BY t.pos) AS tokens
+    FROM toks t JOIN seg ON t.word = seg.word
+    GROUP BY t.doc_id
+    """
+
+
+@register("bpe_encode_docs", oracle=_bpe_encode_oracle(8))
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document subword token sequences under the 8 learned merges
+    — tokenizer SERVING, the half that touches all 100 TB: the corpus
+    is scanned once into the distinct-word table, the per-word encode
+    runs once per UNIQUE word (Zipf compression) as a single
+    chained-replace projection (``functions/bpe.segment_words`` — no
+    recounting between rules, so all K rules fuse into one codegen'd
+    map), and documents get their sequences back through a word
+    equi-join + the array_sort(collect_list(struct(pos, …))) reassembly
+    (no window, no skew pivot).  The 32k-rule production path swaps the
+    replace chain for the Arrow per-word encoder
+    (``segment_words_arrow``, pinned exact-equal in tests); serving
+    from the STREAMING maintainer's merge table is the
+    ``merge_rules=read_bpe_merges(...)`` parameter, differential-tested
+    in tests/test_bpe.py."""
+    from tweets_spark_top_10_spark.functions.bpe import bpe_encode_docs as enc
+
+    docs = load_table(spark, sf_dir, "documents")
+    return enc(docs, text_col="text", doc_id_col="doc_id", merges=8)
+
+
 @register("bpe_merge_table_batched", oracle=_bpe_batched_oracle(2, 4))
 def bpe_merge_table_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Up to 8 BPE merge rules learned in TWO corpus scans (batch=4) —
