@@ -272,6 +272,104 @@ def test_bpe_encode_serves_from_maintained_state(spark, sf_dir, tmp_path):
     assert served == inline
 
 
+def test_streaming_encode_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming tokenizer serving (encode_stream_docs): documents
+    streamed in two micro-batches, encoded under the maintained merge
+    table, must union to EXACTLY the batch bpe_encode_docs output with
+    the same stored rules; a replay of the stream against a fresh
+    checkpoint overwrites the batch subdirectories instead of
+    duplicating rows; and a bootstrap state dir (no merge table yet)
+    degrades to character segmentation rather than failing."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tweets_spark_top_10_spark.functions.bpe import bpe_encode_docs
+    from tweets_spark_top_10_spark.sources.registry import load_table
+    from tweets_spark_top_10_spark.streaming.bpe import (
+        bpe_step,
+        encode_stream_docs,
+        read_bpe_merge_rules,
+    )
+    from tweets_spark_top_10_spark.streaming.sources import file_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    state = str(tmp_path / "enc_state")
+    bpe_step(docs, state, "text", 8, 2.0, batch_id=0)
+    rules = read_bpe_merge_rules(spark, state)
+    assert rules
+
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    src = tmp_path / "doc_stream"
+    src.mkdir()
+    pdf.iloc[:250].to_parquet(src / "b1.parquet", index=False)
+    pdf.iloc[250:].to_parquet(src / "b2.parquet", index=False)
+
+    out = str(tmp_path / "tokens_out")
+    q = encode_stream_docs(
+        file_stream(spark, str(src), docs.schema, max_files_per_trigger=1),
+        state,
+        out_path=out,
+        checkpoint=str(tmp_path / "ck_enc"),
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out)
+            .select("doc_id", "n_tokens", "tokens", "n_rules")
+            .collect(),
+        )
+    )
+    want_rows = bpe_encode_docs(docs, merge_rules=rules).withColumn(
+        "n_rules", F.lit(len(rules))
+    )
+    want = sorted(
+        map(
+            tuple,
+            want_rows.select("doc_id", "n_tokens", "tokens", "n_rules").collect(),
+        )
+    )
+    assert got == want
+    assert all(r[-1] == len(rules) for r in got)
+
+    # replay (fresh checkpoint, batch ids restart): overwrite, not append
+    q2 = encode_stream_docs(
+        file_stream(spark, str(src), docs.schema, max_files_per_trigger=1),
+        state,
+        out_path=out,
+        checkpoint=str(tmp_path / "ck_enc2"),
+    )
+    q2.awaitTermination()
+    again = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out)
+            .select("doc_id", "n_tokens", "tokens", "n_rules")
+            .collect(),
+        )
+    )
+    assert again == want
+
+    # bootstrap: no merge table -> character segmentation, n_rules 0
+    empty_state = str(tmp_path / "empty_state")
+    src2 = tmp_path / "doc_stream2"
+    src2.mkdir()
+    pd.DataFrame({"doc_id": [1], "text": ["ab ab"]}).to_parquet(
+        src2 / "b1.parquet", index=False
+    )
+    out2 = str(tmp_path / "tokens_out2")
+    q3 = encode_stream_docs(
+        file_stream(spark, str(src2), docs.schema, max_files_per_trigger=1),
+        empty_state,
+        out_path=out2,
+        checkpoint=str(tmp_path / "ck_enc3"),
+    )
+    q3.awaitTermination()
+    row = spark.read.parquet(out2).collect()[0]
+    assert (row.tokens, row.n_tokens, row.n_rules) == ("a b a b", 4, 0)
+
+
 def test_bpe_matches_python_reference(spark, sf_dir):
     """Engine merge table == the pure-Python reference, exactly —
     the independent gate the unrolled-SQL oracle can't provide."""

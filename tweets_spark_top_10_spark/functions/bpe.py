@@ -346,6 +346,7 @@ def bpe_encode_docs(
     doc_id_col: str = "doc_id",
     merges: int = 8,
     merge_rules: list[tuple[int, str, str, int]] | None = None,
+    arrow_threshold: int = 256,
 ) -> DataFrame:
     """Tokenizer SERVING: per-document subword token sequences — the
     output a training-data pipeline actually emits, and the half of
@@ -368,13 +369,21 @@ def bpe_encode_docs(
 
     Returns (doc_id, n_tokens, tokens) with ``tokens`` the
     space-joined subword sequence.  Documents with no tokens drop out
-    (nothing to encode), matching the SQL oracle's join semantics."""
+    (nothing to encode), matching the SQL oracle's join semantics.
+    ``arrow_threshold``: rule count above which the chained replace
+    gives way to :func:`segment_words_arrow` (same fixpoint, pinned
+    exact-equal) — a 32k-deep replace chain would break Catalyst."""
     from tweets_spark_top_10_spark.functions.text import tokenize
 
     words = word_frequency_table(docs, text_col)
     if merge_rules is None:
         merge_rules, _ = learn_from_words(words, merges)
-    seg = segment_words(words, merge_rules).select(
+    segment = (
+        segment_words_arrow
+        if len(merge_rules) > arrow_threshold
+        else segment_words
+    )
+    seg = segment(words, merge_rules).select(
         F.translate("s", " ", "").alias("word"),
         F.split(F.trim(F.col("s")), "  ").alias("subwords"),
     )

@@ -331,3 +331,70 @@ def bpe_step(
     # re-learn leaves the trigger armed, replay converges
     _swap_write(table, mdir, batch_id)
     return {"folded": True, "relearned": True, "stored_tokens": total}
+
+
+def read_bpe_merge_rules(
+    spark: SparkSession, state_dir: str
+) -> list[tuple[int, str, str, int]]:
+    """The maintained merge table as the driver-side rule list the
+    encoders consume (K rows — metadata-class, same as centroid books).
+    [] when the maintainer has not produced a table yet (bootstrap:
+    encoding degrades to character segmentation, never an error)."""
+    if not os.path.exists(_merges_dir(state_dir)):
+        _assert_encoding(state_dir)  # still refuse a poisoned state dir
+        return []
+    return [
+        (r.merge_rank, r.lhs, r.rhs, r.pair_count)
+        for r in read_bpe_merges(spark, state_dir)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+
+
+def encode_stream_docs(
+    docs_stream: DataFrame,
+    state_dir: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    arrow_threshold: int = 256,
+):
+    """Enrich a document stream with BPE token sequences encoded under
+    the CURRENT maintained merge table — tokenizer SERVING attached to
+    the stream, completing the family's lifecycle triad (inline learn
+    in ``functions/bpe.bpe_encode_docs``, maintained artifact in
+    ``maintain_bpe_vocab``, and this streaming consumer).
+
+    Per micro-batch: read the rule list off the state dir (bounded
+    driver-side collect; rules may legitimately ADVANCE between batches
+    as the maintainer re-learns — each output partition records the
+    vocabulary it was encoded with via ``n_rules``), encode with the
+    chained replace or the Arrow path past ``arrow_threshold`` rules,
+    and write ``(doc_id, n_tokens, tokens, n_rules)`` parquet under
+    ``out_path/batch_id=N`` — the ``enrich_stream_ann`` idempotence
+    discipline: a crash-replayed batch OVERWRITES its own subdirectory
+    instead of appending duplicates, and readers get batch provenance
+    as a partition column for free."""
+    from tweets_spark_top_10_spark.functions.bpe import bpe_encode_docs
+
+    def encode(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        rules = read_bpe_merge_rules(spark, state_dir)
+        out = bpe_encode_docs(
+            batch_df,
+            text_col=text_col,
+            doc_id_col=doc_id_col,
+            merge_rules=rules,
+            arrow_threshold=arrow_threshold,
+        ).withColumn("n_rules", F.lit(len(rules)))
+        out.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+
+    return (
+        docs_stream.writeStream.foreachBatch(encode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
