@@ -222,15 +222,31 @@ def main() -> None:
         repo_dir, float(sf)
     )
     if prev:
-        ref_name, ref_q = prev
+        ref_name, ref_q, ref_calib = prev
         out["delta_vs"] = ref_name
         out["delta_s"] = {
             n: round(t - ref_q[n], 3)
             for n, t in timings.items()
             if n in ref_q and t >= 0 and ref_q[n] >= 0
         }
+        # Calibrated gate (r15): when both runs carry a calibration,
+        # scale the reference walls by the box-speed ratio before
+        # flagging — a host regime shift moves calib with the walls and
+        # stops reading as dozens of per-query regressions, while a
+        # code regression moves the ratio and flags exactly as before.
+        # delta_s stays RAW (history consumers compare absolute walls);
+        # only the flag threshold is calibrated.
+        scale = 1.0
+        if calib_s and isinstance(ref_calib, (int, float)) and ref_calib > 0:
+            scale = calib_s / ref_calib
+            out["calib_scale"] = round(scale, 3)
         regressed = sorted(
-            (n for n, d in out["delta_s"].items() if d > max(0.5, 0.5 * ref_q[n])),
+            (
+                n
+                for n, d in out["delta_s"].items()
+                if timings[n] - scale * ref_q[n]
+                > max(0.5, 0.5 * scale * ref_q[n])
+            ),
             key=lambda n: -out["delta_s"][n],
         )
         out["regressed"] = regressed
@@ -331,8 +347,8 @@ def _stable_total(
 
 
 def _own_history_timings(repo_dir: str, sf: float):
-    """('bench history', {query: sec}) from the last BENCH_HISTORY.jsonl
-    line at this sf, or None."""
+    """('bench history', {query: sec}, calib_s|None) from the last
+    BENCH_HISTORY.jsonl line at this sf, or None."""
     path = os.path.join(repo_dir, "BENCH_HISTORY.jsonl")
     try:
         with open(path) as fh:
@@ -345,7 +361,7 @@ def _own_history_timings(repo_dir: str, sf: float):
         except ValueError:
             continue
         if float(rec.get("sf", -1)) == sf and isinstance(rec.get("queries"), dict):
-            return ("bench history", rec["queries"])
+            return ("bench history", rec["queries"], rec.get("calib_s"))
     return None
 
 
@@ -686,7 +702,7 @@ def _latest_round_timings(repo_dir: str, sf: float):
                 best = (int(m.group(1)), os.path.basename(path), q)
         except (ValueError, KeyError, OSError, IndexError):
             continue
-    return (best[1], best[2]) if best else None
+    return (best[1], best[2], None) if best else None
 
 
 if __name__ == "__main__":

@@ -138,8 +138,29 @@ def test_sentinel_lines_are_invisible_to_bench_history_readers(tmp_path):
         ],
     )
     assert bench._stable_total(str(tmp_path), 0.1, {"q"}, None) == 100.0
-    src, timings = bench._own_history_timings(str(tmp_path), 0.1)
-    assert timings == {"q": 1.0}
+    src, timings, calib = bench._own_history_timings(str(tmp_path), 0.1)
+    assert timings == {"q": 1.0} and calib is None
+
+
+def test_bench_history_reader_carries_calibration(tmp_path):
+    """The newest history line's calib_s rides along so the per-query
+    regression gate can scale its reference walls by the box-speed
+    ratio (walls moving WITH calib = host weather, not a flag)."""
+    import bench
+
+    _write_history(
+        tmp_path,
+        [{"sf": 0.1, "total": 50.0, "calib_s": 2.0, "queries": {"q": 10.0}}],
+    )
+    src, timings, calib = bench._own_history_timings(str(tmp_path), 0.1)
+    assert timings == {"q": 10.0} and calib == 2.0
+    # the calibrated flag rule the bench applies: current wall t flags
+    # iff t - scale*ref > max(0.5, 0.5*scale*ref), scale = cur/ref calib
+    scale = 4.0 / 2.0  # box 2x slower
+    t = 20.0  # wall exactly tracks the box: 10 * 2
+    assert not (t - scale * 10.0 > max(0.5, 0.5 * scale * 10.0))
+    t = 45.0  # genuinely slower than the box explains
+    assert t - scale * 10.0 > max(0.5, 0.5 * scale * 10.0)
 
 
 def _rec(q, wall, shuffle, spill=0.0, regressed=(), watch=(), round=12, tier="wall"):
