@@ -655,6 +655,42 @@ def _rp_recall_curve(spark, sf_dir: str) -> list[dict]:
                 "build_s": round(b3 + b4 + b5, 3),
                 "query_s": round(time.perf_counter() - t0, 3),
             })
+
+        # Clustered-geometry point (r15): the quasi-random fixture is
+        # the JL worst case; real corpora are clustered, where the
+        # projection loses nothing (recall 1.0 measured at both d_out
+        # points, BASELINE round-15).  Track the aggressive 4x cut on a
+        # 10x clustered corpus per round so a recall regression in the
+        # realistic regime is visible the round it happens.
+        from tools.rp_clustered_probe import clustered_corpus
+
+        corpus = clustered_corpus(spark, sf_dir, replicas=10).localCheckpoint(
+            eager=True
+        )
+        qc = corpus.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        cc = (
+            corpus.filter(F.col("vec_id") >= 10)
+            .select(F.col("vec_id").alias("neighbor_id"), "embedding")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        exact_c = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_knn(qc, cc, k=5).collect()
+        }
+        t0 = time.perf_counter()
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in rp_ivf_rerank_knn(
+                qc, cc, k=5, d_out=16, shortlist=20, n_cells=64
+            ).collect()
+        }
+        curve.append({
+            "space": "clustered10x_rp16_ivf_rerank20",
+            "recall_at5": round(len(exact_c & got) / len(exact_c), 3),
+            "query_s": round(time.perf_counter() - t0, 3),
+        })
         spark.catalog.clearCache()
         return curve
     except Exception as exc:  # telemetry, never a bench failure

@@ -333,6 +333,44 @@ def test_classify_calibrated_wall_tier():
     assert watch[0]["prior_best_s"] == 30.0
 
 
+def test_classify_per_query_calibration_precedence():
+    """The r15 run-2 lesson, pinned: a run-start (line-level) calib can
+    mispair with walls measured an hour later under different load, so
+    a per-QUERY calib_s inside the 100x rec — measured immediately
+    before that query's timed passes — takes precedence on BOTH sides
+    (reference rates and the current run)."""
+    seed = _rec("q", wall=30.0, shuffle=15000.0, round=15)
+    seed["calib_s"] = 4.0  # contaminated run-start sample...
+    seed["sentinel"]["q"]["100x"]["calib_s"] = 2.0  # ...local truth
+    # reference rate must be 30/2.0 = 15, NOT 30/4.0 = 7.5
+    assert scale_sentinel._best_rate([seed], "100x") == {"q": 15.0}
+
+    # current run: wall 60 with per-query calib 4.0 -> rate 15, clean
+    cur = _cur(60.0, 15000.0)
+    cur["q"]["100x"]["calib_s"] = 4.0
+    reg, watch = scale_sentinel.classify(
+        cur, [seed], 100, cur_round=16, calib_s=1.0
+    )
+    assert reg == [] and watch == []
+    # without the per-query calib the line-level 1.0 would have flagged
+    del cur["q"]["100x"]["calib_s"]
+    reg, watch = scale_sentinel.classify(
+        cur, [seed], 100, cur_round=16, calib_s=1.0
+    )
+    assert watch and watch[0]["wall_per_calib"] == 60.0
+
+    # stream rec: its own calib beats the line's
+    sseed = _stream_line(15, 30.0)
+    sseed["calib_s"] = 4.0
+    sseed["stream"]["calib_s"] = 2.0
+    scur = _stream_cur(60.0)
+    scur["calib_s"] = 4.0
+    reg, watch = scale_sentinel.classify_stream(
+        scur, [sseed], cur_round=16, calib_s=1.0
+    )
+    assert reg == [] and watch == []  # 60/4=15 vs best 30/2=15
+
+
 def test_classify_stream_calibrated():
     """The streaming wall follows the same calibrated comparison; the
     pairs/cells plan gates are calibration-independent (deterministic

@@ -141,12 +141,23 @@ def spill_totals(ui: str) -> tuple[int, int, int]:
         return (-1, -1, -1)
 
 
-def run_probe(replicas: int, probe_queries: list[str]) -> dict[str, dict]:
+def run_probe(
+    replicas: int, probe_queries: list[str], calibrator=None
+) -> dict[str, dict]:
     """Build 1x/{replicas}x fixtures, run each query at both scales
     (one untimed warm pass + min-of-2 timed), return
     {query: {"1x": rec, "{replicas}x": rec}} with wall/spill/shuffle
     per rec.  Callable so the standing sentinel
-    (tools/scale_sentinel.py) shares the exact probe semantics."""
+    (tools/scale_sentinel.py) shares the exact probe semantics.
+
+    ``calibrator`` (callable(spark) -> float): when set, a box-speed
+    calibration runs IMMEDIATELY BEFORE each {replicas}x query's timed
+    passes and lands in that rec as ``calib_s`` — pairing every wall
+    with a temporally-LOCAL speed sample.  A single run-start
+    calibration mispairs badly on this box: the r15 run-1 line
+    calibrated at 3.726 under transient load while its walls ran on a
+    quieter box an hour later, poisoning the wall/calib reference for
+    every later run (seven false watches in run 2)."""
     work = tempfile.mkdtemp(prefix="scale_probe_")
     t0 = time.perf_counter()
     one, many = build_fixtures(work, replicas)
@@ -175,6 +186,11 @@ def run_probe(replicas: int, probe_queries: list[str]) -> dict[str, dict]:
         for tag, sf_dir in (("1x", one), (f"{replicas}x", many)):
             # prebuilt serving: index construction is offline — build untimed
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            rec_calib = (
+                calibrator(spark)
+                if calibrator is not None and tag != "1x"
+                else None
+            )
             spill0 = spill_totals(ui)
             best, rounds = None, None
             for _ in range(2):
@@ -192,6 +208,8 @@ def run_probe(replicas: int, probe_queries: list[str]) -> dict[str, dict]:
                 # over BOTH timed passes (the delta spans them)
                 "shuffle_read_mb": round(max(0, spill1[2] - spill0[2]) / 1e6, 1),
             }
+            if rec_calib is not None:
+                rec["calib_s"] = rec_calib
             if name == "dedup_canonical_docs":
                 rec["cc_rounds"] = rounds
             results.setdefault(name, {})[tag] = rec

@@ -229,17 +229,25 @@ def _earlier_round_wall_flags(
 def _best_rate(
     priors: list[dict], tag: str
 ) -> dict[str, float]:
-    """Per query: min prior CALIBRATED wall (wall_s / that record's
-    calib_s) over priors that carry a calibration — the box-speed-
-    normalized wall reference (round-14 verdict item 2)."""
+    """Per query: min prior CALIBRATED wall (wall_s / calib_s) over
+    priors that carry a calibration — the box-speed-normalized wall
+    reference (round-14 verdict item 2).  A per-QUERY calib (the rec's
+    own ``calib_s``, measured immediately before that query's timed
+    passes — the r15 run-2 lesson: a single run-start calibration
+    mispairs with walls measured an hour later under different load)
+    takes precedence over the line-level one."""
     best: dict[str, float] = {}
     for rec in priors:
-        c = rec.get("calib_s")
-        if not isinstance(c, (int, float)) or c <= 0:
-            continue
+        line_c = rec.get("calib_s")
         for q, scales in rec.get("sentinel", {}).items():
-            w = scales.get(tag, {}).get("wall_s")
-            if isinstance(w, (int, float)):
+            r = scales.get(tag, {})
+            w = r.get("wall_s")
+            c = r.get("calib_s", line_c)
+            if (
+                isinstance(w, (int, float))
+                and isinstance(c, (int, float))
+                and c > 0
+            ):
                 best[q] = min(best.get(q, float("inf")), w / c)
     return best
 
@@ -336,14 +344,17 @@ def classify(
         if not isinstance(wall, (int, float)):
             continue
         rate_ref = best_rate.get(q)
-        if calib_s and rate_ref is not None:
-            flagged = (wall / calib_s) > factor * rate_ref
+        # per-query calibration (measured right before this query's
+        # timed passes) beats the run-start line-level sample
+        cur_calib = cur.get("calib_s", calib_s)
+        if cur_calib and rate_ref is not None:
+            flagged = (wall / cur_calib) > factor * rate_ref
             entry = {
                 "query": q,
                 "tier": "wall",
                 "wall_100x_s": wall,
-                "calib_s": calib_s,
-                "wall_per_calib": round(wall / calib_s, 2),
+                "calib_s": cur_calib,
+                "wall_per_calib": round(wall / cur_calib, 2),
                 "prior_best_per_calib": round(rate_ref, 2),
             }
         elif ref_best is not None:
@@ -394,6 +405,14 @@ def run_stream_row(
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    try:
+        from tools.calibration import calibrate
+    except ImportError:  # run as a script: sys.path[0] is tools/
+        from calibration import calibrate
+
+    # temporally-local box-speed sample, right before the replay (the
+    # r15 run-2 lesson: the run-start calib mispairs an hour later)
+    stream_calib = calibrate(spark, passes=3)
     work = tempfile.mkdtemp(prefix="stream_sentinel_")
     try:
         res = probe_semantic_dedup(spark, work, replicas, batches)
@@ -404,6 +423,7 @@ def run_stream_row(
         "query": "maintain_semantic_dedup",
         "replicas": replicas,
         "batches": batches,
+        "calib_s": stream_calib,
         "merge_total_s": round(sum(r["merge_s"] for r in per), 2),
         "first3_avg_s": res["merge_s_first3_avg"],
         "last3_avg_s": res["merge_s_last3_avg"],
@@ -450,12 +470,17 @@ def classify_stream(
         for r in recs
         if isinstance(r["stream"].get("merge_total_s"), (int, float))
     ]
+    def _calib(rec: dict):
+        # per-stream calib (measured right before the replay) beats the
+        # line-level run-start sample — the r15 run-2 mispairing lesson
+        c = rec["stream"].get("calib_s", rec.get("calib_s"))
+        return c if isinstance(c, (int, float)) and c > 0 else None
+
     rates = [
-        r["stream"]["merge_total_s"] / r["calib_s"]
+        r["stream"]["merge_total_s"] / _calib(r)
         for r in recs
         if isinstance(r["stream"].get("merge_total_s"), (int, float))
-        and isinstance(r.get("calib_s"), (int, float))
-        and r["calib_s"] > 0
+        and _calib(r)
     ]
     if cur.get("final_pairs_rows") != latest.get("final_pairs_rows"):
         return [
@@ -485,14 +510,15 @@ def classify_stream(
     wall = cur.get("merge_total_s")
     if not isinstance(wall, (int, float)):
         return [], []
-    if calib_s and rates:
-        flagged = (wall / calib_s) > factor * min(rates)
+    cur_calib = cur.get("calib_s", calib_s)
+    if cur_calib and rates:
+        flagged = (wall / cur_calib) > factor * min(rates)
         entry = {
             "query": q,
             "tier": "wall",
             "merge_total_s": wall,
-            "calib_s": calib_s,
-            "wall_per_calib": round(wall / calib_s, 2),
+            "calib_s": cur_calib,
+            "wall_per_calib": round(wall / cur_calib, 2),
             "prior_best_per_calib": round(min(rates), 2),
         }
     elif walls:
@@ -572,7 +598,13 @@ def main() -> int:
     calib_s = calibrate(spark)
     print(f"# calib_s = {calib_s}", flush=True)
 
-    results = run_probe(replicas, SENTINEL_QUERIES)
+    # per-query calibration inside the probe: each 100x rec gets its
+    # own temporally-local calib_s (3 passes keep the overhead ~10 s/
+    # query); the line-level calib_s above stays as the run-start
+    # sample and the fallback for pre-r15.2 records
+    results = run_probe(
+        replicas, SENTINEL_QUERIES, calibrator=lambda s: calibrate(s, passes=3)
+    )
     tag = f"{replicas}x"
     for q, scales in results.items():
         w1, wn = scales["1x"]["wall_s"], scales[tag]["wall_s"]
