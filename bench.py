@@ -86,12 +86,18 @@ def main() -> None:
     # a code regression by arithmetic: walls moving WITH calib = host;
     # walls moving AGAINST flat calib = code.
     try:
-        from tools.calibration import calibrate
+        from tools.calibration import calibrate, calibrate_shuffle
 
         calib_s = calibrate(spark)
+        # shuffle-tier sample (r15 closing): the CPU workload missed an
+        # IO/memory-path slowdown that inflated 44/147 queries ~1.6x —
+        # this second number tracks the exchange path (telemetry only
+        # until a baseline accumulates)
+        calib_shuffle_s = calibrate_shuffle(spark)
     except Exception as exc:  # calibration is telemetry, not the bench
         print(f"# calibration failed: {exc}", file=sys.stderr)
         calib_s = None
+        calib_shuffle_s = None
 
     # Two passes, report the MIN per query: single-shot wall times on
     # this box swing 2-5x from CPU-steal/GC noise (an identical trivial
@@ -200,6 +206,7 @@ def main() -> None:
         "value_training": total_training if clean_run else None,
         "training_queries": sorted(INLINE_TRAINING & set(timings)),
         "calib_s": calib_s,
+        "calib_shuffle_s": calib_shuffle_s,
         "value_note": "value = this run's total (null if any query failed); "
         "value_stable = min over history runs with identical query set; "
         "value_stable_excl_training = same min over the excl-training "
@@ -265,7 +272,8 @@ def main() -> None:
         for k in (
             "metric", "value", "unit", "sf", "cpus", "timing",
             "clean_run", "value_stable", "value_stable_excl_training",
-            "value_excl_training", "value_training", "calib_s", "note",
+            "value_excl_training", "value_training", "calib_s",
+            "calib_shuffle_s", "note",
         )
         if k in out
     }
@@ -285,6 +293,7 @@ def main() -> None:
             "total_excl_training": total_excl,
             "total_training": total_training,
             "calib_s": calib_s,
+            "calib_shuffle_s": calib_shuffle_s,
             "queries": timings,
         }
         if note:

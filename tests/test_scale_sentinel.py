@@ -495,6 +495,12 @@ def test_calibration_expected_sum_constant():
     tail = sum((i * a) % p for i in range(C.CALIB_ROWS - full * p))
     assert full * one_period + tail == C.CALIB_EXPECT_SUM
 
+    # shuffle tier: repartition + two-level groupBy-sum preserves the
+    # global sum, so the same closed form pins it
+    full = C.CALIB_SHUFFLE_ROWS // p
+    tail = sum((i * a) % p for i in range(C.CALIB_SHUFFLE_ROWS - full * p))
+    assert full * one_period + tail == C.CALIB_SHUFFLE_EXPECT_SUM
+
 
 def test_current_round_is_max_correctness_plus_one(tmp_path, monkeypatch):
     (tmp_path / "CORRECTNESS_r03.json").write_text("{}")

@@ -76,3 +76,53 @@ def calibrate(spark, passes: int = 5) -> float:
                 "arithmetic is broken on this box; timings untrustworthy"
             )
     return round(statistics.median(walls), 3)
+
+
+# Shuffle-tier calibration (round-15 closing): the pure-arithmetic
+# workload above measures the CPU regime, but the r15 close anchor
+# showed a host slowdown (44/147 catalog queries uniformly ~1.6x
+# slower, shuffle-heavy family worst) with calib_s FLAT — contention in
+# the IO/memory path is invisible to pure compute.  This second tier
+# moves real shuffle bytes: same deterministic hash column, but hashed
+# into 32 partitions and re-aggregated, so its wall tracks the
+# exchange write+read path (~1.6 GB moved).  Recorded as telemetry
+# (`calib_shuffle_s`) from r15; gating decisions wait for a round of
+# live baseline data.
+CALIB_SHUFFLE_ROWS = 200_000_000
+CALIB_SHUFFLE_EXPECT_SUM = 100000202928013
+
+
+def calibrate_shuffle(spark, passes: int = 3) -> float:
+    """Median wall seconds for the fixed shuffle workload (one untimed
+    warm pass first).  Value-asserted like :func:`calibrate`."""
+    from pyspark.sql import functions as F
+
+    def _run() -> int:
+        h = (
+            (F.col("id") % F.lit(1_000_003)) * F.lit(2654435761)
+            % F.lit(1_000_003)
+        ).alias("h")
+        row = (
+            spark.range(0, CALIB_SHUFFLE_ROWS, 1, CALIB_PARTS)
+            .select(h)
+            .repartition(CALIB_PARTS, "h")
+            .groupBy((F.col("h") % F.lit(1024)).alias("b"))
+            .agg(F.sum("h").alias("s"))
+            .agg(F.sum("s").alias("total"))
+            .collect()[0]
+        )
+        return row["total"]
+
+    _run()
+    walls = []
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        got = _run()
+        walls.append(time.perf_counter() - t0)
+        if got != CALIB_SHUFFLE_EXPECT_SUM:
+            raise RuntimeError(
+                f"shuffle calibration sum {got} != "
+                f"{CALIB_SHUFFLE_EXPECT_SUM} — shuffle path is corrupting "
+                "data on this box; timings untrustworthy"
+            )
+    return round(statistics.median(walls), 3)

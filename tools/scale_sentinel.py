@@ -596,7 +596,12 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     calib_s = calibrate(spark)
-    print(f"# calib_s = {calib_s}", flush=True)
+    try:
+        from tools.calibration import calibrate_shuffle
+    except ImportError:
+        from calibration import calibrate_shuffle
+    calib_shuffle_s = calibrate_shuffle(spark)
+    print(f"# calib_s = {calib_s}, calib_shuffle_s = {calib_shuffle_s}", flush=True)
 
     # per-query calibration inside the probe: each 100x rec gets its
     # own temporally-local calib_s (3 passes keep the overhead ~10 s/
@@ -635,6 +640,7 @@ def main() -> int:
         "round": current_round(),
         "replicas": replicas,
         "calib_s": calib_s,
+        "calib_shuffle_s": calib_shuffle_s,
         "base_sf_dir": os.environ.get(
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
         ),
