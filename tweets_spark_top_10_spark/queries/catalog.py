@@ -56,53 +56,6 @@ from tweets_spark_top_10_spark.queries.registry import ORACLE, QUERIES
 # zero fails; the r1 rows listed here are the 30 not re-checked in r2,
 # all green in r1).
 _LAST_CHECKED: dict[str, int] = {
-    # --- last driver row: round 12 ---
-    "user_running_value": 12,
-    "customers_without_big_orders": 12,
-    "late_shipping_priority": 12,
-    "nations_cust_and_supp": 12,
-    "urgent_only_customers": 12,
-    "lineitem_rollup": 12,
-    "supplier_distinct_parts": 12,
-    "part_predicates": 12,
-    "event_props_k": 12,
-    "customer_balance_ranks": 12,
-    "order_status_cube": 12,
-    "segment_priority_sets": 12,
-    "part_string_funcs": 12,
-    "props_map_access": 12,
-    "props_key_counts": 12,
-    "approx_distinct_users": 12,
-    "nation_activity_full_outer": 12,
-    "customer_order_counts_right": 12,
-    "part_lineitem_left": 12,
-    "quantity_bucket_ranges": 12,
-    "purchase_last_view_asof": 12,
-    "event_lag_lead": 12,
-    "priority_status_pivot": 12,
-    "lsh_knn_top5": 12,
-    "bloom_semi_revenue": 12,
-    "orders_cdc_merge": 12,
-    "orders_quality_audit": 12,
-    "orders_snapshot_diff": 12,
-    "orders_scd2_history": 12,
-    "concurrent_part_shipments": 12,
-    "orders_pit_lookup": 12,
-    "priority_price_minmax_ivm": 12,
-    "customer_ancestry_depth_sql": 12,
-    "order_measures_unpivot": 12,
-    "nullsafe_segment_match": 12,
-    "synthetic_events_by_type": 12,
-    "doc_chunks": 12,
-    "doc_weighted_sample": 12,
-    "customer_pseudonymized_spend": 12,
-    "grouped_heavy_hitters": 12,
-    "heavy_hitters_top10": 12,
-    "hourly_heavy_hitters": 12,
-    "embedding_arrow_norms": 12,
-    "user_hourly_gapfill": 12,
-    "user_value_anomalies": 12,
-    "event_value_moments": 12,
     # --- last driver row: round 13 ---
     "media_frame_counts": 13,
     "media_resize_stats": 13,
@@ -150,9 +103,6 @@ _LAST_CHECKED: dict[str, int] = {
     "doc_quality_tiers": 13,
     "label_centroids_arrow": 13,
     "nation_balance_drift_ks": 13,
-    "bpe_merge_table": 13,
-    "bpe_subword_vocab_top20": 13,
-    "bucketed_segment_revenue": 13,
     "embedding_rp_project": 13,
     # --- last driver row: round 14 ---
     "top_revenue_orders": 14,
@@ -205,6 +155,57 @@ _LAST_CHECKED: dict[str, int] = {
     "bpe_merge_table_batched": 14,
     "rp_ivf_rerank_top5": 14,
     "rp_ivf_rerank_top5_prebuilt": 14,
+    # --- last driver row: round 15 ---
+    "user_running_value": 15,
+    "customers_without_big_orders": 15,
+    "late_shipping_priority": 15,
+    "nations_cust_and_supp": 15,
+    "urgent_only_customers": 15,
+    "lineitem_rollup": 15,
+    "supplier_distinct_parts": 15,
+    "part_predicates": 15,
+    "event_props_k": 15,
+    "customer_balance_ranks": 15,
+    "order_status_cube": 15,
+    "segment_priority_sets": 15,
+    "part_string_funcs": 15,
+    "props_map_access": 15,
+    "props_key_counts": 15,
+    "approx_distinct_users": 15,
+    "nation_activity_full_outer": 15,
+    "customer_order_counts_right": 15,
+    "part_lineitem_left": 15,
+    "quantity_bucket_ranges": 15,
+    "purchase_last_view_asof": 15,
+    "event_lag_lead": 15,
+    "priority_status_pivot": 15,
+    "lsh_knn_top5": 15,
+    "bloom_semi_revenue": 15,
+    "orders_cdc_merge": 15,
+    "orders_quality_audit": 15,
+    "orders_snapshot_diff": 15,
+    "orders_scd2_history": 15,
+    "concurrent_part_shipments": 15,
+    "orders_pit_lookup": 15,
+    "priority_price_minmax_ivm": 15,
+    "customer_ancestry_depth_sql": 15,
+    "order_measures_unpivot": 15,
+    "nullsafe_segment_match": 15,
+    "synthetic_events_by_type": 15,
+    "doc_chunks": 15,
+    "doc_weighted_sample": 15,
+    "customer_pseudonymized_spend": 15,
+    "grouped_heavy_hitters": 15,
+    "heavy_hitters_top10": 15,
+    "hourly_heavy_hitters": 15,
+    "embedding_arrow_norms": 15,
+    "user_hourly_gapfill": 15,
+    "user_value_anomalies": 15,
+    "event_value_moments": 15,
+    "bpe_merge_table": 15,
+    "bpe_subword_vocab_top20": 15,
+    "bucketed_segment_revenue": 15,
+    "bpe_encode_docs": 15,
 }
 
 
