@@ -720,3 +720,42 @@ def test_streaming_bpe_state_encoding_marker(spark, tmp_path):
         sbpe.read_bpe_merges(spark, str(state))
     with pytest.raises(RuntimeError, match="symbol-encoding v1"):
         sbpe.bpe_step(docs, str(state), "text", 2, 2.0, batch_id=1)
+
+
+def test_bpe_chained_replace_at_arrow_threshold_depth(spark):
+    """The chained-replace path serves every rule list up to
+    ``arrow_threshold`` (default 256), but equivalence and Catalyst
+    depth were only exercised at 8 sequential / ~24 batched rules (r15
+    advisor finding). Pin a 250-rule chain — just under the threshold —
+    producing a 250-deep nested F.replace tree: it must analyze,
+    execute, and match segment_words_arrow exactly.  The rule list is a
+    synthetic progressive chain (rank k merges the length-k prefix with
+    the next symbol), which satisfies segment_words' fixpoint
+    precondition: no rule references a LATER rule's output."""
+    from tweets_spark_top_10_spark.functions.bpe import (
+        segment_words,
+        segment_words_arrow,
+    )
+
+    n = 250
+    syms = [f"s{i}" for i in range(n + 1)]
+    rules = []
+    prefix = syms[0]
+    for k in range(1, n + 1):
+        rules.append((k, prefix, syms[k], 1))
+        prefix += syms[k]
+    words = spark.createDataFrame(
+        [
+            (" " + "  ".join(syms) + " ", 3),          # full chain: 1 symbol out
+            (" s0  s1  s2  zz " , 2),                  # stops at rank 3
+            (" zz  s5  s6 ", 1),                       # no rule applies
+            (" s0  s1  s0  s1 ", 1),                   # rank-1 twice, rank 2 once
+        ],
+        ["s", "freq"],
+    )
+    chained = sorted(map(tuple, segment_words(words, rules).collect()))
+    arrow = sorted(map(tuple, segment_words_arrow(words, rules).collect()))
+    assert arrow == chained
+    assert (" " + prefix + " ", 3) in chained          # full chain collapsed
+    assert (" s0s1s2  zz ", 2) in chained
+    assert (" zz  s5  s6 ", 1) in chained

@@ -369,3 +369,102 @@ def test_compact_recovers_from_crash_between_renames(
     shutil.rmtree(path)
     with pytest.raises(FileNotFoundError, match="no recovery copy"):
         compact_ingest_partitions(spark, "ing_events4", batch_horizon=100)
+
+
+def test_recover_swap_rescues_late_batch_after_postswap_crash(
+    spark, sf_dir, events_dir, tmp_path, monkeypatch
+):
+    """The round-15 review's crash window: a late batch rides into aside
+    (the swap-window TOCTOU), rename(staging -> path) completes, and the
+    process dies BEFORE the post-swap re-diff moves it out / rmtree's
+    aside. Recovery previously treated marker+path+aside as 'aside is
+    redundant' and rmtree'd the committed late batch. The marker now
+    records the swap's horizon and _recover_swap replays the same
+    rescue before discarding aside."""
+    import os
+    import shutil as sh
+
+    from tweets_spark_top_10_spark.streaming import layout
+
+    spark.sql("DROP TABLE IF EXISTS ing_events8")
+    path = str(tmp_path / "ing_events8")
+    _ingest(spark, events_dir, "ing_events8", path, str(tmp_path / "ck"))
+    want = _content(spark, "ing_events8")
+    src_file = glob.glob(f"{path}/__ingest_batch=0/part-*")[0]
+    late_rows = sorted(
+        (r.event_id, r.user_id, r.event_type)
+        for r in spark.read.parquet(src_file)
+        .select("event_id", "user_id", "event_type")
+        .collect()
+    )
+    assert late_rows
+
+    landed = os.path.join(path, "__ingest_batch=150")
+    real_rename = os.rename
+
+    def rename_with_late_commit(src, dst):
+        # late batch commits between the pre-swap listdir and
+        # rename(path -> aside) — it rides into aside
+        if os.path.abspath(str(src)) == os.path.abspath(path):
+            os.makedirs(landed, exist_ok=True)
+            sh.copy(src_file, landed)
+        return real_rename(src, dst)
+
+    class Crash(RuntimeError):
+        pass
+
+    def crash_before_rescue(aside, new_path, horizon):
+        raise Crash("simulated crash in the post-swap window")
+
+    monkeypatch.setattr(os, "rename", rename_with_late_commit)
+    monkeypatch.setattr(layout, "_rescue_late_partitions", crash_before_rescue)
+    with pytest.raises(Crash):
+        compact_ingest_partitions(spark, "ing_events8", batch_horizon=100)
+    monkeypatch.undo()
+
+    # the crash state: swap finished, late batch stranded in aside,
+    # marker up (recording the horizon), table dir is the compacted copy
+    assert os.path.exists(path + "__old")
+    assert os.path.exists(os.path.join(path + "__old", "__ingest_batch=150"))
+    assert open(path + "__swap_pending").read().strip() == "100"
+    assert not os.path.exists(landed)
+
+    # recovery (entered via the next compaction call) must move the late
+    # partition into place, not rmtree it with aside
+    n = compact_ingest_partitions(spark, "ing_events8", batch_horizon=100)
+    assert n == 0  # history already folded by the crashed (completed) swap
+    assert os.path.exists(landed)
+    assert glob.glob(f"{landed}/part-*")
+    assert not os.path.exists(path + "__old")
+    assert not os.path.exists(path + "__stage")
+    assert not os.path.exists(path + "__swap_pending")
+    assert _content(spark, "ing_events8") == sorted(want + late_rows)
+
+
+def test_recover_swap_refuses_horizonless_marker_with_aside(
+    spark, sf_dir, events_dir, tmp_path
+):
+    """An EMPTY marker (pre-horizon format) alongside an aside copy
+    cannot be re-diffed safely — moving <horizon partitions back would
+    double-count against the staged -1 consolidation. Recovery must
+    refuse loudly instead of picking a loss mode."""
+    import os
+    import pathlib
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS ing_events9")
+    path = str(tmp_path / "ing_events9")
+    _ingest(spark, events_dir, "ing_events9", path, str(tmp_path / "ck"))
+    want = _content(spark, "ing_events9")
+
+    pathlib.Path(path + "__swap_pending").touch()  # old format: no body
+    os.makedirs(path + "__old/__ingest_batch=150")
+    with pytest.raises(RuntimeError, match="records no batch horizon"):
+        compact_ingest_partitions(spark, "ing_events9", batch_horizon=100)
+    # nothing destroyed: both copies and the marker still on disk
+    assert os.path.exists(path + "__old/__ingest_batch=150")
+    assert os.path.exists(path + "__swap_pending")
+
+    shutil.rmtree(path + "__old")
+    os.remove(path + "__swap_pending")
+    assert _content(spark, "ing_events9") == want

@@ -46,9 +46,12 @@ def clustered_corpus(spark, sf_dir: str, replicas: int = 10,
                      eps: float = 0.15, dim: int = 64):
     """(vec_id, label, embedding) with every base vector expanded into
     a ``replicas``-member cluster: replica k = v + eps*shift(v, k)
-    (k=0 keeps v exactly; ids shift by k*(max_id+1) like every other
-    replica protocol in tools/).  Pure DataFrame — shared by the probe
-    and the pytest recall floor (tests/test_rp.py)."""
+    (k=0 keeps v up to the member expression's round(., 6) on the
+    float->double->float cast — NOT bit-identical to the source, which
+    is harmless here because the exact and approximate paths rank the
+    same corpus; ids shift by k*(max_id+1) like every other replica
+    protocol in tools/).  Pure DataFrame — shared by the probe and the
+    pytest recall floor (tests/test_rp.py)."""
     from pyspark.sql import functions as F
 
     from tweets_spark_top_10_spark.sources.registry import load_table

@@ -42,9 +42,11 @@ Recovery at compaction entry is therefore unambiguous: marker +
 ``path`` (± staging) → crashed before the swap, ``path`` is the
 intact original, staging is discardable; marker + no ``path`` →
 restore aside (roll back) or the complete staged copy (roll forward);
-marker + ``path`` + aside → the swap finished, aside is redundant. An
-aside dir WITHOUT a marker is unreachable from this code and raises
-rather than guessing which copy to delete.
+marker + ``path`` + aside → the swap finished but the crash hit the
+post-swap window, so recovery replays the late-batch re-diff (the
+marker body records the swap's batch horizon for exactly this) before
+discarding aside. An aside dir WITHOUT a marker is unreachable from
+this code and raises rather than guessing which copy to delete.
 
 What multi-file buckets cost while uncompacted: the co-located join
 keeps ZERO Exchange (the 100 TB killer) but re-sorts each bucket
@@ -190,6 +192,27 @@ def foreach_batch_bucketed_ingest(
     return writer.start()
 
 
+def _rescue_late_partitions(aside: str, path: str, horizon: int) -> None:
+    """Move every replayable (``>= horizon``) batch partition present in
+    ``aside`` but absent from ``path`` into ``path``. Such a partition is
+    a batch that committed between the pre-swap diff's listdir and
+    ``rename(path -> aside)`` — its checkpoint offset committed, so
+    discarding aside without this move loses it. Partitions BELOW the
+    horizon are genuinely redundant (their rows live in the staged
+    ``-1`` consolidation) and must NOT be moved back, or they would
+    double-count. Idempotent: re-running after a partial move skips the
+    already-moved dirs."""
+    import os
+
+    landed_late = {
+        e
+        for e in os.listdir(aside)
+        if e.startswith(f"{_BATCH_COL}=") and int(e.split("=", 1)[1]) >= horizon
+    } - set(os.listdir(path))
+    for part in sorted(landed_late):
+        os.rename(os.path.join(aside, part), os.path.join(path, part))
+
+
 def _recover_swap(spark: SparkSession, table_name: str, path: str) -> None:
     """Roll a crashed compaction swap forward or back (see the module
     docstring's marker protocol); no-op when there is nothing to
@@ -222,7 +245,29 @@ def _recover_swap(spark: SparkSession, table_name: str, path: str) -> None:
                 f"{table_name} location {path} missing with no recovery copy"
             )
     # `path` now exists and (thanks to the ingest guard) can only be the
-    # original or the completed compaction — leftovers are redundant
+    # original or the completed compaction. marker + path + aside means
+    # BOTH renames finished and the crash hit the post-swap window
+    # (between rename(staging, path) and rmtree(aside)) — a late batch
+    # may be riding in aside, exactly like the live post-swap re-diff.
+    # The marker records the horizon of the swap that crashed, so the
+    # same rescue applies here before aside is discarded; everything
+    # else in aside is the folded history, redundant with staging's -1.
+    if os.path.exists(aside):
+        with open(marker) as fh:
+            content = fh.read().strip()
+        if content:
+            _rescue_late_partitions(aside, path, int(content))
+        else:
+            # pre-horizon marker format (crash under an older build):
+            # no recorded horizon means no safe re-diff — a <-horizon
+            # move would double-count against the -1 consolidation.
+            # Refuse rather than silently pick a loss mode.
+            raise RuntimeError(
+                f"{table_name}: swap marker {marker} records no batch "
+                "horizon but an aside copy exists — cannot distinguish "
+                "late-committed batches from folded history; inspect "
+                f"{aside} manually"
+            )
     for p in (aside, staging):
         if os.path.exists(p):
             shutil.rmtree(p)
@@ -292,7 +337,10 @@ def compact_ingest_partitions(
     # unambiguous: marker + intact `path` + no aside can now also mean
     # "crashed while staging", and _recover_swap's existing handling
     # (keep `path`, discard staging, drop marker) is correct for it.
-    Path(marker).touch()
+    # The marker body records the horizon so crash recovery can replay
+    # the post-swap re-diff (rescue late >=horizon batches from aside)
+    # instead of blindly discarding aside — see _recover_swap.
+    Path(marker).write_text(str(int(batch_horizon)))
     swap_started = False
     try:
         spark.sql(f"REFRESH TABLE {table_name}")
@@ -354,15 +402,10 @@ def compact_ingest_partitions(
         # move it into place before discarding aside.  (A batch still
         # MID-write at rename time loses its temp dir, fails its
         # foreachBatch, and replays after recovery — offsets only commit
-        # after the batch function returns.)
-        landed_late = {
-            e
-            for e in os.listdir(aside)
-            if e.startswith(f"{_BATCH_COL}=")
-            and int(e.split("=", 1)[1]) >= batch_horizon
-        } - set(os.listdir(path))
-        for part in sorted(landed_late):
-            os.rename(os.path.join(aside, part), os.path.join(path, part))
+        # after the batch function returns.)  A crash anywhere in this
+        # window replays the same rescue from _recover_swap via the
+        # horizon recorded in the marker.
+        _rescue_late_partitions(aside, path, batch_horizon)
         shutil.rmtree(aside)
         os.remove(marker)
     finally:
