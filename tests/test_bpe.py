@@ -759,3 +759,75 @@ def test_bpe_chained_replace_at_arrow_threshold_depth(spark):
     assert (" " + prefix + " ", 3) in chained          # full chain collapsed
     assert (" s0s1s2  zz ", 2) in chained
     assert (" zz  s5  s6 ", 1) in chained
+
+
+def test_bpe_production_fixture_integrity_and_fixpoint(spark):
+    """The committed 32k-merge production fixture
+    (fixtures/bpe_merges_32k/merges.parquet, built once by
+    tools/bpe_build_index.py on the deterministic Zipf-10^5
+    vocabulary): ranks are a contiguous 1..32000 prefix of a valid
+    merge sequence, and serving the training vocabulary's head through
+    the Arrow encoder reaches the BPE fixpoint — no adjacent symbol
+    pair in any encoded word is still a rule — while concatenation
+    recovers the original word (lossless segmentation)."""
+    import os
+
+    from tools.bpe_vocab_probe import zipf_words
+    from tweets_spark_top_10_spark.functions.bpe import (
+        read_merge_rules_parquet,
+        segment_words_arrow,
+    )
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "bpe_merges_32k",
+        "merges.parquet",
+    )
+    rules = read_merge_rules_parquet(spark, path)
+    assert len(rules) == 32_000
+    assert [r[0] for r in rules] == list(range(1, 32_001))
+    rule_set = {(l, r) for _, l, r, _ in rules}
+
+    # the head of the training vocabulary: zipf_words is deterministic
+    # (md5-derived), so rank 1..2000 here are the same word strings the
+    # fixture was trained on
+    words = zipf_words(spark, 2_000).localCheckpoint(eager=True)
+    originals = {r.s: r.s.replace(" ", "") for r in words.collect()}
+    for row in segment_words_arrow(words, rules).collect():
+        syms = row.s.strip(" ").split("  ")
+        for a, b in zip(syms, syms[1:]):
+            assert (a, b) not in rule_set, (a, b)
+        assert "".join(syms) in set(originals.values())
+
+
+def test_bpe_fixture_encode_throughput_floor(spark):
+    """Serve-side floor at production depth (r15 verdict item 4): the
+    full 10^5-word dictionary through segment_words_arrow under the
+    32k-rule fixture.  Measured 37k words/s on this box (BASELINE.md
+    round-16); the floor is 7x under that so only a structural
+    regression trips it (per-occurrence instead of per-distinct-word
+    work, a quadratic merge loop, rules re-collected per batch), never
+    box weather."""
+    import os
+    import time
+
+    from tools.bpe_vocab_probe import zipf_words
+    from tweets_spark_top_10_spark.functions.bpe import (
+        read_merge_rules_parquet,
+        segment_words_arrow,
+    )
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "bpe_merges_32k",
+        "merges.parquet",
+    )
+    rules = read_merge_rules_parquet(spark, path)
+    words = zipf_words(spark, 100_000).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    n = segment_words_arrow(words, rules).count()
+    wall = time.perf_counter() - t0
+    assert n == 100_000
+    assert n / wall >= 5_000, f"{n / wall:.0f} words/s under the 5k floor"

@@ -66,6 +66,23 @@ MERGE_SCHEMA = T.StructType(
 )
 
 
+def read_merge_rules_parquet(spark, path: str) -> list[tuple[int, str, str, int]]:
+    """A persisted MERGE_SCHEMA parquet (e.g. the committed production
+    fixture ``fixtures/bpe_merges_32k/merges.parquet`` built by
+    tools/bpe_build_index.py) as the driver-side rule list every
+    encoder consumes — the offline/online split's online half, same
+    shape as ``streaming/bpe.read_bpe_merge_rules`` reads off the
+    maintainer's state dir.  K rows: metadata-class collect, same
+    bounded-cardinality contract as PQ codebooks."""
+    return [
+        (r.merge_rank, r.lhs, r.rhs, r.pair_count)
+        for r in spark.read.schema(MERGE_SCHEMA)
+        .parquet(path)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+
+
 def word_frequency_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace-token word-frequency table: the Zipf-compressed
     working set every BPE round runs on.  Columns: (s, freq) where

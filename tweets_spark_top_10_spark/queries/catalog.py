@@ -39,6 +39,7 @@ from tweets_spark_top_10_spark.queries import (  # noqa: F401
     layout_queries,
     metrics_queries,
     multimodal_queries,
+    pipeline_queries,
     relational,
     relational2,
     relational3,
