@@ -42,6 +42,8 @@ CROSS_JOIN_OK = {
     "opq_adc_rerank_top5_prebuilt",  # same LUT broadcast feeding the rerank
     "semantic_dedup_keep",  # broadcast centroid assignment (~sqrt(N) rows)
     "lang_mixture_weights",  # broadcast 1-row total into the share computation
+    "maxsim_label_top3",  # broadcast 50-row multi-vector query set x candidates
+    "hybrid_rrf_top5",  # broadcast 5-row query grid/vectors x candidates
 }
 
 

@@ -43,6 +43,7 @@ from tweets_spark_top_10_spark.queries import (  # noqa: F401
     relational,
     relational2,
     relational3,
+    retrieval_queries,
     similarity_queries,
     text_queries,
     udf_queries,
