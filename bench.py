@@ -99,6 +99,8 @@ def main() -> None:
         calib_s = None
         calib_shuffle_s = None
 
+    calib = {"calib_s": calib_s, "calib_shuffle_s": calib_shuffle_s}
+
     # Two passes, report the MIN per query: single-shot wall times on
     # this box swing 2-5x from CPU-steal/GC noise (an identical trivial
     # groupBy measured 1.9s and 5.0s in back-to-back runs); min-of-N is
@@ -134,6 +136,19 @@ def main() -> None:
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
                 spark.range(1).count()
+
+    # END-of-run calibration sample (r15 run-2 lesson: the run-start
+    # sample mispairs with walls measured many minutes later under a
+    # different host regime).  The gate below normalizes by the MOST
+    # FORGIVING of the start/end x cpu/shuffle ratios, so a regime that
+    # shifted mid-run — in either tier — still reads as host weather.
+    try:
+        from tools.calibration import calibrate, calibrate_shuffle
+
+        calib["calib_end_s"] = calibrate(spark, passes=3)
+        calib["calib_shuffle_end_s"] = calibrate_shuffle(spark, passes=2)
+    except Exception as exc:
+        print(f"# end calibration failed: {exc}", file=sys.stderr)
 
     # PQ recall/latency curve: coarse -> fine decompositions of the same
     # 64-dim space, each timed and scored against the exact cosine scan.
@@ -207,6 +222,8 @@ def main() -> None:
         "training_queries": sorted(INLINE_TRAINING & set(timings)),
         "calib_s": calib_s,
         "calib_shuffle_s": calib_shuffle_s,
+        "calib_end_s": calib.get("calib_end_s"),
+        "calib_shuffle_end_s": calib.get("calib_shuffle_end_s"),
         "value_note": "value = this run's total (null if any query failed); "
         "value_stable = min over history runs with identical query set; "
         "value_stable_excl_training = same min over the excl-training "
@@ -236,17 +253,24 @@ def main() -> None:
             for n, t in timings.items()
             if n in ref_q and t >= 0 and ref_q[n] >= 0
         }
-        # Calibrated gate (r15): when both runs carry a calibration,
-        # scale the reference walls by the box-speed ratio before
-        # flagging — a host regime shift moves calib with the walls and
-        # stops reading as dozens of per-query regressions, while a
-        # code regression moves the ratio and flags exactly as before.
-        # delta_s stays RAW (history consumers compare absolute walls);
-        # only the flag threshold is calibrated.
-        scale = 1.0
-        if calib_s and isinstance(ref_calib, (int, float)) and ref_calib > 0:
-            scale = calib_s / ref_calib
+        # Calibrated gate (r15, two-tier since r16): scale the reference
+        # walls by the box-speed ratio before flagging — a host regime
+        # shift moves calib with the walls and stops reading as dozens
+        # of per-query regressions, while a code regression moves the
+        # ratio and flags exactly as before.  The scale is the MOST
+        # FORGIVING of the available tier ratios (CPU and shuffle, start
+        # and end samples): the r15 close anchor proved the CPU tier
+        # alone is blind to IO/memory-path weather (44/147 queries 1.6x
+        # with calib flat 0.977), and the run-start sample alone
+        # mispairs with walls measured minutes later.  A real code
+        # regression moves NO calibration, so every ratio stays ~1 and
+        # the gate is unchanged for it.  delta_s stays RAW (history
+        # consumers compare absolute walls); only the flag threshold is
+        # calibrated.
+        scale, tiers = regression_scale(calib, ref_calib)
+        if tiers:
             out["calib_scale"] = round(scale, 3)
+            out["calib_scale_tiers"] = tiers
         regressed = sorted(
             (
                 n
@@ -273,7 +297,8 @@ def main() -> None:
             "metric", "value", "unit", "sf", "cpus", "timing",
             "clean_run", "value_stable", "value_stable_excl_training",
             "value_excl_training", "value_training", "calib_s",
-            "calib_shuffle_s", "note",
+            "calib_shuffle_s", "calib_end_s", "calib_shuffle_end_s",
+            "calib_scale", "calib_scale_tiers", "note",
         )
         if k in out
     }
@@ -294,6 +319,8 @@ def main() -> None:
             "total_training": total_training,
             "calib_s": calib_s,
             "calib_shuffle_s": calib_shuffle_s,
+            "calib_end_s": calib.get("calib_end_s"),
+            "calib_shuffle_end_s": calib.get("calib_shuffle_end_s"),
             "queries": timings,
         }
         if note:
@@ -307,6 +334,52 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(compact))
+
+
+def regression_scale(
+    cur: dict, ref: dict | None
+) -> tuple[float, dict[str, float]]:
+    """Host-speed scale for the per-query regression gate: the MAX of
+    the available calibration-tier ratios, so a wall inflation that any
+    measured host tier can explain is not flagged as a code regression.
+
+    Tiers (each present only when BOTH runs carry the sample):
+
+    - ``cpu``:     max(calib_s, calib_end_s) / ref calib_s — the
+      pure-JVM compute regime, sampled at run start AND after the timed
+      passes (the r15 run-2 mispairing lesson).
+    - ``shuffle``: max(calib_shuffle_s, calib_shuffle_end_s) / ref
+      calib_shuffle_s — the exchange write+read path the CPU tier is
+      blind to (the r15 close anchor: 44/147 queries 1.6x with CPU
+      calib flat 0.977).
+
+    A code regression moves NO calibration, so every ratio stays ~1 and
+    the gate behaves exactly as uncalibrated.  Returns (scale, tiers);
+    scale = 1.0 and tiers = {} when no tier is comparable (pre-r15
+    reference or failed calibration)."""
+    tiers: dict[str, float] = {}
+    ref = ref or {}
+
+    def _ratio(cur_keys: tuple[str, ...], ref_key: str) -> float | None:
+        r = ref.get(ref_key)
+        samples = [
+            cur.get(k)
+            for k in cur_keys
+            if isinstance(cur.get(k), (int, float)) and cur.get(k) > 0
+        ]
+        if not samples or not isinstance(r, (int, float)) or r <= 0:
+            return None
+        return max(samples) / r
+
+    cpu = _ratio(("calib_s", "calib_end_s"), "calib_s")
+    if cpu is not None:
+        tiers["cpu"] = round(cpu, 3)
+    shuffle = _ratio(("calib_shuffle_s", "calib_shuffle_end_s"), "calib_shuffle_s")
+    if shuffle is not None:
+        tiers["shuffle"] = round(shuffle, 3)
+    if not tiers:
+        return 1.0, {}
+    return max(tiers.values()), tiers
 
 
 def _stable_total(
@@ -356,8 +429,8 @@ def _stable_total(
 
 
 def _own_history_timings(repo_dir: str, sf: float):
-    """('bench history', {query: sec}, calib_s|None) from the last
-    BENCH_HISTORY.jsonl line at this sf, or None."""
+    """('bench history', {query: sec}, {calib_s, calib_shuffle_s}) from
+    the last BENCH_HISTORY.jsonl line at this sf, or None."""
     path = os.path.join(repo_dir, "BENCH_HISTORY.jsonl")
     try:
         with open(path) as fh:
@@ -370,7 +443,14 @@ def _own_history_timings(repo_dir: str, sf: float):
         except ValueError:
             continue
         if float(rec.get("sf", -1)) == sf and isinstance(rec.get("queries"), dict):
-            return ("bench history", rec["queries"], rec.get("calib_s"))
+            return (
+                "bench history",
+                rec["queries"],
+                {
+                    "calib_s": rec.get("calib_s"),
+                    "calib_shuffle_s": rec.get("calib_shuffle_s"),
+                },
+            )
     return None
 
 

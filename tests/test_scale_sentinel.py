@@ -139,28 +139,94 @@ def test_sentinel_lines_are_invisible_to_bench_history_readers(tmp_path):
     )
     assert bench._stable_total(str(tmp_path), 0.1, {"q"}, None) == 100.0
     src, timings, calib = bench._own_history_timings(str(tmp_path), 0.1)
-    assert timings == {"q": 1.0} and calib is None
+    assert timings == {"q": 1.0}
+    # an uncalibrated reference yields the neutral scale
+    assert bench.regression_scale({"calib_s": 2.0}, calib) == (1.0, {})
 
 
 def test_bench_history_reader_carries_calibration(tmp_path):
-    """The newest history line's calib_s rides along so the per-query
-    regression gate can scale its reference walls by the box-speed
-    ratio (walls moving WITH calib = host weather, not a flag)."""
+    """The newest history line's calibrations ride along so the
+    per-query regression gate can scale its reference walls by the
+    box-speed ratio (walls moving WITH calib = host weather, not a
+    flag)."""
     import bench
 
     _write_history(
         tmp_path,
-        [{"sf": 0.1, "total": 50.0, "calib_s": 2.0, "queries": {"q": 10.0}}],
+        [
+            {
+                "sf": 0.1,
+                "total": 50.0,
+                "calib_s": 2.0,
+                "calib_shuffle_s": 5.0,
+                "queries": {"q": 10.0},
+            }
+        ],
     )
     src, timings, calib = bench._own_history_timings(str(tmp_path), 0.1)
-    assert timings == {"q": 10.0} and calib == 2.0
+    assert timings == {"q": 10.0}
+    assert calib == {"calib_s": 2.0, "calib_shuffle_s": 5.0}
     # the calibrated flag rule the bench applies: current wall t flags
-    # iff t - scale*ref > max(0.5, 0.5*scale*ref), scale = cur/ref calib
-    scale = 4.0 / 2.0  # box 2x slower
+    # iff t - scale*ref > max(0.5, 0.5*scale*ref), scale from the tiers
+    scale, tiers = bench.regression_scale({"calib_s": 4.0}, calib)
+    assert scale == 2.0 and tiers == {"cpu": 2.0}  # box 2x slower
     t = 20.0  # wall exactly tracks the box: 10 * 2
     assert not (t - scale * 10.0 > max(0.5, 0.5 * scale * 10.0))
     t = 45.0  # genuinely slower than the box explains
     assert t - scale * 10.0 > max(0.5, 0.5 * scale * 10.0)
+
+
+def test_bench_regression_scale_two_tier_precedence():
+    """The r16 gate contract (VERDICT r15 item 2): the scale is the
+    MOST FORGIVING of the available tier ratios, so
+
+    - IO/shuffle-path weather the CPU tier cannot see (the r15 close
+      anchor: 44/147 queries ~1.6x with CPU calib flat) clears via the
+      shuffle tier;
+    - a regime that shifts MID-run (start sample flat, end sample
+      inflated — the r15 run-2 mispairing) clears via the end sample;
+    - a genuine code regression moves NO calibration: every ratio ~1,
+      gate unchanged."""
+    import bench
+
+    ref = {"calib_s": 2.0, "calib_shuffle_s": 5.0}
+
+    # shuffle weather, CPU flat: the r15 false-flag class must clear
+    scale, tiers = bench.regression_scale(
+        {"calib_s": 2.0, "calib_shuffle_s": 8.5}, ref
+    )
+    assert tiers == {"cpu": 1.0, "shuffle": 1.7} and scale == 1.7
+    ref_wall, wall = 10.0, 16.0  # 1.6x — inside what shuffle explains
+    assert not (wall - scale * ref_wall > max(0.5, 0.5 * scale * ref_wall))
+
+    # mid-run shift: start samples flat, end samples inflated
+    scale, _ = bench.regression_scale(
+        {
+            "calib_s": 2.0,
+            "calib_end_s": 3.2,
+            "calib_shuffle_s": 5.0,
+            "calib_shuffle_end_s": 5.0,
+        },
+        ref,
+    )
+    assert scale == 1.6
+
+    # code regression: all tiers flat -> neutral scale -> flags
+    scale, tiers = bench.regression_scale(
+        {"calib_s": 2.0, "calib_shuffle_s": 5.0}, ref
+    )
+    assert scale == 1.0 and tiers == {"cpu": 1.0, "shuffle": 1.0}
+    wall = 22.0
+    assert wall - scale * ref_wall > max(0.5, 0.5 * scale * ref_wall)
+
+    # missing shuffle baseline (pre-r15 reference): CPU tier only
+    scale, tiers = bench.regression_scale(
+        {"calib_s": 3.0, "calib_shuffle_s": 9.0}, {"calib_s": 2.0}
+    )
+    assert tiers == {"cpu": 1.5} and scale == 1.5
+
+    # no reference at all (BENCH_r*.json fallback): neutral
+    assert bench.regression_scale({"calib_s": 3.0}, None) == (1.0, {})
 
 
 def _rec(q, wall, shuffle, spill=0.0, regressed=(), watch=(), round=12, tier="wall"):
