@@ -600,3 +600,110 @@ def test_round_close_refuses_non_empty_index(tmp_path, monkeypatch):
     )
     monkeypatch.setattr(round_close, "REPO", tmp_path)
     assert round_close.main([]) == 1  # refuses before fold/stage/commit
+
+
+def test_classify_shuffle_tier_vetoes_cpu_only_wall_flags():
+    """The r16 contract: a CPU-calibrated wall flag must ALSO hold
+    under the shuffle-tier normalization (when both sides carry
+    calib_shuffle_s) to count — IO-path weather inflates walls with
+    the CPU calib flat (the live r16 dedup watch: 2.0x per CPU calib,
+    telemetry byte-identical), and the exchange-path tier is the axis
+    that sees it.  A veto stays VISIBLE as a cleared watch but is no
+    escalation precedent; a flag that exceeds BOTH tiers follows the
+    normal watch/escalate path."""
+    seed = _rec("q", wall=30.0, shuffle=15000.0, round=15)
+    seed["calib_s"] = 2.0  # CPU rate ref 15.0
+    seed["calib_shuffle_s"] = 5.0  # shuffle rate ref 6.0
+
+    # wall 90 at CPU calib 2.0 -> 45 > 1.5*15: CPU tier flags.  The
+    # shuffle sample moved with the wall (12.0): 90/12 = 7.5 <= 9 ->
+    # vetoed, recorded as a cleared watch, never regressed
+    reg, watch = scale_sentinel.classify(
+        _cur(90.0, 15000.0), [seed], 100, cur_round=16,
+        calib_s=2.0, calib_shuffle_s=12.0,
+    )
+    assert reg == []
+    assert watch[0]["cleared_by"] == "shuffle_tier"
+    assert watch[0]["wall_per_calib_shuffle"] == 7.5
+
+    # a cleared watch in the prior round is NOT consecutive precedent
+    prev = _rec("q", wall=90.0, shuffle=15000.0, round=16)
+    prev["calib_s"], prev["calib_shuffle_s"] = 2.0, 5.0
+    prev["wall_watch"] = [
+        {"query": "q", "tier": "wall", "cleared_by": "shuffle_tier"}
+    ]
+    reg, watch = scale_sentinel.classify(
+        _cur(90.0, 15000.0), [seed, prev], 100, cur_round=17,
+        calib_s=2.0, calib_shuffle_s=12.0,
+    )
+    assert reg == [] and watch[0]["cleared_by"] == "shuffle_tier"
+
+    # both tiers exceed (shuffle sample flat at 5.0: 90/5 = 18 > 9):
+    # real flag -> first round is a normal watch, no cleared_by
+    reg, watch = scale_sentinel.classify(
+        _cur(90.0, 15000.0), [seed], 100, cur_round=16,
+        calib_s=2.0, calib_shuffle_s=5.0,
+    )
+    assert reg == [] and "cleared_by" not in watch[0]
+    assert watch[0]["wall_per_calib_shuffle"] == 18.0
+
+    # ... and an UNcleared prior watch still escalates
+    prev2 = _rec("q", wall=90.0, shuffle=15000.0, round=16, watch=["q"])
+    prev2["calib_s"], prev2["calib_shuffle_s"] = 2.0, 5.0
+    reg, watch = scale_sentinel.classify(
+        _cur(90.0, 15000.0), [seed, prev2], 100, cur_round=17,
+        calib_s=2.0, calib_shuffle_s=5.0,
+    )
+    assert reg[0].get("consecutive") and not watch
+
+    # no shuffle baseline in priors (pre-r16 history): CPU tier alone
+    # decides, exactly the old behavior
+    old = _rec("q", wall=30.0, shuffle=15000.0, round=15)
+    old["calib_s"] = 2.0
+    reg, watch = scale_sentinel.classify(
+        _cur(90.0, 15000.0), [old], 100, cur_round=16,
+        calib_s=2.0, calib_shuffle_s=12.0,
+    )
+    assert reg == [] and "cleared_by" not in watch[0]
+
+
+def test_classify_stream_shuffle_tier_veto():
+    """Same veto for the streaming row, using the LINE-level shuffle
+    calibration on both sides (no per-stream shuffle sample exists)."""
+    base = {
+        "kind": "scale_sentinel",
+        "round": 15,
+        "replicas": 100,
+        "calib_shuffle_s": 5.0,
+        "sentinel": {},
+        "regressed": [],
+        "wall_watch": [],
+        "stream": {
+            "query": "maintain_semantic_dedup",
+            "replicas": 10,
+            "batches": 6,
+            "calib_s": 2.0,
+            "merge_total_s": 100.0,  # CPU rate 50, shuffle rate 20
+            "final_pairs_rows": 7,
+            "final_cells_mb": 1.0,
+        },
+    }
+    cur = {
+        "query": "maintain_semantic_dedup",
+        "replicas": 10,
+        "batches": 6,
+        "calib_s": 2.0,  # CPU tier: 200/2.0 = 100 > 1.5*50 -> flags
+        "merge_total_s": 200.0,
+        "final_pairs_rows": 7,
+        "final_cells_mb": 1.0,
+    }
+    # shuffle sample moved with the wall: 200/12 = 16.7 <= 30 -> veto
+    reg, watch = scale_sentinel.classify_stream(
+        cur, [base], cur_round=16, calib_shuffle_s=12.0
+    )
+    assert reg == [] and watch[0]["cleared_by"] == "shuffle_tier"
+    # shuffle flat: 200/5 = 40 > 30 -> both tiers agree -> normal watch
+    reg, watch = scale_sentinel.classify_stream(
+        cur, [base], cur_round=16, calib_shuffle_s=5.0
+    )
+    assert reg == [] and "cleared_by" not in watch[0]

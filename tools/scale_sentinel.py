@@ -223,7 +223,13 @@ def _earlier_round_wall_flags(
         e["query"]
         for e in last.get("regressed", [])
         if e.get("tier") == "wall"
-    } | {e["query"] for e in last.get("wall_watch", [])}
+    } | {
+        e["query"]
+        for e in last.get("wall_watch", [])
+        # a watch the shuffle tier cleared is adjudicated host weather;
+        # it stays visible in the record but is no escalation precedent
+        if not e.get("cleared_by")
+    }
 
 
 def _best_rate(
@@ -252,6 +258,28 @@ def _best_rate(
     return best
 
 
+def _best_rate_shuffle(
+    priors: list[dict], tag: str
+) -> dict[str, float]:
+    """Per query: min prior wall / LINE-LEVEL ``calib_shuffle_s`` over
+    priors that carry the shuffle-tier calibration (r16: recorded since
+    the round-15 close; the r16 line seeds the reference).  Only the
+    line-level sample exists for this tier — no per-query shuffle
+    calibration is recorded — so this reference is coarser than the
+    CPU tier's; it exists to answer exactly one question the CPU tier
+    cannot: is the exchange path degraded?"""
+    best: dict[str, float] = {}
+    for rec in priors:
+        c = rec.get("calib_shuffle_s")
+        if not (isinstance(c, (int, float)) and c > 0):
+            continue
+        for q, scales in rec.get("sentinel", {}).items():
+            w = scales.get(tag, {}).get("wall_s")
+            if isinstance(w, (int, float)):
+                best[q] = min(best.get(q, float("inf")), w / c)
+    return best
+
+
 def classify(
     results: dict[str, dict],
     priors: list[dict],
@@ -260,6 +288,7 @@ def classify(
     cur_round: int | None = None,
     plan_priors: list[dict] | None = None,
     calib_s: float | None = None,
+    calib_shuffle_s: float | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """(regressed, wall_watch) per the two-tier rule in the module
     docstring.  `results` is run_probe output; `priors` the recorded
@@ -280,6 +309,18 @@ def classify(
     before.  Falls back to raw walls when either side lacks a
     calibration (pre-r15 history).
 
+    `calib_shuffle_s` is this run's exchange-path calibration
+    (tools/calibration.calibrate_shuffle, line-level).  When BOTH it
+    and a shuffle-calibrated prior exist for a query, a CPU-tier wall
+    flag must ALSO hold under the shuffle normalization
+    (wall / calib_shuffle vs factor x best prior rate) to count — the
+    r16 live lesson: dedup_canonical_docs read 2.0x per CPU-calib with
+    byte-identical telemetry during an IO-path-degraded regime the
+    pure-arithmetic tier cannot see (the same blind spot bench.py's
+    regression_scale closes with its most-forgiving-tier rule).  With
+    no shuffle reference (pre-r16 history) the CPU tier alone decides,
+    exactly as before.
+
     Escalation reads the newest prior record from a STRICTLY EARLIER
     round than `cur_round` (a same-round re-run — which happens, three
     round-12 lines exist in history — must not turn one noisy wall
@@ -292,6 +333,7 @@ def classify(
         priors if plan_priors is None else plan_priors, tag
     )
     best_rate = _best_rate(priors, tag)
+    best_rate_sh = _best_rate_shuffle(priors, tag)
     latest_flagged = _earlier_round_wall_flags(priors, cur_round)
 
     regressed: list[dict] = []
@@ -357,6 +399,19 @@ def classify(
                 "wall_per_calib": round(wall / cur_calib, 2),
                 "prior_best_per_calib": round(rate_ref, 2),
             }
+            # shuffle-tier veto: a CPU-tier flag that the exchange-path
+            # normalization fully explains is host weather, not code
+            sh_ref = best_rate_sh.get(q)
+            if flagged and calib_shuffle_s and sh_ref is not None:
+                sh_flagged = (wall / calib_shuffle_s) > factor * sh_ref
+                entry["wall_per_calib_shuffle"] = round(
+                    wall / calib_shuffle_s, 2
+                )
+                entry["prior_best_per_calib_shuffle"] = round(sh_ref, 2)
+                if not sh_flagged:
+                    entry["cleared_by"] = "shuffle_tier"
+                    wall_watch.append(entry)  # visible, but never escalates
+                    continue
         elif ref_best is not None:
             flagged = wall > factor * ref_best
             entry = {
@@ -439,6 +494,7 @@ def classify_stream(
     cur_round: int | None = None,
     plan_priors: list[dict] | None = None,
     calib_s: float | None = None,
+    calib_shuffle_s: float | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """(regressed, wall_watch) for the streaming row.  The replay is
     deterministic end-to-end (fixed feed, seeded quantizer, range
@@ -511,6 +567,13 @@ def classify_stream(
     if not isinstance(wall, (int, float)):
         return [], []
     cur_calib = cur.get("calib_s", calib_s)
+    sh_rates = [
+        r["stream"]["merge_total_s"] / r["calib_shuffle_s"]
+        for r in recs
+        if isinstance(r["stream"].get("merge_total_s"), (int, float))
+        and isinstance(r.get("calib_shuffle_s"), (int, float))
+        and r["calib_shuffle_s"] > 0
+    ]
     if cur_calib and rates:
         flagged = (wall / cur_calib) > factor * min(rates)
         entry = {
@@ -521,6 +584,14 @@ def classify_stream(
             "wall_per_calib": round(wall / cur_calib, 2),
             "prior_best_per_calib": round(min(rates), 2),
         }
+        # shuffle-tier veto, same contract as `classify`'s wall tier
+        if flagged and calib_shuffle_s and sh_rates:
+            sh_flagged = (wall / calib_shuffle_s) > factor * min(sh_rates)
+            entry["wall_per_calib_shuffle"] = round(wall / calib_shuffle_s, 2)
+            entry["prior_best_per_calib_shuffle"] = round(min(sh_rates), 2)
+            if not sh_flagged:
+                entry["cleared_by"] = "shuffle_tier"
+                return [], [entry]
     elif walls:
         flagged = wall > factor * min(walls)
         entry = {
@@ -622,6 +693,7 @@ def main() -> int:
         cur_round=current_round(),
         plan_priors=prior_records(replicas, rebased=False),
         calib_s=calib_s,
+        calib_shuffle_s=calib_shuffle_s,
     )
     stream_rec = None
     if "--no-stream" not in sys.argv:
@@ -632,6 +704,7 @@ def main() -> int:
             cur_round=current_round(),
             plan_priors=prior_records(None, rebased=False),
             calib_s=calib_s,
+            calib_shuffle_s=calib_shuffle_s,
         )
         regressed.extend(s_reg)
         wall_watch.extend(s_watch)
