@@ -156,6 +156,7 @@ def training_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition — including stage ORDER — is what this query gates.
     Output: one row per surviving training document with its packed
     bin assignment."""
+    from tweets_spark_top_10_spark.functions.cachectl import persist_tracked
     from tweets_spark_top_10_spark.functions.dedup import (
         connected_components,
         exact_dedup,
@@ -198,11 +199,20 @@ def training_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__n") >= 5)
         .select("doc_id")
     )
-    clean = lang_ok.join(contaminated, "doc_id", "left_anti")
+    # `clean` fans out into three consumers (the exact-dedup keeper
+    # set, the near-dup pair stage, and the survivor projection), and
+    # the iterative CC downstream triggers several jobs — without a
+    # persist every one of them re-runs the langid/quality/
+    # decontamination chain from the scan (measured 2x the query wall
+    # at sf0.1).  Tracked persist, narrow rows; at 100 TB this is the
+    # stage boundary a production pipeline checkpoints to storage.
+    clean = lang_ok.join(contaminated, "doc_id", "left_anti").transform(
+        persist_tracked
+    )
 
     # stage 3: exact dedup — keep min doc_id per normalized content hash
     keepers = exact_dedup(clean, "text", "doc_id").select("doc_id")
-    kd = clean.join(keepers, "doc_id")
+    kd = clean.join(keepers, "doc_id").transform(persist_tracked)
 
     # stage 4: near-dup collapse at Jaccard >= 0.5, keep the cluster's
     # best-quality member (ties -> min doc_id)
