@@ -44,6 +44,7 @@ CROSS_JOIN_OK = {
     "lang_mixture_weights",  # broadcast 1-row total into the share computation
     "maxsim_label_top3",  # broadcast 50-row multi-vector query set x candidates
     "hybrid_rrf_top5",  # broadcast 5-row query grid/vectors x candidates
+    "approx_quantile_gate",  # final assembly of 1-row exact/approx aggregates
 }
 
 
@@ -55,6 +56,8 @@ GLOBAL_WINDOW_OK = {
     "doc_token_ids": 1,
     # same, global_running_sum over the per-slot size table
     "curriculum_interleave": 1,
+    # per-range-partition offset table of exact_quantiles' rank pass
+    "approx_quantile_gate": 1,
 }
 
 

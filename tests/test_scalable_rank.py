@@ -111,3 +111,28 @@ def test_no_corpus_sized_single_partition_window(spark):
                 f"unpartitioned window not on the __pid offset table: {line}"
             )
     spark.catalog.clearCache()
+
+
+def test_exact_quantiles_bit_identical_to_builtin_percentile(spark):
+    """exact_quantiles must replay the builtin `percentile`
+    interpolation BIT-FOR-BIT (it replaced the builtin in
+    approx_quantile_gate r16; the oracle hash rides on equality) —
+    including positions landing exactly on an order statistic and a
+    skewed, tie-heavy value column."""
+    from tweets_spark_top_10_spark.operators.scalable_rank import (
+        exact_quantiles,
+    )
+
+    df = _skewed_df(spark, n=1_001).select(
+        "token", F.col("cnt").cast("double").alias("v")
+    )
+    qs = [0.0, 0.25, 0.49, 0.5, 0.513, 0.9, 1.0]
+    want = df.agg(
+        F.expr(
+            "percentile(v, array(" + ", ".join(str(q) for q in qs) + "))"
+        ).alias("e")
+    ).collect()[0]["e"]
+    got_row = exact_quantiles(df, "v", ["v", "token"], qs).collect()[0]
+    got = [got_row[f"e{i}"] for i in range(len(qs))]
+    assert got == list(want), (got, want)
+    spark.catalog.clearCache()

@@ -147,6 +147,79 @@ def global_row_number(
     )
 
 
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    order_by: list[Column | str],
+    quantiles: list[float],
+    out_prefix: str = "e",
+) -> DataFrame:
+    """One row of EXACT interpolated quantiles of ``value_col``
+    (columns ``{out_prefix}0..{out_prefix}{k-1}``, one per entry of
+    ``quantiles``), computed with full parallelism — the distributed
+    replacement for the builtin ``percentile``, which buffers the
+    ENTIRE column inside a single aggregation buffer (3-task partials
+    + a one-task merge holding every value at once: a memory cliff on
+    anything corpus-proportional, and the exact shape guide §5 bans).
+
+    Execution: one range exchange + per-partition sort assigns global
+    ranks (:func:`global_row_number`), a broadcast of the <=2k probe
+    rows picks the two order statistics around each quantile position,
+    and a metadata-sized aggregate interpolates.  The interpolation
+    REPLAYS Spark's ``percentile`` arithmetic bit-for-bit —
+    ``pos = q * (n-1)``;
+    ``(ceil(pos) - pos) * v[floor(pos)] + (pos - floor(pos)) * v[ceil(pos)]``
+    over the 0-based sorted values — so swapping this in for the
+    builtin changes NOTHING about emitted doubles (r16: verified
+    bit-identical on lineitem at sf0.001/0.01/0.1), only the plan.
+
+    ``order_by`` must start with ``value_col`` and be a total order
+    (unique per row — the :func:`global_row_number` contract); ties in
+    ``value_col`` are fine because the value AT a rank is invariant to
+    how a run of equal values is ordered internally.
+    """
+    ranked = global_row_number(
+        df.select(value_col, *[c for c in order_by if c != value_col]),
+        order_by,
+        "__rn",
+        start=0,
+    )
+    n1 = df.agg((F.count(value_col) - 1).cast("double").alias("__n1"))
+    qarr = F.array(*[F.lit(float(q)) for q in quantiles])
+    probes = (
+        n1.select(F.explode(qarr).alias("__q"), "__n1")
+        .select("__q", (F.col("__q") * F.col("__n1")).alias("__pos"))
+        .select(
+            "__q",
+            "__pos",
+            F.floor("__pos").cast("long").alias("__lo"),
+            F.ceil("__pos").cast("long").alias("__hi"),
+        )
+        .select(
+            "__q", "__pos", "__lo", "__hi",
+            F.explode(F.array("__lo", "__hi")).alias("__idx"),
+        )
+    )
+    hit = ranked.join(F.broadcast(probes), ranked["__rn"] == probes["__idx"])
+    v = F.col(value_col)
+    per_q = hit.groupBy("__q", "__pos", "__lo", "__hi").agg(
+        F.min(F.when(F.col("__rn") == F.col("__lo"), v)).alias("__vlo"),
+        F.min(F.when(F.col("__rn") == F.col("__hi"), v)).alias("__vhi"),
+    )
+    interp = F.when(F.col("__lo") == F.col("__hi"), F.col("__vlo")).otherwise(
+        (F.col("__hi").cast("double") - F.col("__pos")) * F.col("__vlo")
+        + (F.col("__pos") - F.col("__lo").cast("double")) * F.col("__vhi")
+    )
+    return per_q.groupBy().agg(
+        *[
+            F.min(F.when(F.col("__q") == float(q), interp)).alias(
+                f"{out_prefix}{i}"
+            )
+            for i, q in enumerate(quantiles)
+        ]
+    )
+
+
 def global_running_sum(
     df: DataFrame,
     order_by: list[Column | str],

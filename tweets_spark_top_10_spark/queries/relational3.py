@@ -486,28 +486,38 @@ def approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     [q-0.01, q+0.01] exact-quantile band checked here.  The query emits
     the exact percentiles (which DuckDB replays) plus the in-band
     booleans the oracle asserts."""
+    from tweets_spark_top_10_spark.operators.scalable_rank import (
+        exact_quantiles,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    # ONE exact-percentile aggregate for all six band points and ONE
-    # sketch for both quantiles: each exact `percentile` call buffers
-    # the full column, so two calls doubled the dominant cost
-    # (measured ~2x at sf0.1 — the exact side is the whole query).
-    agg = li.agg(
+    # Exact side: distributed order statistics (range sort + rank
+    # probe, operators/scalable_rank.exact_quantiles) instead of the
+    # builtin `percentile`, which buffers the FULL column in one
+    # aggregation buffer — the guide §5 single-buffer cliff, and 2.5s
+    # of the 3.8s query wall at sf0.1 (r16: 1.5s distributed,
+    # bit-identical doubles at every SF).  One sketch for both approx
+    # quantiles, same 10000-accuracy contract as before.
+    exact = exact_quantiles(
+        li,
+        "l_extendedprice",
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        [0.49, 0.50, 0.51, 0.89, 0.90, 0.91],
+    )
+    approx = li.agg(
         F.expr(
             "percentile_approx(l_extendedprice, array(0.50, 0.90), 10000)"
-        ).alias("a"),
-        F.expr(
-            "percentile(l_extendedprice,"
-            " array(0.49, 0.50, 0.51, 0.89, 0.90, 0.91))"
-        ).alias("e"),
+        ).alias("a")
     )
-    return agg.select(
-        F.round(F.col("e")[1], 4).alias("p50_exact"),
+    # 1-row x 1-row assembly (the simhash_invariants precedent).
+    return approx.crossJoin(exact).select(
+        F.round(F.col("e1"), 4).alias("p50_exact"),
         (
-            (F.col("a")[0] >= F.col("e")[0]) & (F.col("a")[0] <= F.col("e")[2])
+            (F.col("a")[0] >= F.col("e0")) & (F.col("a")[0] <= F.col("e2"))
         ).alias("p50_in_band"),
-        F.round(F.col("e")[4], 4).alias("p90_exact"),
+        F.round(F.col("e4"), 4).alias("p90_exact"),
         (
-            (F.col("a")[1] >= F.col("e")[3]) & (F.col("a")[1] <= F.col("e")[5])
+            (F.col("a")[1] >= F.col("e3")) & (F.col("a")[1] <= F.col("e5"))
         ).alias("p90_in_band"),
     )
 

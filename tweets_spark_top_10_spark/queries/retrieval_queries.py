@@ -51,10 +51,15 @@ _DVEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
                   * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
       FROM q CROSS JOIN c
     ), m AS (
-      SELECT q_label, q_vec, cand_label, MAX(cos_sim) AS mx
+      SELECT q_label, q_vec, cand_label,
+             CAST(ROUND(MAX(cos_sim) * 1000000) AS BIGINT) AS mxi
       FROM s GROUP BY 1, 2, 3
     ), sc AS (
-      SELECT q_label, cand_label, ROUND(SUM(mx), 4) AS maxsim
+      SELECT q_label, cand_label,
+             CASE WHEN SUM(mxi) >= 0
+                  THEN FLOOR((CAST(SUM(mxi) AS DOUBLE) + 50) / 100)
+                  ELSE -FLOOR((-CAST(SUM(mxi) AS DOUBLE) + 50) / 100)
+             END / 10000.0 AS maxsim
       FROM m GROUP BY 1, 2
     )
     SELECT q_label, cand_label, maxsim, rank FROM (
@@ -80,6 +85,16 @@ def maxsim_label_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     from tweets_spark_top_10_spark.functions.similarity import dot, l2_norm
 
+    # The MaxSim sum runs in exact integer MICRO-UNITS: the 6-digit-
+    # rounded cosines are exact multiples of 1e-6, so SUM over their
+    # scaled integers is order-independent, and the 4-digit rounding
+    # happens in integer arithmetic (half away from zero — the ROUND
+    # semantics of both engines).  ROUND(SUM(double), 4) was NOT
+    # order-independent: symmetric cosine sums land exactly on 4-digit
+    # halves (observed 1.68855 at sf0.01), where add-order noise —
+    # which varies per partial-aggregation schedule — decided the
+    # rounding direction (r16 inherited-state fix: the query was
+    # nondeterministic run-to-run, not just cross-engine).
     q = emb.filter(F.col("vec_id") < 50).select(
         F.col("label").alias("q_label"),
         F.col("vec_id").alias("q_vec"),
@@ -98,10 +113,14 @@ def maxsim_label_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_label", "q_vec", "cand_label", cos.alias("cos_sim")
     )
     per_qvec = scored.groupBy("q_label", "q_vec", "cand_label").agg(
-        F.max("cos_sim").alias("mx")
+        F.round(F.max("cos_sim") * 1000000).cast("long").alias("mxi")
+    )
+    s_sum = F.sum("mxi").cast("double")
+    half_away = F.when(s_sum >= 0, F.floor((s_sum + 50) / 100)).otherwise(
+        -F.floor((-s_sum + 50) / 100)
     )
     sc = per_qvec.groupBy("q_label", "cand_label").agg(
-        F.round(F.sum("mx"), 4).alias("maxsim")
+        (half_away / 10000.0).alias("maxsim")
     )
     w = Window.partitionBy("q_label").orderBy(
         F.desc("maxsim"), F.asc("cand_label")
