@@ -571,10 +571,15 @@ def connected_components(
     nodes = (
         e0.select(F.explode(F.array("u", "v")).alias("node")).distinct()
     )
+    # LAZY checkpoints throughout the iteration (r16): each round's
+    # convergence probe is an action over the fresh edge set anyway, so
+    # it doubles as the checkpoint materialization — eager=True paid a
+    # separate materialization job per round (2 jobs/round -> 1; the
+    # lineage truncation on first action is identical).
     e = (
         e0.filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sig = None
     for it in range(max_iter):
@@ -625,7 +630,7 @@ def connected_components(
             .filter(F.col("x.a") != F.col("x.b"))
             .select(F.col("x.a").alias("u"), F.col("x.b").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # Convergence: the (distinct) edge set is a fixed point iff its
         # (count, order-independent hash-xor) signature stopped moving —

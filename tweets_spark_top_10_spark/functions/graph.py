@@ -15,8 +15,8 @@ Scale shape per iteration:
 - one node-spine left join to re-inject nodes with no inbound mass.
 
 Lineage discipline mirrors ``connected_components``: each iteration
-``localCheckpoint(eager=True)`` truncates the plan so K iterations
-cost K bounded jobs, not one exponentially nested plan.  Iteration
+``localCheckpoint`` (lazy, r16) truncates the plan so K iterations
+cost K bounded stages, not one exponentially nested plan.  Iteration
 count is FIXED (the catalog query unrolls the same count in SQL) —
 convergence-driven stopping would need a driver-side delta check per
 round (one scalar collect), which callers can layer on top.
@@ -62,10 +62,15 @@ def pagerank(
     out_w = norm.groupBy("src").agg(F.sum("w").alias("ow"))
     # transition weight per edge, fixed across iterations — persist it
     # once instead of re-deriving the join every round
+    # LAZY checkpoints for the fixed-count iteration (r16): nothing
+    # needs these materialized before the final action, so eager=True
+    # paid one driver-blocking job per round at query-construction
+    # time; lazy keeps the same lineage truncation but lets the final
+    # action drive the whole K-round DAG.
     trans = (
         norm.join(out_w, "src")
         .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     teleport = (1.0 - damping) / n_nodes
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
@@ -84,6 +89,6 @@ def pagerank(
                     + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks
