@@ -350,7 +350,7 @@ def opq_swap_descent(
 def apply_permutation(
     df: DataFrame,
     id_col: str,
-    perm: DataFrame,
+    perm: DataFrame | list,
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Reorder every vector by a (old_pos, new_pos) permutation table.
@@ -365,14 +365,18 @@ def apply_permutation(
     the single largest stage of the inline OPQ queries at sf0.1.)
 
     The collect is dim rows — metadata, not data (the LUT-collect
-    precedent).  Raises if the table is not a bijection over 1..dim:
+    precedent).  ``perm`` may also be a PRE-COLLECTED row list so a
+    caller permuting several tables (queries + candidates) collects the
+    variance pipeline once instead of once per side (r16: the second
+    collect was a whole extra job + plan analysis for the same 64
+    rows).  Raises if the table is not a bijection over 1..dim:
     the relational form silently dropped/duplicated values on a
     malformed permutation (the failure mode
     ``test_opq_permutation_is_bijection`` guards against); a loud
     failure is strictly safer.  Values are untouched (pure reorder), so
     the relational DuckDB oracles replay it unchanged.
     """
-    rows = perm.collect()
+    rows = perm if isinstance(perm, list) else perm.collect()
     old_of_new = {int(r["new_pos"]): int(r["old_pos"]) for r in rows}
     dim = len(rows)
     if sorted(old_of_new) != list(range(1, dim + 1)) or sorted(

@@ -884,7 +884,11 @@ def pq_adc_lloyd_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query must stay job-free, and plan inspection before execution
     # (tests/test_plan_audit.py) must still see the refine pipeline's
     # operators rather than a bare checkpoint scan.  At scale the
-    # refined book is a written artifact.
+    # refined book is a written artifact.  (r16 measured the
+    # driver-localized alternative — collect + LocalRelation broadcast —
+    # at 5.3-6.0s vs 4.5-4.7s for this form, interleaved min-of-3: the
+    # blocking collect serializes the refine against the query-side
+    # stages that the lazy checkpoint lets run concurrently.  Kept.)
     refined = pq_codebook_refine(cands, seed).localCheckpoint(eager=False)
     return pq_adc_topk(queries, cands, k=5, codebook=refined)
 
@@ -1069,16 +1073,19 @@ def pq_adc_opq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     q0 = _normed(emb, "query_id", 0, 10)
     c0 = _normed(emb, "neighbor_id", 10, None)
     # The permutation is a 64-row metadata artifact reused by both
-    # reorders; lazy-checkpoint it so the variance aggregate runs once
-    # and its lineage doesn't re-analyze per consumer.
-    perm = opq_permutation(c0).localCheckpoint(eager=False)
-    queries = apply_permutation(q0, "query_id", perm)
+    # reorders; collect it ONCE and bake both projections from the same
+    # rows (r16 — the prior lazy-checkpoint form still paid a second
+    # collect job + plan analysis for the candidates side).
+    perm_rows = opq_permutation(c0).collect()
+    queries = apply_permutation(q0, "query_id", perm_rows)
     cands = (
-        apply_permutation(c0, "neighbor_id", perm)
+        apply_permutation(c0, "neighbor_id", perm_rows)
         .repartition(spark.sparkContext.defaultParallelism, "neighbor_id")
         .transform(persist_tracked)
     )
     seed = pq_codebook(cands)
+    # Lazy-checkpointed book, NOT driver-localized: see
+    # pq_adc_lloyd_top5 for the measured comparison.
     refined = pq_codebook_refine(cands, seed).localCheckpoint(eager=False)
     return pq_adc_topk(queries, cands, k=5, codebook=refined)
 
@@ -1135,10 +1142,13 @@ def pq_adc_opq_rerank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q0 = _normed(emb, "query_id", 0, 10)
     c0 = _normed(emb, "neighbor_id", 10, None)
-    perm = opq_permutation(c0).localCheckpoint(eager=False)
-    queries = apply_permutation(q0, "query_id", perm)
+    # One collect serves both permuted projections (see
+    # pq_adc_opq_top5); the refined book stays a lazy checkpoint (see
+    # pq_adc_lloyd_top5 for the measured driver-localized rejection).
+    perm_rows = opq_permutation(c0).collect()
+    queries = apply_permutation(q0, "query_id", perm_rows)
     cands = (
-        apply_permutation(c0, "neighbor_id", perm)
+        apply_permutation(c0, "neighbor_id", perm_rows)
         .repartition(spark.sparkContext.defaultParallelism, "neighbor_id")
         .transform(persist_tracked)
     )
