@@ -251,6 +251,7 @@ def minhash_band_pairs(
     num_tables: int = 8,
     seed: int = 42,
     shingles: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via hand-rolled MinHash banding.
 
@@ -275,12 +276,21 @@ def minhash_band_pairs(
     scan/explode is shared with the exact rerank — at scale this is a
     materialized intermediate, computed once per corpus.
 
+    ``signatures``: optionally pass a prepared WIDE signature table
+    (:func:`minhash_signatures` output, extra columns like ``n_sh``
+    ignored) — the caller persists it and shares the one signature
+    aggregate with whatever else consumes it (e.g. the rerank's
+    denominator counts); the internal long-format persist is skipped
+    in that case because the source is already cached upstream.
+
     Output: (id_a, id_b) candidate pairs with id_a < id_b, distinct
     across tables.  Callers compute exact similarity on candidates via
     :func:`lsh_exact_rerank`.
     """
-    wide = minhash_signatures(
-        df, text_col, id_col, n, num_tables, seed, shingles
+    wide = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, text_col, id_col, n, num_tables, seed, shingles)
     )
     sig = (
         wide.select(
@@ -297,8 +307,9 @@ def minhash_band_pairs(
             ).alias("e"),
         )
         .select(F.col(id_col), F.col("e.t").alias("t"), F.col("e.mh").alias("mh"))
-        .transform(persist_tracked)
     )
+    if signatures is None:
+        sig = sig.transform(persist_tracked)
     a = sig.select(F.col(id_col).alias("id_a"), "t", "mh")
     b = sig.select(F.col(id_col).alias("id_b"), "t", "mh")
     return (
@@ -317,6 +328,7 @@ def minhash_signatures(
     num_tables: int = 8,
     seed: int = 42,
     shingles: DataFrame | None = None,
+    with_count: bool = False,
 ) -> DataFrame:
     """Wide per-document MinHash signature: (id, mh0..mh{t-1}).
 
@@ -327,13 +339,21 @@ def minhash_signatures(
     signature depends only on its own text, so signatures are
     incrementally maintainable: new/changed docs re-sketch, everything
     else is untouched.
+
+    ``with_count`` adds ``n_sh`` (the per-doc distinct-shingle count)
+    as one more column of the SAME aggregate: the exact-rerank's
+    Jaccard denominator needs that count anyway, and computing it here
+    deletes a whole second corpus aggregate over the shingle table
+    (same groupBy key, same shuffle) from the banding+rerank pipeline.
     """
     sh = shingles if shingles is not None else shingle_table(df, text_col, id_col, n)
-    mins = [
+    aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"mh{i}")
         for i in range(num_tables)
     ]
-    return sh.groupBy(id_col).agg(*mins)
+    if with_count:
+        aggs.append(F.count(F.lit(1)).alias("n_sh"))
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_exact_rerank(
@@ -344,6 +364,7 @@ def lsh_exact_rerank(
     n: int = 3,
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard computed on CANDIDATE pairs only.
 
@@ -358,6 +379,11 @@ def lsh_exact_rerank(
     ``shingles``: optionally pass a prepared (id, shingle) table shared
     with candidate generation (it is referenced three times here —
     persist it at the call site).
+    ``counts``: optionally pass precomputed per-doc distinct-shingle
+    counts as (id_col, n_sh) — e.g. the ``n_sh`` column of
+    ``minhash_signatures(with_count=True)`` — so the Jaccard
+    denominator reuses the signature aggregate instead of running a
+    second corpus aggregate over the shingle table.
     """
     sh = shingles if shingles is not None else shingle_table(df, text_col, id_col, n)
     # Identity-only use from here on (counts + intersection equi-join):
@@ -366,7 +392,10 @@ def lsh_exact_rerank(
     # call-site-persisted) raw table — cache reuse is preserved, and the
     # MinHash banding that shares the raw table keeps its own seeds.
     sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if counts is None:
+        counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    else:
+        counts = counts.select(F.col(id_col), F.col("n_sh"))
     pa = pairs.select("id_a", "id_b").distinct()
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))

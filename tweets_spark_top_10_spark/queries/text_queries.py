@@ -472,6 +472,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_spark_top_10_spark.functions.dedup import (
         collapse_exact_dups,
         expand_rep_pairs,
+        minhash_signatures,
         shingle_table,
     )
 
@@ -486,20 +487,32 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the true-all-pairs oracle above is unchanged.
     reps, members = collapse_exact_dups(docs, "text", "doc_id")
     # One shingle table shared by banding and rerank (it is referenced
-    # four times across the two phases) — at scale, a materialized
+    # three times across the two phases) — at scale, a materialized
     # per-corpus intermediate; in-session, persist.
     sh = shingle_table(reps, "text", "doc_id", n=3).transform(persist_tracked)
-    cands = minhash_band_pairs(reps, "text", "doc_id", n=3, shingles=sh)
+    # ONE signature aggregate serves three consumers (r16): the banding
+    # explode, the rerank's Jaccard-denominator counts (`n_sh` rides the
+    # same groupBy — previously a second corpus aggregate over sh), and
+    # the ≥1-shingle expansion gate (a doc has a signature row iff it
+    # produced a shingle — previously a separate re-tokenize pass over
+    # reps).
+    wide = minhash_signatures(
+        reps, "text", "doc_id", 3, 8, 42, shingles=sh, with_count=True
+    ).transform(persist_tracked)
+    cands = minhash_band_pairs(
+        reps, "text", "doc_id", n=3, shingles=sh, signatures=wide
+    )
     rep_pairs = lsh_exact_rerank(
-        reps, cands, "text", "doc_id", n=3, threshold=0.5, shingles=sh
+        reps,
+        cands,
+        "text",
+        "doc_id",
+        n=3,
+        threshold=0.5,
+        shingles=sh,
+        counts=wide.select("doc_id", "n_sh"),
     )
-    # Reps with ≥1 shingle — the within-group expansion gate (shingle-
-    # less docs never enter the pair space).  ROW-LOCAL: a doc yields a
-    # 3-gram iff it has ≥3 tokens, so the gate is a filter over reps —
-    # no corpus-wide distinct over the shingle table.
-    rep_sh_ids = reps.filter(F.size(tokenize(F.col("text"))) >= 3).select(
-        "doc_id"
-    )
+    rep_sh_ids = wide.select("doc_id")
     return expand_rep_pairs(rep_pairs, members, rep_sh_ids, "doc_id")
 
 
