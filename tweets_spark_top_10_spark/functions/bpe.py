@@ -39,9 +39,10 @@ Scale design (the part that must survive 100 TB):
   two slices — no UDF), one ``groupBy(l, r).sum(freq)`` with map-side
   partial aggregation, one TakeOrdered(1) argmax (a bounded ONE-ROW
   collect, same class as the CC convergence signature), one narrow
-  replace.  ``localCheckpoint(eager=True)`` per round truncates
-  lineage so K rounds cost K bounded jobs (the
-  ``functions/graph.pagerank`` discipline).
+  replace.  A LAZY ``localCheckpoint`` per round truncates lineage so
+  K rounds cost K bounded jobs — the next round's argmax collect
+  doubles as the materialization (the ``functions/graph.pagerank``
+  discipline, both made lazy in r16).
 - **Determinism**: counts are integers; argmax ties break on
   (count DESC, lhs ASC, rhs ASC) — byte-order string comparison in
   both engines — so the merge sequence replays exactly in the unrolled
@@ -141,7 +142,12 @@ def learn_from_words(
     corpus (``streaming/bpe.py``)."""
     if merges < 1:
         raise ValueError(f"merges must be >= 1, got {merges}")
-    words = words.localCheckpoint(eager=True)
+    # LAZY checkpoints throughout (r16): each round's TakeOrdered
+    # collect is an action over the current word table anyway, so it
+    # doubles as the checkpoint materialization of the previous round's
+    # replace — eager=True paid a separate driver-blocking job per
+    # round (2 jobs/round -> 1; lineage truncation is identical).
+    words = words.localCheckpoint(eager=False)
 
     learned: list[tuple[int, str, str, int]] = []
     for rank in range(1, merges + 1):
@@ -162,7 +168,7 @@ def learn_from_words(
                 F.lit(f" {lhs}  {rhs} "),
                 F.lit(f" {lhs}{rhs} "),
             ),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return learned, words
 
 
@@ -222,7 +228,9 @@ def learn_from_words_batched(
         raise ValueError(f"batch must be >= 1, got {batch}")
     if window_factor < 1:
         raise ValueError(f"window_factor must be >= 1, got {window_factor}")
-    words = words.localCheckpoint(eager=True)
+    # Lazy checkpoints, same as learn_from_words (r16): the per-round
+    # candidate collect materializes the previous round's replace.
+    words = words.localCheckpoint(eager=False)
     learned: list[tuple[int, str, str, int]] = []
     window = window_factor * batch
     for _ in range(rounds):
@@ -250,7 +258,7 @@ def learn_from_words_batched(
             expr = F.replace(
                 expr, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} ")
             )
-        words = words.withColumn("s", expr).localCheckpoint(eager=True)
+        words = words.withColumn("s", expr).localCheckpoint(eager=False)
     return learned, words
 
 
