@@ -90,9 +90,17 @@ def word_frequency_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ``s`` is the word's symbol sequence with every symbol owning its
     boundary spaces (``' h  e  l  l  o '``) — symbols never contain
     whitespace because words come from a whitespace split, so plain
-    replace of ``' l  r '`` is canonical non-overlapping pairing."""
+    replace of ``' l  r '`` is canonical non-overlapping pairing.
+
+    The corpus is fanned out first when its scan is narrower than the
+    core count (``spread_scan``, a no-op at cluster scale) so the
+    tokenize/explode runs parallel instead of on the fixture's single
+    scan split."""
+    from tweets_spark_top_10_spark.functions.spread import spread_scan
+
     return (
-        docs.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        spread_scan(docs)
+        .select(F.explode(tokenize(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(

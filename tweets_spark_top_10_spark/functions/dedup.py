@@ -91,7 +91,17 @@ def shingle_table(
     of every downstream shingle-keyed operator — the hot-shingle
     DF-cap aggregate and BOTH sides of the candidate equi-join — so
     the whole n-gram pipeline runs off ONE exchange of the shingle
-    table instead of three."""
+    table instead of three.
+
+    The source is fanned out first when its scan arrives narrower than
+    the core count (``spread_scan`` — a conditional no-op at cluster
+    scale): the tokenize/shingle/explode chain runs BEFORE the first
+    exchange, and on the single-split fixture files it otherwise
+    serializes on one core (r16: the single biggest stage of every
+    shingle consumer at sf0.1)."""
+    from tweets_spark_top_10_spark.functions.spread import spread_scan
+
+    df = spread_scan(df)
     toks = tokenize(F.col(text_col))
     out = df.select(
         F.col(id_col),

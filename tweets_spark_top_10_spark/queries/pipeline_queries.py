@@ -175,8 +175,14 @@ def training_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = F.col("doc_id") % 50 == 0
 
     # stage 1: per-row scoring + language gate (eval docs are the
-    # benchmark, never training output)
-    lang_ok = docs.select(
+    # benchmark, never training output).  The scoring chain is the
+    # pipeline's heaviest per-row expression work and ran entirely in
+    # the fixture's single scan split (2.8s one-task at sf0.1);
+    # spread_scan fans it across cores and is a no-op on cluster-scale
+    # scans.
+    from tweets_spark_top_10_spark.functions.spread import spread_scan
+
+    lang_ok = spread_scan(docs).select(
         "doc_id",
         "text",
         language_id(toks).alias("lang_pred"),
@@ -185,14 +191,23 @@ def training_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter((F.col("lang_pred") == "en") & ~is_eval)
 
     # stage 2: decontamination — >= 5 distinct 3-gram shingles shared
-    # with the eval set drops the doc (broadcast: eval sets are tiny)
+    # with the eval set drops the doc (broadcast: eval sets are tiny).
     ev_shingles = (
         shingle_table(docs.filter(is_eval), "text", "doc_id", 3)
         .select("shingle")
         .distinct()
     )
+    # Contamination is computed over ALL non-eval docs, not the
+    # lang-gated set (r16): the ids it finds are anti-joined against
+    # lang_ok below, so a contaminated non-en doc is dropped either way
+    # and the result set is IDENTICAL (measured equal at sf0.1; oracle
+    # re-verified) — but shingling `lang_ok` forced a SECOND evaluation
+    # of the whole langid scoring chain under this branch (Catalyst
+    # prunes the quality columns but the lang_pred filter still runs),
+    # measured 3.28s -> 2.99s warm min-of-3 for the clean-stage
+    # materialization.  The branch now depends only on the raw scan.
     contaminated = (
-        shingle_table(lang_ok, "text", "doc_id", 3)
+        shingle_table(docs.filter(~is_eval), "text", "doc_id", 3)
         .join(F.broadcast(ev_shingles), "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("__n"))

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tweets_spark_top_10_spark.functions.cachectl import persist_tracked
+from tweets_spark_top_10_spark.functions.spread import spread_scan
 from tweets_spark_top_10_spark.functions.dedup import (
     exact_dedup,
     lsh_exact_rerank,
@@ -245,7 +246,9 @@ def doc_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking is on the ROUNDED score + token tie-break, so ordering is
     engine-independent."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # spread_scan: parallelize the tokenize/explode feeding both
+    # aggregates (no-op at scale).
+    toks = spread_scan(docs).select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -408,7 +411,11 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword lists."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
-    return docs.select("doc_id", "lang", language_id(toks).alias("lang_pred"))
+    # spread_scan: the stopword-overlap scoring is the whole query and
+    # otherwise runs in the single scan split (no-op at scale).
+    return spread_scan(docs).select(
+        "doc_id", "lang", language_id(toks).alias("lang_pred")
+    )
 
 
 @register(
@@ -1425,7 +1432,9 @@ def doc_token_id_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document ``array<long>`` token ids (OOV = -1) — the real
     pipeline output; ``doc_token_ids`` hashes it for the driver gate."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # spread_scan: parallelize the posexplode feeding the vocab count
+    # and the encode join (no-op at scale).
+    toks = spread_scan(docs).select(
         "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "token")
     )
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).where(
@@ -1592,9 +1601,11 @@ def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens carry no repetition signal and are excluded on BOTH
     engines."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("arr")).where(
-        F.size("arr") >= 3
-    )
+    # spread_scan: the double-ngram explode+hash below otherwise runs
+    # entirely in the fixture's single scan split (no-op at scale).
+    toks = spread_scan(docs).select(
+        "doc_id", tokenize(F.col("text")).alias("arr")
+    ).where(F.size("arr") >= 3)
     tag = lambda n_val, col: F.transform(  # noqa: E731
         col, lambda gm: F.struct(F.lit(n_val).alias("n"), gm.alias("gram"))
     )
@@ -1741,9 +1752,11 @@ def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the JOIN side, where it is a semi-join-shaped left join against a
     deduplicated gram list."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("arr")).where(
-        F.size("arr") >= 8
-    )
+    # spread_scan: the 8-token window explode+hash below otherwise runs
+    # in the single scan split (no-op at scale).
+    toks = spread_scan(docs).select(
+        "doc_id", tokenize(F.col("text")).alias("arr")
+    ).where(F.size("arr") >= 8)
     wins = (
         toks.select("doc_id", F.explode(ngrams(F.col("arr"), 8)).alias("gram"))
         .select("doc_id", F.xxhash64("gram").alias("gram"))
