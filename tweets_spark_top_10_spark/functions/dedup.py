@@ -604,9 +604,13 @@ def connected_components(
     # Materialize the (often expensive) upstream pair plan exactly ONCE;
     # everything below — node inventory included — reads the checkpoint,
     # so the returned plan never re-evaluates candidate generation.
+    # Lazy (r16): round 1's convergence collect is the first action over
+    # `e` (which derives from e0), so it materializes this checkpoint
+    # too — eager=True ran the whole candidate pipeline as a separate
+    # blocking job at query-construction time for the same truncation.
     e0 = pairs.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     nodes = (
         e0.select(F.explode(F.array("u", "v")).alias("node")).distinct()
     )

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tweets_spark_top_10_spark.functions.spread import spread_scan
 from tweets_spark_top_10_spark.queries.registry import register
 from tweets_spark_top_10_spark.sources.registry import load_table
 
@@ -101,10 +102,15 @@ def maxsim_label_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("__qv"),
         l2_norm(F.col("embedding")).alias("__qn"),
     )
-    c = emb.filter(F.col("vec_id") >= 50).select(
-        F.col("label").alias("cand_label"),
-        F.col("embedding").alias("__cv"),
-        l2_norm(F.col("embedding")).alias("__cn"),
+    # spread_scan (r16): the broadcast cross join scores where the
+    # candidate side lives — otherwise the fixture's single scan split;
+    # no-op at cluster scale.
+    c = spread_scan(
+        emb.filter(F.col("vec_id") >= 50).select(
+            F.col("label").alias("cand_label"),
+            F.col("embedding").alias("__cv"),
+            l2_norm(F.col("embedding")).alias("__cn"),
+        )
     )
     cos = F.round(
         dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6
@@ -201,7 +207,10 @@ def hybrid_rrf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_spark_top_10_spark.functions.text import tokenize
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # spread_scan (r16): the distinct-token explode feeding both
+    # modalities otherwise runs in the single scan split; no-op at
+    # cluster scale.
+    toks = spread_scan(docs).select(
         "doc_id", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tok")
     )
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
@@ -257,7 +266,7 @@ def hybrid_rrf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("__qv"),
         l2_norm(F.col("embedding")).alias("__qn"),
     )
-    ce = emb.filter(F.col("vec_id") >= 10).select(
+    ce = spread_scan(emb.filter(F.col("vec_id") >= 10)).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("__cv"),
         l2_norm(F.col("embedding")).alias("__cn"),

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tweets_spark_top_10_spark.functions.cachectl import persist_tracked
+from tweets_spark_top_10_spark.functions.spread import spread_scan
 from tweets_spark_top_10_spark.functions.similarity import (
     brute_force_knn,
     ivf_knn,
@@ -76,8 +77,12 @@ def knn_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cands = emb.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("neighbor_id"), "embedding"
+    # spread_scan (r16): candidate-side per-row scoring otherwise runs
+    # in the fixture's single scan split; no-op at cluster scale.
+    cands = spread_scan(
+        emb.filter(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("neighbor_id"), "embedding"
+        )
     )
     return brute_force_knn(queries, cands, k=5)
 
@@ -136,7 +141,11 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast centroid argmin, then this exact same blocked self-join."""
     from tweets_spark_top_10_spark.functions.similarity import dot, l2_norm
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread_scan (r16): both join sides' norm projections and their
+    # shuffle WRITES otherwise run in the fixture's single scan split
+    # (profiled: sum of job durations ~= wall, i.e. one-core execution);
+    # a no-op at cluster scale.
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
     # Norms are per-ROW quantities: compute them once on the n rows
     # before the join, not on the O(n^2/labels) pairs after it.  The
     # arithmetic (double accumulate -> sqrt -> divide) is identical to
@@ -266,8 +275,12 @@ def ivf_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cands = emb.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("neighbor_id"), "embedding"
+    # spread_scan (r16): candidate-side per-row scoring otherwise runs
+    # in the fixture's single scan split; no-op at cluster scale.
+    cands = spread_scan(
+        emb.filter(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("neighbor_id"), "embedding"
+        )
     )
     return ivf_knn(queries, cands, k=5, n_cells=16, n_probe=4)
 
@@ -344,8 +357,12 @@ def lsh_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cands = emb.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("neighbor_id"), "embedding"
+    # spread_scan (r16): candidate-side per-row scoring otherwise runs
+    # in the fixture's single scan split; no-op at cluster scale.
+    cands = spread_scan(
+        emb.filter(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("neighbor_id"), "embedding"
+        )
     )
     return srp_knn(queries, cands, k=5)
 
@@ -747,8 +764,12 @@ def lsh_knn_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cands = emb.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("neighbor_id"), "embedding"
+    # spread_scan (r16): candidate-side per-row scoring otherwise runs
+    # in the fixture's single scan split; no-op at cluster scale.
+    cands = spread_scan(
+        emb.filter(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("neighbor_id"), "embedding"
+        )
     )
     lsh = lsh_knn(queries, cands, k=5).select(
         "query_id", "rank", F.col("l2_dist").alias("lsh_dist")
@@ -1720,8 +1741,13 @@ def rp_ivf_rerank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cands = emb.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("neighbor_id"), "embedding"
+    # spread_scan (r16): the 64->32 JL projection (2048 multiply-adds
+    # per row) and the centroid-probe scoring otherwise run in the
+    # fixture's single scan split; a no-op at cluster scale.
+    cands = spread_scan(
+        emb.filter(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("neighbor_id"), "embedding"
+        )
     )
     return rp_ivf_rerank_knn(queries, cands, k=5, d_out=32, shortlist=50)
 
@@ -1785,8 +1811,12 @@ def rp_ivf_rerank_top5_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cands = emb.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("neighbor_id"), "embedding"
+    # spread_scan (r16): candidate-side per-row scoring otherwise runs
+    # in the fixture's single scan split; no-op at cluster scale.
+    cands = spread_scan(
+        emb.filter(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("neighbor_id"), "embedding"
+        )
     )
     return rp_ivf_rerank_knn(
         queries,
