@@ -626,12 +626,29 @@ def simhash_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
     )
-    n_dups = dup_pairs.agg(F.count(F.lit(1)).alias("n_exact_dup_pairs"))
-    missed = dup_pairs.join(
-        pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
-    ).agg(F.count(F.lit(1)).alias("n_exact_dups_missed"))
+    # ONE aggregate over ONE traversal of the dup-pair join (r16; was a
+    # count aggregate plus a separate anti-join + count): a left join
+    # against the persisted sketch pairs marks found-ness, and the
+    # total / not-found counts ride the same aggregation buffer.
+    # Identical values: COUNT(*) == the old n_dups, COUNT(mark IS NULL)
+    # == the old anti-join count.  (``pairs`` is distinct per (id_a,
+    # id_b) — simhash_near_pairs ends in .distinct() — so the left join
+    # cannot multiply dup_pairs rows.)
+    dup_counts = (
+        dup_pairs.join(
+            pairs.select("id_a", "id_b", F.lit(1).alias("__f")),
+            ["id_a", "id_b"],
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_exact_dup_pairs"),
+            F.count(F.when(F.col("__f").isNull(), 1)).alias(
+                "n_exact_dups_missed"
+            ),
+        )
+    )
 
-    return n_seeded.crossJoin(seeded_found).crossJoin(n_dups).crossJoin(missed)
+    return n_seeded.crossJoin(seeded_found).crossJoin(dup_counts)
 
 
 @register(
