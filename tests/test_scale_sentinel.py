@@ -707,3 +707,18 @@ def test_classify_stream_shuffle_tier_veto():
         cur, [base], cur_round=16, calib_shuffle_s=5.0
     )
     assert reg == [] and "cleared_by" not in watch[0]
+
+
+def test_ui_delta_propagates_failed_samples():
+    """A timed-out spill_totals sample (-1) must yield -1 — the
+    'telemetry missing' marker classify() skips — never a delta against
+    the session's all-time totals (the r16 sentinel's bogus 4.2 GB
+    first-query shuffle_read_mb)."""
+    from tools.scale_probe_100x import ui_delta_mb
+
+    assert ui_delta_mb(-1, 5_000_000) == -1.0
+    assert ui_delta_mb(5_000_000, -1) == -1.0
+    assert ui_delta_mb(-1, -1) == -1.0
+    assert ui_delta_mb(1_000_000, 5_000_000) == 4.0
+    # a counter that shrank (app restart) clamps to 0, not negative
+    assert ui_delta_mb(5_000_000, 1_000_000) == 0.0

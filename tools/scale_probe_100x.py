@@ -126,10 +126,12 @@ def spill_totals(ui: str) -> tuple[int, int, int]:
     Shuffle read tracks the round-8 verdict's flagged scale-killer (the
     raw-string shingle shuffle) shrinking once keys are compacted."""
     try:
-        apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications", timeout=5))
+        # 30s, not 5: under the degraded-regime loads this sentinel is
+        # most valuable in, the 5s REST timeout is what failed (r16).
+        apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications", timeout=30))
         app_id = apps[0]["id"]
         stages = json.load(
-            urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages", timeout=5)
+            urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages", timeout=30)
         )
         return (
             sum(s.get("memoryBytesSpilled", 0) for s in stages),
@@ -139,6 +141,21 @@ def spill_totals(ui: str) -> tuple[int, int, int]:
     except Exception as exc:  # UI metrics are telemetry, not the probe
         print(f"# spill probe failed: {exc}", file=sys.stderr)
         return (-1, -1, -1)
+
+
+def ui_delta_mb(before: int, after: int) -> float:
+    """Windowed MB between two ``spill_totals`` samples.
+
+    A FAILED sample (-1, e.g. a REST timeout under load) must propagate
+    as -1, not silently become a delta against the session's ALL-TIME
+    totals: the r16 sentinel recorded a bogus 4.2 GB "shuffle_read_mb"
+    for its first query when the spill0 call timed out — the run-start
+    shuffle CALIBRATION's bytes, not the query's — which reads as a
+    130x plan regression.  ``classify()`` already skips the plan tier
+    for -1 samples; this makes the probe emit what it means."""
+    if before < 0 or after < 0:
+        return -1.0
+    return round(max(0, after - before) / 1e6, 1)
 
 
 def run_probe(
@@ -203,10 +220,10 @@ def run_probe(
             spill1 = spill_totals(ui)
             rec = {
                 "wall_s": round(best, 2),
-                "spill_mem_mb": round(max(0, spill1[0] - spill0[0]) / 1e6, 1),
-                "spill_disk_mb": round(max(0, spill1[1] - spill0[1]) / 1e6, 1),
+                "spill_mem_mb": ui_delta_mb(spill0[0], spill1[0]),
+                "spill_disk_mb": ui_delta_mb(spill0[1], spill1[1]),
                 # over BOTH timed passes (the delta spans them)
-                "shuffle_read_mb": round(max(0, spill1[2] - spill0[2]) / 1e6, 1),
+                "shuffle_read_mb": ui_delta_mb(spill0[2], spill1[2]),
             }
             if rec_calib is not None:
                 rec["calib_s"] = rec_calib
