@@ -367,3 +367,40 @@ def test_interval_overlap_join_exact_and_equi_planned(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_minhash_signature_with_count_matches_shingle_counts(spark, sf_dir):
+    """``minhash_signatures(with_count=True)`` rides ``n_sh`` on the
+    SAME aggregate (r16: it replaced the rerank's separate per-doc
+    count pass) — its value must equal an independent count over the
+    distinct shingle table, and the mh columns must be byte-identical
+    to the with_count=False form."""
+    from pyspark.sql import functions as F
+
+    from tweets_spark_top_10_spark.functions.dedup import (
+        minhash_signatures,
+        shingle_table,
+    )
+    from tweets_spark_top_10_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    wide = minhash_signatures(docs, with_count=True)
+    plain = minhash_signatures(docs)
+    counts = (
+        shingle_table(docs)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    joined = wide.join(counts, "doc_id", "full")
+    assert (
+        joined.filter(
+            F.col("n_sh").isNull()
+            | F.col("n_ref").isNull()
+            | (F.col("n_sh") != F.col("n_ref"))
+        ).count()
+        == 0
+    )
+    assert (
+        wide.drop("n_sh").exceptAll(plain).count() == 0
+        and plain.exceptAll(wide.drop("n_sh")).count() == 0
+    )

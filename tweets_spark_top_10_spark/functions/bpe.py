@@ -92,15 +92,13 @@ def word_frequency_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     whitespace because words come from a whitespace split, so plain
     replace of ``' l  r '`` is canonical non-overlapping pairing.
 
-    The corpus is fanned out first when its scan is narrower than the
-    core count (``spread_scan``, a no-op at cluster scale) so the
-    tokenize/explode runs parallel instead of on the fixture's single
-    scan split."""
-    from tweets_spark_top_10_spark.functions.spread import spread_scan
-
+    Deliberately NOT ``spread_scan``-fanned (r16): the explode feeds a
+    map-side-combining groupBy immediately and the per-row work is one
+    whitespace split, so the extra exchange costs more than the
+    parallelism buys — interleaved min-of-4 A/B at sf0.1 read 2.10s
+    unspread vs 2.75s spread for the 8-merge learn."""
     return (
-        spread_scan(docs)
-        .select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(

@@ -68,6 +68,7 @@ def shingle_table(
     n: int = 3,
     key=None,
     partition_by_shingle: bool = False,
+    spread: bool = True,
 ) -> DataFrame:
     """(id, shingle) pairs, distinct per doc — the join key space for
     candidate generation.
@@ -98,10 +99,14 @@ def shingle_table(
     scale): the tokenize/shingle/explode chain runs BEFORE the first
     exchange, and on the single-split fixture files it otherwise
     serializes on one core (r16: the single biggest stage of every
-    shingle consumer at sf0.1)."""
-    from tweets_spark_top_10_spark.functions.spread import spread_scan
+    shingle consumer at sf0.1).  ``spread=False`` opts out for callers
+    whose downstream is a light broadcast-join + aggregate (the
+    contamination checks), where the extra exchange measured as a net
+    loss."""
+    if spread:
+        from tweets_spark_top_10_spark.functions.spread import spread_scan
 
-    df = spread_scan(df)
+        df = spread_scan(df)
     toks = tokenize(F.col(text_col))
     out = df.select(
         F.col(id_col),

@@ -1164,13 +1164,16 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % 50 == 0
+    # spread=False (r16): both branches are explode -> broadcast-join ->
+    # light aggregate; the conditional fan-out exchange measured a net
+    # loss here (1.28s unspread vs 1.61s spread, interleaved min-of-4).
     ev_shingles = (
-        shingle_table(docs.filter(is_eval), "text", "doc_id", 3)
+        shingle_table(docs.filter(is_eval), "text", "doc_id", 3, spread=False)
         .select("shingle")
         .distinct()
     )
     train = docs.filter(~is_eval)
-    tr_shingles = shingle_table(train, "text", "doc_id", 3)
+    tr_shingles = shingle_table(train, "text", "doc_id", 3, spread=False)
     shared = (
         tr_shingles.join(F.broadcast(ev_shingles), "shingle")
         .groupBy("doc_id")
