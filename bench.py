@@ -307,6 +307,13 @@ def main() -> None:
         # even on a catastrophic run: first 10 names + the full count
         compact["regressed_n"] = len(out["regressed"])
         compact["regressed"] = out["regressed"][:10]
+    if out.get("delta_s"):
+        # r17 (verdict item 5): the driver's tail capture sees only this
+        # compact line, so give its regression analysis SOME per-query
+        # signal — the 10 largest |delta| vs the reference run, raw
+        # seconds (same sign convention as delta_s).  ~350 chars.
+        top = sorted(out["delta_s"].items(), key=lambda kv: -abs(kv[1]))[:10]
+        compact["delta_top"] = dict(top)
     compact["queries_n"] = len(timings)
     compact["detail"] = "per-query map in BENCH_FULL.json + BENCH_HISTORY.jsonl"
     try:  # write AFTER printing so a full disk can't eat the result

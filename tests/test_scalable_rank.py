@@ -136,3 +136,52 @@ def test_exact_quantiles_bit_identical_to_builtin_percentile(spark):
     got = [got_row[f"e{i}"] for i in range(len(qs))]
     assert got == list(want), (got, want)
     spark.catalog.clearCache()
+
+
+def test_grouped_exact_quantiles_bit_identical_to_builtin(spark):
+    """grouped_exact_quantiles must replay the builtin grouped
+    `percentile` interpolation BIT-FOR-BIT (it replaced the builtin in
+    quantity_percentiles r17; the oracle hash rides on equality) — on a
+    tie-heavy value column with wildly unequal group sizes, so group
+    runs straddle range-partition boundaries."""
+    from tweets_spark_top_10_spark.operators.scalable_rank import (
+        grouped_exact_quantiles,
+    )
+
+    df = _skewed_df(spark, n=1_003).select(
+        (F.xxhash64("token") % 4).alias("g"),
+        F.col("cnt").cast("double").alias("v"),
+    )
+    qs = [0.0, 0.25, 0.49, 0.5, 0.513, 0.9, 1.0]
+    want = {
+        r["g"]: list(r["e"])
+        for r in df.groupBy("g")
+        .agg(
+            F.expr(
+                "percentile(v, array(" + ", ".join(str(q) for q in qs) + "))"
+            ).alias("e")
+        )
+        .collect()
+    }
+    got = {
+        r["g"]: [r[f"e{i}"] for i in range(len(qs))]
+        for r in grouped_exact_quantiles(df, ["g"], "v", qs).collect()
+    }
+    assert got == want, (got, want)
+    spark.catalog.clearCache()
+
+
+def test_grouped_exact_quantiles_single_member_groups(spark):
+    """Groups of size 1 (pos collapses to lo == hi == 0) and quantiles
+    at the extremes must come back exact."""
+    from tweets_spark_top_10_spark.operators.scalable_rank import (
+        grouped_exact_quantiles,
+    )
+
+    df = spark.range(5).select(
+        F.col("id").alias("g"), (F.col("id") * 10).cast("double").alias("v")
+    )
+    rows = grouped_exact_quantiles(df, ["g"], "v", [0.0, 0.5, 1.0]).collect()
+    for r in rows:
+        assert r["e0"] == r["e1"] == r["e2"] == float(r["g"] * 10)
+    spark.catalog.clearCache()

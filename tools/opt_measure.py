@@ -1,11 +1,12 @@
 #!/usr/bin/env python
-"""Round-16 optimization harness: isolate catalog queries with the noop
-sink (guide §1.4), time min-of-N, and capture ``explain("formatted")``
-to ``plans/r16/<query>_<tag>.txt`` so plan claims are judge-checkable.
+"""Optimization-round harness (r16, reused r17): isolate catalog
+queries with the noop sink (guide §1.4), time min-of-N, and capture
+``explain("formatted")`` to ``plans/<round>/<query>_<tag>.txt`` so plan
+claims are judge-checkable.
 
 Usage:
     python tools/opt_measure.py [--tag before|after] [--passes N]
-        [--no-plans] query [query ...]
+        [--no-plans] [--round r17] query [query ...]
 
 Methodology matches bench.py: same session factory ($SPARK_GRAFT_CPUS /
 $SPARK_GRAFT_SF_DIR), warm tables first, clear tracked caches + force a
@@ -28,9 +29,10 @@ from tweets_spark_top_10_spark.session import get_spark  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
-    ap.add_argument("--tag", default=None, help="plans/r16/<q>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="plans/<round>/<q>_<tag>.txt")
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--no-plans", action="store_true")
+    ap.add_argument("--round", default="r17", help="plans subdirectory")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,7 +59,9 @@ def main() -> None:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
     plans_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        args.round,
     )
     os.makedirs(plans_dir, exist_ok=True)
 

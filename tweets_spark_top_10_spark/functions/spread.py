@@ -22,6 +22,8 @@ micro-batch partitioning is the source's concern.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
@@ -32,8 +34,14 @@ def spread_scan(df: DataFrame) -> DataFrame:
     Apply at the START of an expression-heavy pipeline (before the
     tokenize/shingle/scoring projections), AFTER any selective filter
     (fewer rows shuffle; the filter itself still pushes down — Catalyst
-    moves filters through Repartition in either case)."""
+    moves filters through Repartition in either case).
+
+    ``SPARK_GRAFT_SPREAD_OFF=1`` forces the identity branch — the
+    measurement knob for interleaved on/off A/Bs within one session
+    (tools/ab_interleave.py); unset in production and in the bench."""
     if df.isStreaming:
+        return df
+    if os.environ.get("SPARK_GRAFT_SPREAD_OFF"):
         return df
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:

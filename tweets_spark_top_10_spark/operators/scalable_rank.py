@@ -38,6 +38,8 @@ the top-10 ``orderBy().limit()``, `App.java:99-100`, which is
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -216,6 +218,235 @@ def exact_quantiles(
                 f"{out_prefix}{i}"
             )
             for i, q in enumerate(quantiles)
+        ]
+    )
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: list[float],
+    out_prefix: str = "e",
+) -> DataFrame:
+    """Per-group EXACT interpolated quantiles of ``value_col`` — one row
+    per distinct ``group_cols`` value with columns
+    ``{out_prefix}0..{out_prefix}{k-1}`` — the grouped twin of
+    :func:`exact_quantiles` (r17, VERDICT item 2).  The builtin grouped
+    ``percentile`` holds each group's ENTIRE value column inside one
+    aggregation buffer (N/|groups| doubles per buffer at 100 TB — the
+    guide §5 single-buffer cliff :func:`exact_quantiles` already removed
+    from the global case); this keeps per-task state at
+    O(corpus / parallelism) regardless of group sizes.
+
+    Execution: ONE corpus range exchange on ``(group_cols, value_col)``
+    + per-partition sort assigns per-group global ranks (the
+    ``monotonically_increasing_id`` zipWithIndex pattern of
+    :func:`global_row_number`, with offsets per (partition, group) —
+    group runs are contiguous within a range partition, which the same
+    folded ``assert_true`` enforces); a broadcast of the
+    |groups| x |quantiles| x 2 probe rows picks the order statistics,
+    and metadata-sized aggregates interpolate and pivot.  The
+    interpolation REPLAYS Spark's ``percentile`` arithmetic
+    bit-for-bit — ``pos = q * (n_g - 1)``;
+    ``(ceil(pos) - pos) * v[floor(pos)] + (pos - floor(pos)) * v[ceil(pos)]``
+    over each group's 0-based sorted values — so swapping it in for the
+    builtin changes nothing about emitted doubles, only the plan.
+
+    Ties in ``value_col`` are fine for the same reason as in
+    :func:`exact_quantiles`: the value AT a rank is invariant to how a
+    run of equal values is ordered or split across range partitions.
+    Nulls in ``value_col`` must be absent (the builtin skips them; this
+    operator would rank them) — callers pass non-null measure columns.
+    """
+    return grouped_exact_quantiles_multi(
+        df,
+        group_cols,
+        [(value_col, [(q, f"{out_prefix}{i}") for i, q in enumerate(quantiles)])],
+    )
+
+
+def grouped_exact_quantiles_multi(
+    df: DataFrame,
+    group_cols: list[str],
+    specs: list[tuple[str, list[tuple[float, str]]]],
+    persist_intermediate: bool = True,
+) -> DataFrame:
+    """Per-group exact quantiles over SEVERAL measure columns in ONE
+    corpus pass — ``specs`` is ``[(value_col, [(q, out_name), ...]),
+    ...]`` and the output is one row per group with every named
+    quantile column.
+
+    Why multi: each measure column needs its own range order, but the
+    fixed costs — the scan, the range-partitioner sampling pass, the
+    persist, the offset/probe aggregate chain — do NOT need to be paid
+    per column.  The measures are exploded into ``(tag, value)`` rows
+    (tag = spec index) and ``(group, tag)`` becomes the effective group
+    key, so one exchange carries len(specs) x N narrow rows — the SAME
+    total bytes the per-column form shuffles across its separate
+    exchanges, at one set of fixed costs (measured on
+    quantity_percentiles at sf0.1: 3.3 s as two single-measure calls vs
+    ~builtin-parity fused; the builtin itself is 1.5 s).  All quantiles
+    are probed for every tag (wasted probes are metadata) and the final
+    pivot keeps only the requested (tag, q) pairs.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    pre = df.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("__tag"),
+                        F.col(vc).cast("double").alias("__val"),
+                    )
+                    for i, (vc, _) in enumerate(specs)
+                ]
+            )
+        ).alias("__e"),
+    ).select(
+        *group_cols,
+        F.col("__e.__tag").alias("__tag"),
+        F.col("__e.__val").alias("__val"),
+    )
+    base_cols = list(group_cols)
+    group_cols = [*group_cols, "__tag"]
+    value_col = "__val"
+    tagged = (
+        pre.repartitionByRange(parallelism, *group_cols, value_col)
+        .sortWithinPartitions(*group_cols, value_col)
+        .select(
+            "*",
+            F.spark_partition_id().alias("__pid"),
+            F.monotonically_increasing_id().alias("__mid"),
+        )
+    )
+    if persist_intermediate:
+        tagged = persist_tracked(tagged)
+    # per-(partition, group) extents: one row per (pid, group) —
+    # metadata-sized (#partitions x #groups).  Consecutive-mid contract
+    # enforced per (pid, group): rows of a group are contiguous within a
+    # range partition (partition = contiguous key range, sorted), so
+    # max - base + 1 == n or the local index below is wrong.
+    consecutive = F.assert_true(
+        F.col("__max") - F.col("__base") + F.lit(1) == F.col("__n"),
+        F.lit(
+            "grouped_exact_quantiles: monotonically_increasing_id is not "
+            "consecutive within a (partition, group) run; engine broke "
+            "the per-partition-counter behavior this operator leans on"
+        ),
+    )
+    # per_pg is metadata-sized but its INPUT is the corpus cache, and it
+    # feeds two independent broadcast builds (offs, probes) — without
+    # its own persist each build re-runs the corpus aggregate
+    # (measured: two back-to-back 0.8 s 35-task jobs at sf0.1).
+    per_pg = persist_tracked(
+        tagged.groupBy("__pid", *group_cols).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("__mid").alias("__base"),
+            F.max("__mid").alias("__max"),
+        )
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = per_pg.withColumn(
+        "__off",
+        F.coalesce(F.sum("__n").over(w), F.lit(0))
+        + F.coalesce(consecutive.cast("long"), F.lit(0)),
+    ).select("__pid", *group_cols, "__n", "__base", "__off")
+    ng = per_pg.groupBy(*group_cols).agg(F.sum("__n").alias("__ng"))
+    # probe the UNION of all requested quantiles for every tag: the
+    # superfluous probes are metadata-sized, and one shared array keeps
+    # the probe plan free of per-tag branching.
+    all_qs = sorted({float(q) for _, qlist in specs for q, _ in qlist})
+    qarr = F.array(*[F.lit(q) for q in all_qs])
+    # probe-side group columns renamed __g_<c>: probes and ranked share
+    # the `tagged` lineage, and same-name attributes across a self-join
+    # are ambiguous — distinct names sidestep resolution entirely.
+    probes = (
+        ng.select(
+            *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+            F.explode(qarr).alias("__q"),
+            "__ng",
+        )
+        .select(
+            *[f"__g_{c}" for c in group_cols],
+            "__q",
+            (F.col("__q") * (F.col("__ng") - 1).cast("double")).alias("__pos"),
+        )
+        .select(
+            *[f"__g_{c}" for c in group_cols],
+            "__q",
+            "__pos",
+            F.floor("__pos").cast("long").alias("__lo"),
+            F.ceil("__pos").cast("long").alias("__hi"),
+        )
+        .select(
+            *[f"__g_{c}" for c in group_cols],
+            "__q",
+            "__pos",
+            "__lo",
+            "__hi",
+            F.explode(F.array("__lo", "__hi")).alias("__idx"),
+        )
+    )
+    # Pre-resolve each probe index to the ONE (partition, mid) holding
+    # it — a metadata x metadata join (offs x probes) — so the corpus is
+    # touched by a single broadcast equi-join below instead of a
+    # rank-assignment join (tagged x offs) followed by a probe join.
+    # Three corpus passes total: cache build, per_pg, hit.
+    gmatch = reduce(
+        lambda a, b: a & b,
+        [F.col(c) == F.col(f"__g_{c}") for c in group_cols],
+    )
+    targets = offs.join(
+        probes,
+        gmatch
+        & (F.col("__idx") >= F.col("__off"))
+        & (F.col("__idx") < F.col("__off") + F.col("__n")),
+    ).select(
+        F.col("__pid").alias("__tpid"),
+        *[f"__g_{c}" for c in group_cols],
+        "__q",
+        "__pos",
+        "__lo",
+        "__hi",
+        "__idx",
+        (F.col("__base") + F.col("__idx") - F.col("__off")).alias("__tmid"),
+    )
+    hit = tagged.join(
+        F.broadcast(targets),
+        gmatch
+        & (F.col("__pid") == F.col("__tpid"))
+        & (F.col("__mid") == F.col("__tmid")),
+    )
+    v = F.col(value_col)
+    per_q = hit.groupBy(
+        *[F.col(f"__g_{c}").alias(c) for c in group_cols],
+        "__q",
+        "__pos",
+        "__lo",
+        "__hi",
+    ).agg(
+        F.min(F.when(F.col("__idx") == F.col("__lo"), v)).alias("__vlo"),
+        F.min(F.when(F.col("__idx") == F.col("__hi"), v)).alias("__vhi"),
+    )
+    interp = F.when(F.col("__lo") == F.col("__hi"), F.col("__vlo")).otherwise(
+        (F.col("__hi").cast("double") - F.col("__pos")) * F.col("__vlo")
+        + (F.col("__pos") - F.col("__lo").cast("double")) * F.col("__vhi")
+    )
+    return per_q.groupBy(*base_cols).agg(
+        *[
+            F.min(
+                F.when(
+                    (F.col("__tag") == i) & (F.col("__q") == float(q)), interp
+                )
+            ).alias(name)
+            for i, (_, qlist) in enumerate(specs)
+            for q, name in qlist
         ]
     )
 

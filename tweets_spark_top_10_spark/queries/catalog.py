@@ -58,54 +58,6 @@ from tweets_spark_top_10_spark.queries.registry import ORACLE, QUERIES
 # zero fails; the r1 rows listed here are the 30 not re-checked in r2,
 # all green in r1).
 _LAST_CHECKED: dict[str, int] = {
-    # --- last driver row: round 13 ---
-    "media_frame_counts": 13,
-    "media_resize_stats": 13,
-    "media_image_features": 13,
-    "ref_top10_tokens": 13,
-    "top_event_types": 13,
-    "q1_pricing_summary": 13,
-    "monthly_revenue": 13,
-    "segment_order_stats": 13,
-    "status_priority_grouping_sets": 13,
-    "quantity_percentiles": 13,
-    "user_trailing_hour_value": 13,
-    "orders_profile": 13,
-    "deterministic_sample_stats": 13,
-    "customer_priority_lists": 13,
-    "embedding_norms": 13,
-    "knn_cosine_top5": 13,
-    "label_centroids": 13,
-    "embedding_near_dup_pairs": 13,
-    "ivf_knn_top5": 13,
-    "dedup_exact_docs": 13,
-    "doc_token_stats": 13,
-    "doc_stopword_ratio": 13,
-    "urgent_vs_customer_avg_sql": 13,
-    "approx_quantile_gate": 13,
-    "priority_revenue_ivm": 13,
-    "doc_token_ids": 13,
-    "nation_pair_trade_volume": 13,
-    "returned_item_losses": 13,
-    "user_conversion_funnel": 13,
-    "user_hourly_ohlc": 13,
-    "user_value_trend": 13,
-    "doc_feature_hashing": 13,
-    "event_value_winsorized": 13,
-    "pq_adc_top5_prebuilt": 13,
-    "opq_adc_top5_prebuilt": 13,
-    "semantic_dedup_keep": 13,
-    "ivfpq_adc_top5_prebuilt": 13,
-    "doc_gopher_repetition": 13,
-    "lang_token_budget_sample": 13,
-    "doc_dup_spans": 13,
-    "curriculum_interleave": 13,
-    "lang_mixture_weights": 13,
-    "doc_length_batches": 13,
-    "doc_quality_tiers": 13,
-    "label_centroids_arrow": 13,
-    "nation_balance_drift_ks": 13,
-    "embedding_rp_project": 13,
     # --- last driver row: round 14 ---
     "top_revenue_orders": 14,
     "regional_customer_revenue": 14,
@@ -208,6 +160,57 @@ _LAST_CHECKED: dict[str, int] = {
     "bpe_subword_vocab_top20": 15,
     "bucketed_segment_revenue": 15,
     "bpe_encode_docs": 15,
+    # --- last driver row: round 16 ---
+    "media_frame_counts": 16,
+    "media_resize_stats": 16,
+    "media_image_features": 16,
+    "ref_top10_tokens": 16,
+    "top_event_types": 16,
+    "q1_pricing_summary": 16,
+    "monthly_revenue": 16,
+    "segment_order_stats": 16,
+    "status_priority_grouping_sets": 16,
+    "quantity_percentiles": 16,
+    "user_trailing_hour_value": 16,
+    "orders_profile": 16,
+    "deterministic_sample_stats": 16,
+    "customer_priority_lists": 16,
+    "embedding_norms": 16,
+    "knn_cosine_top5": 16,
+    "label_centroids": 16,
+    "embedding_near_dup_pairs": 16,
+    "ivf_knn_top5": 16,
+    "dedup_exact_docs": 16,
+    "doc_token_stats": 16,
+    "doc_stopword_ratio": 16,
+    "urgent_vs_customer_avg_sql": 16,
+    "approx_quantile_gate": 16,
+    "priority_revenue_ivm": 16,
+    "doc_token_ids": 16,
+    "nation_pair_trade_volume": 16,
+    "returned_item_losses": 16,
+    "user_conversion_funnel": 16,
+    "user_hourly_ohlc": 16,
+    "user_value_trend": 16,
+    "doc_feature_hashing": 16,
+    "event_value_winsorized": 16,
+    "pq_adc_top5_prebuilt": 16,
+    "opq_adc_top5_prebuilt": 16,
+    "semantic_dedup_keep": 16,
+    "ivfpq_adc_top5_prebuilt": 16,
+    "doc_gopher_repetition": 16,
+    "lang_token_budget_sample": 16,
+    "doc_dup_spans": 16,
+    "curriculum_interleave": 16,
+    "lang_mixture_weights": 16,
+    "doc_length_batches": 16,
+    "doc_quality_tiers": 16,
+    "label_centroids_arrow": 16,
+    "nation_balance_drift_ks": 16,
+    "embedding_rp_project": 16,
+    "training_pipeline_docs": 16,
+    "maxsim_label_top3": 16,
+    "hybrid_rrf_top5": 16,
 }
 
 

@@ -288,16 +288,37 @@ def status_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
-    ``quantile_cont``).  At 100 TB swap to ``approx_percentile`` —
-    t-digest sketch, no global sort — which has no cross-engine oracle;
-    the exact form is the correctness anchor."""
+    """Exact interpolated per-group percentiles (== DuckDB
+    ``quantile_cont``), computed by ``grouped_exact_quantiles`` instead
+    of the builtin grouped ``percentile`` (r17, guide §5): the builtin
+    holds each group's ENTIRE value column inside one aggregation
+    buffer — with 3 return-flag groups at 100 TB that is N/3 doubles
+    per buffer, the same single-buffer cliff ``approx_quantile_gate``
+    escaped in r16.  The operator replays the builtin's interpolation
+    arithmetic bit-for-bit (verified identical doubles at
+    sf0.001/0.01/0.1), so emitted values are unchanged.  At 100 TB the
+    sketch posture (``approx_percentile``) remains available, but it
+    has no cross-engine oracle; the exact form is the correctness
+    anchor."""
+    from tweets_spark_top_10_spark.operators.scalable_rank import (
+        grouped_exact_quantiles_multi,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
-        F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("p50"),
-        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75"),
-        F.round(F.expr("percentile(l_extendedprice, 0.90)"), 6).alias("price_p90"),
+    qs = grouped_exact_quantiles_multi(
+        li,
+        ["l_returnflag"],
+        [
+            ("l_quantity", [(0.25, "__q0"), (0.50, "__q1"), (0.75, "__q2")]),
+            ("l_extendedprice", [(0.90, "__p0")]),
+        ],
+    )
+    return qs.select(
+        "l_returnflag",
+        F.round("__q0", 6).alias("p25"),
+        F.round("__q1", 6).alias("p50"),
+        F.round("__q2", 6).alias("p75"),
+        F.round("__p0", 6).alias("price_p90"),
     )
 
 

@@ -357,12 +357,14 @@ def lsh_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # spread_scan (r16): candidate-side per-row scoring otherwise runs
-    # in the fixture's single scan split; no-op at cluster scale.
-    cands = spread_scan(
-        emb.filter(F.col("vec_id") >= 10).select(
-            F.col("vec_id").alias("neighbor_id"), "embedding"
-        )
+    # NOT spread_scan-fanned (r17, adjudicating the r16 driver
+    # regression): srp_knn's first operator over the candidates is the
+    # banding AGGREGATE (map-side combining), so the conditional
+    # fan-out exchange cost more than the parallelism bought — the same
+    # decision rule as the BPE word table.  Interleaved on/off min-of-4
+    # (tools/ab_interleave.py): 2.41 s spread vs 1.91 s unspread.
+    cands = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
     )
     return srp_knn(queries, cands, k=5)
 
@@ -764,12 +766,14 @@ def lsh_knn_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # spread_scan (r16): candidate-side per-row scoring otherwise runs
-    # in the fixture's single scan split; no-op at cluster scale.
-    cands = spread_scan(
-        emb.filter(F.col("vec_id") >= 10).select(
-            F.col("vec_id").alias("neighbor_id"), "embedding"
-        )
+    # NOT spread_scan-fanned (r17, adjudicating the r16 driver
+    # regression): the candidates feed the ml LSH fit/transform and a
+    # broadcast cross join whose own stages already parallelize, and
+    # the added exchange measured as a net loss — interleaved on/off
+    # min-of-4 (tools/ab_interleave.py): 2.32 s spread vs 1.84 s
+    # unspread.
+    cands = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
     )
     lsh = lsh_knn(queries, cands, k=5).select(
         "query_id", "rank", F.col("l2_dist").alias("lsh_dist")
@@ -1442,8 +1446,13 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs, "vec_id"
     ).select("vec_id", "vec")
     # one COUNT action — quantizer-sizing metadata, shared by the √N
-    # cell count and the skew cap (4x average cell size)
-    n = vecs.count()
+    # cell count and the skew cap (4x average cell size).  Counted over
+    # member_map, NOT vecs (r17): the two are row-equal by construction
+    # (the __fp join matches every row), and counting the persisted map
+    # makes the plan-decider action double as its materialization —
+    # the separate scan+count pass over the embeddings is deleted and
+    # the later max-cell probe reads the cache instead of building it.
+    n = member_map.count()
     n_cells, stride = scaled_cell_params(n)
     cap = subcell_cap(n, n_cells)
     cents = ivf_centroids(vecs, "vec_id", "vec", n_cells, stride)

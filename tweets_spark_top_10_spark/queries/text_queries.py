@@ -246,9 +246,13 @@ def doc_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking is on the ROUNDED score + token tie-break, so ordering is
     engine-independent."""
     docs = load_table(spark, sf_dir, "documents")
-    # spread_scan: parallelize the tokenize/explode feeding both
-    # aggregates (no-op at scale).
-    toks = spread_scan(docs).select(
+    # NOT spread_scan-fanned (r17, adjudicating the r16 driver
+    # regression): the explode feeds two map-side-combining aggregates
+    # directly — the BPE-word-table decision rule — and the conditional
+    # exchange measured as a net loss: interleaved on/off min-of-4
+    # (tools/ab_interleave.py) 1.73 s spread vs 1.27 s unspread (every
+    # unspread pass beat every spread pass).
+    toks = docs.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -495,8 +499,18 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps, members = collapse_exact_dups(docs, "text", "doc_id")
     # One shingle table shared by banding and rerank (it is referenced
     # three times across the two phases) — at scale, a materialized
-    # per-corpus intermediate; in-session, persist.
-    sh = shingle_table(reps, "text", "doc_id", n=3).transform(persist_tracked)
+    # per-corpus intermediate; in-session, persist.  spread=False
+    # (r17, adjudicating the r16 driver regression): the table's first
+    # consumer is the signature AGGREGATE (map-side combining), so the
+    # conditional fan-out exchange cost more than it bought here —
+    # interleaved on/off min-of-4 (tools/ab_interleave.py): 5.52 s
+    # spread vs 5.10 s unspread, and the r16 driver run read +32% with
+    # it on.  (The ngram_jaccard family KEEPS its shingle spread: its
+    # first consumer is the DF-cap + pair self-join, where the r16
+    # interleaved A/B read 5.23 spread vs 6.28 unspread.)
+    sh = shingle_table(reps, "text", "doc_id", n=3, spread=False).transform(
+        persist_tracked
+    )
     # ONE signature aggregate serves three consumers (r16): the banding
     # explode, the rerank's Jaccard-denominator counts (`n_sh` rides the
     # same groupBy — previously a second corpus aggregate over sh), and
