@@ -194,3 +194,37 @@ def test_srp_sign_vectors_match_sql_md5_parity(spark):
     for r in hp.collect():
         want = 1 if r.parity else -1
         assert signs[r.t][r.j][r.p] == want, (r.t, r.j, r.p)
+
+
+def test_spread_scan_probe_gated_to_scan_shapes(spark, sf_dir):
+    """r17: ``spread_scan``'s width probe uses ``df.rdd``, and under AQE
+    that conversion EXECUTES every upstream query stage to learn the
+    final plan — so probing a post-join/post-aggregate input silently
+    re-runs its whole chain at construction time.  The probe (and the
+    fan-out) must therefore fire only on scan-shaped plans; anything
+    with an exchange upstream passes through untouched, with ZERO jobs
+    run while building the expression."""
+    from tweets_spark_top_10_spark.functions.spread import spread_scan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+
+    # scan-shaped input narrower than the core count: fanned out
+    plan = _plan(spread_scan(docs.filter(F.col("doc_id") % 2 == 0)))
+    assert "RoundRobinPartitioning" in plan, plan
+
+    # checkpointed (LogicalRDD) input: not scan-shaped -> identity,
+    # regardless of width
+    wide = docs.repartition(par + 1).localCheckpoint()
+    assert spread_scan(wide) is wide
+
+    # join-shaped input: identity AND no construction-time jobs
+    store = spark.sparkContext._jsc.sc().statusStore()
+    agg = docs.groupBy((F.col("doc_id") % 7).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    joined = agg.join(docs.select((F.col("doc_id") % 7).alias("k")), "k")
+    n0 = store.jobsList(None).size()
+    assert spread_scan(joined) is joined
+    n1 = store.jobsList(None).size()
+    assert n1 == n0, "spread_scan probe ran upstream jobs at construction"

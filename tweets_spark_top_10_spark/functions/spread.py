@@ -26,10 +26,51 @@ import os
 
 from pyspark.sql import DataFrame
 
+# The probe below asks the PHYSICAL width via ``df.rdd`` — but under AQE
+# that conversion needs the FINAL plan, and the final plan of anything
+# with an upstream exchange only exists after its query stages have
+# RUN.  So probing a post-shuffle/post-join input executes the whole
+# upstream chain at query-construction time (r17, measured: the
+# training pipeline's ``shingle_table(kd)`` probe re-ran the cached
+# clean/keepers chain as two 32-task "javaToPython" jobs, ~16 CPU-s
+# per build).  The fan-out only ever pays on the single-split SCAN
+# shape anyway, so the probe is gated to plans that are narrow
+# operators over a relation leaf; everything wider (join, aggregate,
+# repartition, window, checkpoint, union …) keeps whatever width the
+# engine gave it and passes through untouched.
+_SCAN_SHAPE_NODES = frozenset(
+    {
+        "Project",
+        "Filter",
+        "SubqueryAlias",
+        "View",
+        "LogicalRelation",
+        "DataSourceV2Relation",
+        "DataSourceV2ScanRelation",
+        "HiveTableRelation",
+    }
+)
+
+
+def _scan_shaped(df: DataFrame) -> bool:
+    """True iff the analyzed logical plan is Project/Filter chains over
+    relation leaves only — the shape whose ``.rdd`` width probe is free
+    (no upstream AQE stages to materialize)."""
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() not in _SCAN_SHAPE_NODES:
+            return False
+        children = node.children()
+        for i in range(children.length()):
+            stack.append(children.apply(i))
+    return True
+
 
 def spread_scan(df: DataFrame) -> DataFrame:
     """Round-robin ``df`` up to ``defaultParallelism`` partitions iff
-    its current plan is narrower; identity otherwise (see module doc).
+    it is a scan-shaped plan narrower than that; identity otherwise
+    (see module doc).
 
     Apply at the START of an expression-heavy pipeline (before the
     tokenize/shingle/scoring projections), AFTER any selective filter
@@ -42,6 +83,8 @@ def spread_scan(df: DataFrame) -> DataFrame:
     if df.isStreaming:
         return df
     if os.environ.get("SPARK_GRAFT_SPREAD_OFF"):
+        return df
+    if not _scan_shaped(df):
         return df
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:

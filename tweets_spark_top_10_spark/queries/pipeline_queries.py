@@ -159,7 +159,7 @@ def training_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tweets_spark_top_10_spark.functions.cachectl import persist_tracked
     from tweets_spark_top_10_spark.functions.dedup import (
         connected_components,
-        exact_dedup,
+        content_hash,
         ngram_jaccard_pairs,
         shingle_table,
     )
@@ -225,9 +225,21 @@ def training_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         persist_tracked
     )
 
-    # stage 3: exact dedup — keep min doc_id per normalized content hash
-    keepers = exact_dedup(clean, "text", "doc_id").select("doc_id")
-    kd = clean.join(keepers, "doc_id").transform(persist_tracked)
+    # stage 3: exact dedup — keep min doc_id per normalized content
+    # hash.  One content-hash-keyed window (r17) instead of the former
+    # aggregate + join-back of the keeper ids: row_number()==1 ordered
+    # by doc_id IS "min doc_id per hash" row-for-row, so the aggregate
+    # exchange and the doc_id-keyed join disappear (measured 8.52 ->
+    # 7.57 s min-of-6 interleaved at sf0.1; at 100 TB the keeper set is
+    # corpus-sized, so the join was a second full shuffle of `clean`).
+    # Hash partitions are duplicate classes — bounded small, skew-free.
+    wx = Window.partitionBy(content_hash(F.col("text"))).orderBy("doc_id")
+    kd = (
+        clean.withColumn("__r", F.row_number().over(wx))
+        .where(F.col("__r") == 1)
+        .drop("__r")
+        .transform(persist_tracked)
+    )
 
     # stage 4: near-dup collapse at Jaccard >= 0.5, keep the cluster's
     # best-quality member (ties -> min doc_id)

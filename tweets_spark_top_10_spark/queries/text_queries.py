@@ -1069,32 +1069,36 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", n=3, threshold=0.5, max_shingle_df=100
     )
     comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
-    memb = (
-        docs.select("doc_id")
+    # One pass (r17): quality is a per-row projection of the SAME docs
+    # scan the membership map reads — computing it inline removes the
+    # former memb ⋈ quality self-join of that scan, and annotating every
+    # row with `first_value(doc_id)` over the quality-ordered cluster
+    # window removes the row_number→filter→re-join-on-cluster round
+    # trip (the window's ordered frame starts at the partition head, so
+    # first() IS the cluster's best member for every row).  Same rows,
+    # three fewer joins / one window instead of two cluster exchanges.
+    mq = (
+        docs.select(
+            "doc_id",
+            quality_score(F.col("text"), tokenize(F.col("text"))).alias(
+                "quality"
+            ),
+        )
         .join(comp, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+            "quality",
         )
-    )
-    quality = docs.select(
-        "doc_id", quality_score(F.col("text"), tokenize(F.col("text"))).alias("quality")
     )
     w = Window.partitionBy("cluster").orderBy(
         F.desc("quality"), F.asc("doc_id")
     )
-    best = (
-        memb.join(quality, "doc_id")
-        .withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") == 1)
-        .select("cluster", F.col("doc_id").alias("canonical_id"))
-    )
-    return memb.join(best, "cluster").select(
+    return mq.select(
         "doc_id",
         "cluster",
-        "canonical_id",
-        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
-    )
+        F.first("doc_id").over(w).alias("canonical_id"),
+    ).withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))
 
 
 @register(
